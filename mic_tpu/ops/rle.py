@@ -1,0 +1,175 @@
+"""16-bit run-length coding (reference rlecompressu16.go / rledecompressu16.go).
+
+Stream grammar over uint16 words, after a leading ``maxValue`` word:
+
+* same-run:  ``[count][value]`` with ``count < midCount`` — *count* copies.
+* diff-run:  ``[midCount + k][v1 .. vk]`` — *k* literal values.
+
+``midCount = (1 << (depth-1)) - 1`` where ``depth = bit_length(maxValue)``.
+``count == midCount`` is never emitted; it is the decoder's in-band marker
+that a diff-run just exhausted (rledecompressu16.go:62-68) — the classic
+sentinel trap documented in docs/developer-guide.md:35.
+
+The encoder's buffered mode-switch state machine guarantees runs of at
+least 3 for same-mode (so RLE never expands) and flushes two symbols early
+on count overflow, keeping the last two buffered symbols for the next run.
+
+The host decoder here is *block-expanded* (parse run headers sequentially,
+expand with numpy) — the same two-pass shape as the reference C decoder
+(mic_decompress_c.c RLE expand) and the Pallas device kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["RleEncoder", "rle_compress", "rle_decompress", "rle_expand", "rle_decompress_stream"]
+
+
+class RleEncoder:
+    """Streaming RLE encoder replicating the reference state machine exactly
+    (rlecompressu16.go:15-83)."""
+
+    __slots__ = ("out", "b", "mid_count", "same")
+
+    def __init__(self, width: int, height: int, max_value: int) -> None:
+        depth = int(max_value).bit_length()
+        self.mid_count = (1 << (depth - 1)) - 1
+        self.out: list[int] = [int(max_value)]
+        self.b: list[int] = []
+        self.same = False
+
+    def encode(self, symbol: int) -> None:
+        b = self.b
+        bc = len(b)
+        if bc < 2:
+            b.append(symbol)
+            return
+        prev_plus_one = b[bc - 2]
+        prev = b[bc - 1]
+
+        if prev_plus_one == prev and prev == symbol:
+            if not self.same and bc > 2:
+                # Flush the differing prefix, keep the trailing pair.
+                self.out.append(self.mid_count + bc - 2)
+                self.out.extend(b[: bc - 2])
+                del b[: bc - 2]
+            self.same = True
+        else:
+            if self.same and bc > 2:
+                self.out.append(bc)
+                self.out.append(b[0])
+                b.clear()
+            self.same = False
+
+        bc = len(b)
+        if bc >= self.mid_count - 1:
+            if self.same:
+                self.out.append(bc - 2)
+                self.out.append(b[0])
+            else:
+                self.out.append(self.mid_count + bc - 2)
+                self.out.extend(b[: bc - 2])
+            del b[: bc - 2]
+        b.append(symbol)
+
+    def flush(self) -> None:
+        b = self.b
+        bc = len(b)
+        if bc > 0:
+            if self.same:
+                self.out.append(bc)
+                self.out.append(b[0])
+            else:
+                self.out.append(self.mid_count + bc)
+                self.out.extend(b)
+
+    def compress(self, data) -> np.ndarray:
+        """Standalone compress with a 32-bit length prefix stored as two
+        words (rlecompressu16.go:85-93)."""
+        data = np.asarray(data, dtype=np.uint16)
+        n = len(data)
+        self.out.append((n >> 16) & 0xFFFF)
+        self.out.append(n & 0xFFFF)
+        enc = self.encode
+        for v in data.tolist():
+            enc(v)
+        self.flush()
+        return np.array(self.out, dtype=np.uint16)
+
+
+def rle_compress(data, width: int, height: int, max_value: int) -> np.ndarray:
+    """One-shot RLE compress (reference RleCompressU16.Compress)."""
+    return RleEncoder(width, height, max_value).compress(data)
+
+
+def rle_expand(stream: np.ndarray, start: int, mid_count: int, n: int | None = None):
+    """Expand RLE blocks beginning at ``stream[start]`` into a flat symbol
+    array.  Stops after ``n`` symbols if given, else when input exhausts.
+
+    Vectorized: one pass parses block headers (O(#blocks)), then same-runs
+    are expanded with np.repeat and literal runs are sliced — the host
+    mirror of the SIMD RLE expansion in the reference C decoder.
+    """
+    s = np.asarray(stream)
+    i = int(start)
+    total = len(s)
+    reps_vals: list[tuple[int, int]] = []  # (value, count) for same runs
+    pieces: list[tuple[int, int, int]] = []  # (kind, a, b) kind0=same idx pair, 1=slice
+    out_len = 0
+    # pieces in order: ('same', value, count) or ('lit', lo, hi)
+    ordered: list[tuple[bool, int, int]] = []
+    while i < total and (n is None or out_len < n):
+        c = int(s[i])
+        i += 1
+        if c > mid_count:
+            k = c - mid_count
+            ordered.append((False, i, i + k))
+            i += k
+            out_len += k
+        else:
+            v = int(s[i])
+            i += 1
+            ordered.append((True, v, c))
+            out_len += c
+    arrs = []
+    for is_same, a, b in ordered:
+        if is_same:
+            arrs.append(np.full(b, a, dtype=np.uint16))
+        else:
+            arrs.append(s[a:b].astype(np.uint16))
+    if not arrs:
+        return np.zeros(0, dtype=np.uint16), i
+    out = np.concatenate(arrs)
+    if n is not None:
+        out = out[:n]
+    return out, i
+
+
+def rle_decompress(stream) -> np.ndarray:
+    """One-shot RLE decompress of a Compress()-style stream with the
+    leading maxValue word and 32-bit length (reference RleDecompressU16.Decompress)."""
+    s = np.asarray(stream, dtype=np.uint16)
+    max_value = int(s[0])
+    depth = max_value.bit_length()
+    mid_count = (1 << (depth - 1)) - 1
+    out_len = (int(s[1]) << 16) + int(s[2])
+    out, _ = rle_expand(s, 3, mid_count, out_len)
+    if len(out) != out_len:
+        raise ValueError(f"RLE: expected {out_len} symbols, got {len(out)}")
+    return out
+
+
+def rle_decompress_stream(stream) -> tuple[np.ndarray, int]:
+    """Expand an RLE stream that has a leading maxValue word but *no* length
+    prefix (the Delta+RLE fused layout, deltarlecompressu16.go:24-67).
+
+    Returns ``(symbols, mid_count)`` where symbols includes everything after
+    the maxValue word, fully expanded.
+    """
+    s = np.asarray(stream, dtype=np.uint16)
+    max_value = int(s[0])
+    depth = max_value.bit_length()
+    mid_count = (1 << (depth - 1)) - 1
+    out, _ = rle_expand(s, 1, mid_count, None)
+    return out, mid_count
