@@ -119,10 +119,18 @@ def decompress_single_frame_grad(blob: bytes, width, height) -> np.ndarray:
 
 def compress_residual_frame(residuals, max_value) -> bytes:
     """RLE+FSE for temporal residuals — no spatial delta, since ZigZag
-    temporal residuals lack spatial correlation (multiframecompress.go:144-175)."""
+    temporal residuals lack spatial correlation (multiframecompress.go:144-175).
+
+    The RLE maxValue is floored at 255, the same guard the reference's WSI
+    plane coder applies (wsicompress.go:398-400): a tiny maxValue gives a
+    tiny RLE midCount, and midCount <= 3 makes the run-length state machine
+    emit count-0 blocks that no decoder (including the reference's) parses
+    correctly.  The stream stays fully reference-decodable — the decoder
+    derives midCount from the stream's own leading maxValue word.
+    """
     residuals = np.asarray(residuals, dtype=np.uint16)
-    mv = int(max_value)
-    rle = RleEncoder(len(residuals), 1, mv if mv > 0 else 1)
+    mv = max(int(max_value), 255)
+    rle = RleEncoder(len(residuals), 1, mv)
     rle_out = rle.compress(residuals)
     return _fse_chain(rle_out, 2)
 

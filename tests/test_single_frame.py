@@ -74,3 +74,13 @@ def test_residual_frame_roundtrip(rng):
     blob = compress_residual_frame(res, int(res.max()))
     out = decompress_residual_frame(blob)
     assert np.array_equal(out, res)
+
+
+def test_residual_frame_tiny_max(rng):
+    """Regression: tiny resMax (e.g. near-identical frames) must not
+    produce a degenerate RLE midCount — guarded by the 255 floor
+    (wsicompress.go:398-400 applies the same guard to WSI planes)."""
+    for mx in [0, 1, 3, 6, 15]:
+        res = rng.integers(0, mx + 1, 5000).astype(np.uint16)
+        blob = compress_residual_frame(res, mx)
+        assert np.array_equal(decompress_residual_frame(blob), res), mx
