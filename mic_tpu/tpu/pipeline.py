@@ -1,0 +1,176 @@
+"""Fused device decode pipeline: wide-rANS → RLE expand → predictor inverse.
+
+This is the TPU-native restructuring of the reference's decode stack: the
+reference's C decoder already discovered the right shape — two-pass
+"entropy decode, then SIMD RLE-expand, then delta-inverse"
+(mic_decompress_c.c:562-800); here every pass is a data-parallel device
+program with static shapes:
+
+* **RLE header parse** is a linked-list ranking problem (each header's
+  count points at the next header).  Solved with pointer doubling:
+  log2(m) rounds of gather+scatter instead of a serial walk.
+* **Run expansion** scatters run boundaries into the output index space,
+  then a cumsum assigns every output slot its run id — the device mirror
+  of the C decoder's SIMD fills.
+* **Escape parsing** uses the run-parity property (see
+  ops/predictors.parse_escaped) — masks and cumsums only.
+* **Predictor inversion** for the device format's ZZ (left-neighbour)
+  predictor is a *segmented prefix sum* — log-depth, fully parallel.
+  (This is why the device format defaults to the ZZ predictor: the
+  reference's avg(left,top) chain is inherently serial; its ablation
+  table prices left-only at ~2% ratio vs avg — the right trade for a
+  vector machine.)
+
+All functions take/return padded, shape-static arrays so a whole batch of
+strips decodes in one jitted program, and the strip axis shards over a
+device mesh with shard_map.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "rle_expand_device",
+    "parse_escaped_device",
+    "zz_delta_inverse_device",
+    "decode_tokens_to_pixels",
+]
+
+
+def _ceil_log2(n: int) -> int:
+    return max(1, int(np.ceil(np.log2(max(n, 2)))))
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def rle_expand_device(stream: jax.Array, n_stream: jax.Array, mid_count: jax.Array, max_out: int):
+    """Expand one RLE stream (without its leading maxValue word) on device.
+
+    stream: int32[m_pad] RLE words starting at the first block header.
+    n_stream: actual word count.  mid_count: RLE midCount for this stream.
+    Returns (tokens int32[max_out], n_tokens int32).
+
+    Stage 1 — header discovery by pointer doubling over the speculative
+    next-header map nxt[p] = p+2 (same-run) or p+1+(count-mid) (literal).
+    Stage 2 — output-position scatter + cumsum to label runs, then one
+    gather per output slot.
+    """
+    m_pad = stream.shape[0]
+    pos = jnp.arange(m_pad, dtype=jnp.int32)
+    is_same = stream <= mid_count
+    nxt = jnp.where(is_same, pos + 2, pos + 1 + (stream - mid_count))
+    nxt = jnp.minimum(nxt, m_pad)  # clamp; slot m_pad-? use a sink at end
+    nxt = jnp.where(pos >= n_stream, m_pad - 1, nxt)  # past-end: self-sink
+    nxt = jnp.minimum(nxt, m_pad - 1)
+
+    header = jnp.zeros(m_pad, dtype=jnp.int32).at[0].set(1)
+    g = nxt
+    for _ in range(_ceil_log2(m_pad)):
+        header = header.at[g].max(header)
+        g = g[g]
+    header = header.astype(bool) & (pos < n_stream)
+
+    # Per-header run length in the output domain.
+    length = jnp.where(is_same, stream, stream - mid_count)
+    length = jnp.where(header, length, 0).astype(jnp.int32)
+    out_start = jnp.cumsum(length) - length  # exclusive cumsum
+    n_tokens = jnp.sum(length)
+
+    # Label output slots with their run id.
+    run_id_marks = jnp.zeros(max_out + 1, dtype=jnp.int32)
+    hdr_idx = jnp.where(header, out_start, max_out)  # park non-headers
+    run_id_marks = run_id_marks.at[hdr_idx].add(1)
+    run_id = jnp.cumsum(run_id_marks[:max_out]) - 1  # inclusive - 1
+
+    # Compact per-run info (header positions in stream order = run order).
+    hdr_rank = jnp.cumsum(header.astype(jnp.int32)) - 1
+    n_runs_max = m_pad  # upper bound
+    run_hdr_pos = jnp.zeros(n_runs_max, dtype=jnp.int32)
+    run_hdr_pos = run_hdr_pos.at[jnp.where(header, hdr_rank, n_runs_max - 1)].max(pos)
+    run_is_same = is_same[run_hdr_pos]
+    run_value = stream[jnp.minimum(run_hdr_pos + 1, m_pad - 1)]
+    run_out_start = out_start[run_hdr_pos]
+
+    out_idx = jnp.arange(max_out, dtype=jnp.int32)
+    rid = jnp.clip(run_id, 0, n_runs_max - 1)
+    same_v = run_value[rid]
+    lit_pos = run_hdr_pos[rid] + 1 + (out_idx - run_out_start[rid])
+    lit_v = stream[jnp.clip(lit_pos, 0, m_pad - 1)]
+    tokens = jnp.where(run_is_same[rid], same_v, lit_v)
+    tokens = jnp.where(out_idx < n_tokens, tokens, 0)
+    return tokens.astype(jnp.int32), n_tokens.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_pixels",))
+def parse_escaped_device(tokens: jax.Array, n_tokens: jax.Array, delim: jax.Array, n_pixels: int):
+    """Per-pixel (value, is_raw) from an escaped token stream on device.
+
+    Uses the run-parity property: every maximal run of consecutive delim
+    tokens starts at a token boundary, so escape markers are the even
+    offsets within each run.
+    """
+    m = tokens.shape[0]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    valid = pos < n_tokens
+    is_delim = (tokens == delim) & valid
+
+    run_start = is_delim & jnp.concatenate([jnp.array([True]), ~is_delim[:-1]])
+    # position of current run start (running max over run_start positions)
+    start_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(run_start, pos, -1))
+    offset_in_run = pos - start_pos
+    escape_marker = is_delim & (offset_in_run % 2 == 0)
+    consumed_as_raw = jnp.concatenate([jnp.array([False]), escape_marker[:-1]])
+    token_start = ~consumed_as_raw & valid
+
+    # Compact token-start positions to the first n_pixels tokens
+    # (junk scatters park in an extra overflow slot).
+    t_rank = jnp.cumsum(token_start.astype(jnp.int32)) - 1
+    tok_pos_full = jnp.zeros(n_pixels + 1, dtype=jnp.int32)
+    park = jnp.where(token_start & (t_rank < n_pixels), t_rank, n_pixels)
+    tok_pos = tok_pos_full.at[park].max(pos)[:n_pixels]
+
+    is_raw = escape_marker[tok_pos]
+    vals = jnp.where(is_raw, tokens[jnp.minimum(tok_pos + 1, m - 1)], tokens[tok_pos])
+    return vals.astype(jnp.int32), is_raw
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def zz_delta_inverse_device(
+    values: jax.Array, is_raw: jax.Array, delta_threshold: jax.Array, width: int, height: int
+):
+    """Invert the ZZ (left-neighbour, ZigZag) predictor: per-row segmented
+    prefix sum with resets at escapes — log-depth, rows in parallel.
+
+    out[y][0] = v (raw) or unzig(v);  out[y][x] = out[y][x-1] + unzig(v),
+    resetting to the raw value at escapes (deltazigzagcompressu16.go:75-106
+    semantics, evaluated in parallel).
+    """
+    del delta_threshold  # zz residuals are ZigZag-coded, no threshold offset
+    v = values.reshape(height, width)
+    raw = is_raw.reshape(height, width)
+    u = v.astype(jnp.uint32)
+    dz = ((u >> 1) ^ (-(u & 1))).astype(jnp.int32)  # unzigzag
+    add = jnp.where(raw, 0, dz)
+    base = jnp.where(raw, v, 0)
+
+    xs = jnp.arange(width, dtype=jnp.int32)
+    reset = raw | (xs[None, :] == 0)
+    # Segment id per row = cumsum of resets; segment base = value at reset.
+    prefix = jnp.cumsum(add, axis=1)
+    reset_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(reset, xs[None, :], -1), axis=1
+    )
+    # base value at the segment's reset position, and prefix there.
+    rp = jnp.clip(reset_pos, 0, width - 1)
+    base_at = jnp.take_along_axis(base, rp, axis=1)
+    prefix_at = jnp.take_along_axis(prefix, rp, axis=1)
+    out = base_at + prefix - prefix_at
+    # The x==0 "reset" (when not raw) starts the chain at unzig(v[0]) =
+    # add[0], but prefix - prefix_at cancels add at the reset position —
+    # add it back for rows whose segment base is the non-raw x==0.
+    out = out + jnp.where((reset_pos == 0) & ~raw[:, :1], add[:, :1], 0)
+    return (out & 0xFFFF).astype(jnp.uint16).reshape(-1)

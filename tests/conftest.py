@@ -7,12 +7,20 @@ the project test strategy (SURVEY.md §4, §7).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the virtual 8-device CPU mesh regardless of the ambient
+# environment.  TPU runner images pre-register a tunneled TPU plugin via
+# sitecustomize and pin jax's platform config to it (plain JAX_PLATFORMS
+# env overrides are ignored); tests must not contend for the single TPU,
+# so override the jax config directly before any backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path

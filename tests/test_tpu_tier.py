@@ -1,0 +1,165 @@
+"""TPU device-tier tests: wide-lane rANS (MICT), the device pipeline
+stages, and the MICW strip container.
+
+Cross-tier bit-equality is the contract (SURVEY.md §4): numpy host
+decoder == JAX device decoder == original pixels.  Tests run the JAX code
+eagerly (jax.disable_jit) so the suite stays fast on the CPU backend; the
+jitted/TPU path is exercised by bench.py and __graft_entry__.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mic_tpu.ops.deltarle import zz_delta_rle_compress, zz_delta_rle_decompress
+from mic_tpu.ops.fse import IncompressibleError, UseRLEError
+from mic_tpu.ops.predictors import delta_params, parse_escaped
+from mic_tpu.ops.rle import RleEncoder, rle_decompress_stream, rle_expand
+from mic_tpu.tpu.device_rans import mict_decode_numpy, mict_encode, mict_parse
+from mic_tpu.tpu.pipeline import (
+    parse_escaped_device,
+    rle_expand_device,
+    zz_delta_inverse_device,
+)
+from mic_tpu.tpu.strips import micw_compress, micw_decompress_host, micw_parse
+
+
+@pytest.fixture(autouse=True)
+def _eager():
+    with jax.disable_jit():
+        yield
+
+
+@pytest.mark.parametrize("n,lanes", [(50, 8), (1000, 64), (65536, 512), (65537, 256)])
+def test_mict_roundtrip(n, lanes, rng):
+    data = (rng.standard_normal(n) * 5 + 50).clip(0, 255).astype(np.uint16)
+    blob = mict_encode(data, lanes=lanes)
+    out = mict_decode_numpy(blob)
+    assert np.array_equal(out, data)
+
+
+def test_mict_magic_and_counts(rng):
+    data = (rng.standard_normal(5000) * 20 + 200).clip(0, 1023).astype(np.uint16)
+    blob = mict_encode(data, lanes=128)
+    assert blob[:2] == b"\xffW"
+    L, tl, count, states, words, norm, sl = mict_parse(blob)
+    assert L == 128 and count == 5000
+    assert len(states) == 128
+
+
+def test_mict_rejects_constant():
+    with pytest.raises(UseRLEError):
+        mict_encode(np.full(1000, 3, np.uint16), lanes=64)
+
+
+def test_mict_rejects_wide_tiny():
+    with pytest.raises((IncompressibleError, UseRLEError)):
+        mict_encode(np.arange(65536, dtype=np.uint16), lanes=64)
+
+
+def test_mict_corrupt_stream_detected(rng):
+    data = (rng.standard_normal(20000) * 20 + 200).clip(0, 1023).astype(np.uint16)
+    blob = bytearray(mict_encode(data, lanes=128))
+    blob[-7] ^= 0x5A  # flip a word near the stream end
+    with pytest.raises(ValueError):
+        mict_decode_numpy(bytes(blob))  # final-state integrity check fires
+
+
+def test_mict_vs_jax_decoder(rng):
+    """numpy host decoder == JAX decoder, element for element."""
+    from mic_tpu.tpu.decode import mict_decode_device
+
+    data = (rng.standard_normal(30000) * 30 + 500).clip(0, 2047).astype(np.uint16)
+    blob = mict_encode(data, lanes=256)
+    a = mict_decode_numpy(blob)
+    b = mict_decode_device(blob)
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, data)
+
+
+def test_rle_expand_device_matches_host(rng):
+    data = np.concatenate(
+        [np.full(500, 5), rng.integers(0, 200, 300), np.full(70, 3), np.zeros(2000)]
+    ).astype(np.uint16)
+    enc = RleEncoder(len(data), 1, 255)
+    enc.encode(123)
+    for v in data.tolist():
+        enc.encode(v)
+    enc.flush()
+    stream = np.array(enc.out, dtype=np.uint16)
+    host_tokens, _ = rle_expand(stream, 1, 127, None)
+    m_pad = len(stream) + 8
+    s_pad = np.zeros(m_pad, np.int32)
+    s_pad[: len(stream) - 1] = stream[1:]
+    tokens, n_tok = rle_expand_device(
+        jnp.asarray(s_pad), jnp.int32(len(stream) - 1), jnp.int32(127), len(host_tokens) + 64
+    )
+    assert int(n_tok) == len(host_tokens)
+    assert np.array_equal(np.asarray(tokens)[: len(host_tokens)], host_tokens)
+
+
+def test_escape_parse_device_matches_host(rng):
+    h, w = 24, 31
+    img = rng.integers(0, 4000, (h, w)).astype(np.uint16)
+    mx = int(img.max())
+    _, delim = delta_params(mx)
+    rle_stream = zz_delta_rle_compress(img.ravel(), w, h, mx)
+    tokens, _ = rle_decompress_stream(rle_stream)
+    tok = tokens[1:]
+    v_host, raw_host = parse_escaped(tok, delim, w * h)
+    pad = np.zeros(len(tok) + 32, np.int32)
+    pad[: len(tok)] = tok
+    v_dev, raw_dev = parse_escaped_device(
+        jnp.asarray(pad), jnp.int32(len(tok)), jnp.int32(delim), w * h
+    )
+    assert np.array_equal(np.asarray(v_dev), v_host.astype(np.int32))
+    assert np.array_equal(np.asarray(raw_dev), raw_host)
+
+
+def test_zz_inverse_device_matches_host(rng):
+    h, w = 16, 40
+    img = rng.integers(0, 4000, (h, w)).astype(np.uint16)
+    mx = int(img.max())
+    thr, delim = delta_params(mx)
+    rle_stream = zz_delta_rle_compress(img.ravel(), w, h, mx)
+    tokens, _ = rle_decompress_stream(rle_stream)
+    v, raw = parse_escaped(tokens[1:], delim, w * h)
+    out = zz_delta_inverse_device(
+        jnp.asarray(v.astype(np.int32)), jnp.asarray(raw), jnp.int32(thr), w, h
+    )
+    want = zz_delta_rle_decompress(rle_stream, w, h)
+    assert np.array_equal(np.asarray(out), want)
+    assert np.array_equal(want, img.ravel())
+
+
+def test_micw_host_roundtrip(mr_image):
+    px, h, w, mx = mr_image
+    blob = micw_compress(px, w, h, mx, num_strips=4, lanes=128)
+    assert blob[:4] == b"MICW"
+    out, ow, oh = micw_decompress_host(blob)
+    assert (ow, oh) == (w, h)
+    assert np.array_equal(out, px)
+
+
+def test_micw_device_matches_host(rng):
+    h, w = 64, 96
+    img = (rng.standard_normal((h, w)).cumsum(axis=1) * 20 + 1000).astype(np.uint16)
+    img = (img >> 2 << 2).clip(0, 4095)
+    mx = int(img.max())
+    from mic_tpu.tpu.strips import micw_decompress_device
+
+    blob = micw_compress(img.ravel(), w, h, mx, num_strips=2, lanes=64)
+    a, _, _ = micw_decompress_host(blob)
+    b, _, _ = micw_decompress_device(blob)
+    assert np.array_equal(a, img.ravel())
+    assert np.array_equal(a, b)
+
+
+def test_micw_parse_fields(mr_image):
+    px, h, w, mx = mr_image
+    blob = micw_compress(px, w, h, mx, num_strips=4, lanes=128)
+    width, height, n, strip_h, max_value, predictor, lanes, strips = micw_parse(blob)
+    assert (width, height, n) == (w, h, 4)
+    assert max_value == mx and predictor == "zz" and lanes == 128
+    assert len(strips) == 4
