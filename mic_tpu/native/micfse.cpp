@@ -1,0 +1,857 @@
+// micfse.cpp — native host tier for the mic_tpu codec.
+//
+// Fast C++ implementations of the host-format hot loops, exposed via a
+// C ABI for ctypes: FSE/tANS 1/2/4/8-state encode+decode, 8-state rANS
+// decode, 16-bit RLE, and the fused Delta+RLE predictor pipelines
+// (avg/grad/med/zz).  This tier mirrors the role of the reference's C
+// pipeline (ojph/mic_compress_c.c, mic_decompress_c.c): same stream
+// formats as the Python host tier (which defines them), restructured as
+// a two-pass decoder — entropy decode into a symbol buffer, then RLE
+// expansion, then predictor inversion.
+//
+// Everything here is a fresh implementation written against the format
+// contract documented in mic_tpu/ops/*.py.
+//
+// Build: make -C mic_tpu/native   (produces libmicfse.so)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ───────────────────────── bit I/O ─────────────────────────
+// FSE convention: LSB-first stream, written forward, read in reverse.
+// The last byte's highest set bit is the end mark.
+
+struct BitWriter {
+  std::vector<uint8_t> out;
+  uint64_t acc = 0;
+  unsigned nbits = 0;
+
+  inline void add(uint32_t v, unsigned n) {
+    acc |= (uint64_t)(v & ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1))) << nbits;
+    nbits += n;
+    while (nbits >= 8) {
+      out.push_back((uint8_t)acc);
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  inline void close() {
+    add(1, 1);  // end mark
+    if (nbits) {
+      out.push_back((uint8_t)acc);
+      acc = 0;
+      nbits = 0;
+    }
+  }
+};
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t pos;        // bits remaining
+  uint64_t win = 0;   // cached bits [8*wbase, 8*wbase+64)
+  int64_t wbase = 1 << 30;  // byte base of the window (force initial refill)
+
+  bool init(const uint8_t* d, size_t len) {
+    if (len < 1 || d[len - 1] == 0) return false;
+    data = d;
+    unsigned hb = 31 - __builtin_clz((uint32_t)d[len - 1]);
+    pos = (int64_t)8 * (int64_t)(len - 1) + hb;
+    wbase = 1 << 30;
+    return true;
+  }
+  // Read the top n unread bits (the most recently written).  Callers copy
+  // the stream into a buffer padded by >= 8 bytes on both sides, so the
+  // 8-byte window loads never overrun even for pos < 0 over-reads.
+  inline uint32_t get(unsigned n) {
+    if (n == 0) return 0;
+    pos -= n;
+    if (pos < wbase * 8) {
+      // Reposition the window so ~32 bits can be consumed before the
+      // next refill: window bottom 4 bytes below the current bit.
+      wbase = (pos >> 3) - 4;
+      std::memcpy(&win, data + wbase, 8);
+    }
+    return (uint32_t)((win >> (pos - wbase * 8)) & (((uint64_t)1 << n) - 1));
+  }
+};
+// Over-read semantics (pos < 0): the padded zero bytes in front of the
+// buffer make the returned low bits zero, matching the host tier.
+
+// ───────────────────────── FSE core ─────────────────────────
+
+constexpr int kMaxTableLog = 16;
+constexpr int kMinTableLog = 5;
+constexpr int kMaxSymbol = 65535;
+
+static inline int high_bit(uint32_t v) { return 31 - __builtin_clz(v); }
+
+struct Norm {
+  std::vector<int32_t> norm;  // -1 = low prob
+  int symbol_len = 0;
+  int table_log = 0;
+};
+
+static int optimal_table_log(int hint, int64_t src_len, int symbol_len) {
+  int tl = hint;
+  int min_bits_src = high_bit((uint32_t)(src_len - 1)) + 1;
+  int min_bits_sym = high_bit((uint32_t)(symbol_len - 1)) + 2;
+  int min_bits = min_bits_src < min_bits_sym ? min_bits_src : min_bits_sym;
+  int max_bits_src = high_bit((uint32_t)(src_len - 1)) - 2;
+  if (max_bits_src < tl) tl = max_bits_src;
+  if (min_bits > tl) tl = min_bits;
+  int64_t density = src_len / symbol_len;
+  if (symbol_len > 512 && density > 16 && tl < 13) tl = 13;
+  else if (density > 64 && symbol_len > 256 && tl < 12) tl = 12;
+  else if (density > 32 && symbol_len > 128 && tl < 12) tl = 12;
+  if (max_bits_src < tl) tl = max_bits_src;
+  if (tl < kMinTableLog) tl = kMinTableLog;
+  if (tl > kMaxTableLog) tl = kMaxTableLog;
+  return tl;
+}
+
+static const uint32_t kRtb[8] = {0, 473195, 504333, 520860, 550000, 700000, 750000, 830000};
+
+static bool normalize2(const uint32_t* counts, int64_t total_in, Norm& nm) {
+  const int tl = nm.table_log;
+  const int sl = nm.symbol_len;
+  int64_t total = total_in;
+  int64_t distributed = 0;
+  int64_t low_threshold = total >> tl;
+  int64_t low_one = (total * 3) >> (tl + 1);
+  const int32_t kTBD = -2;
+  for (int i = 0; i < sl; i++) {
+    uint32_t c = counts[i];
+    if (c == 0) { nm.norm[i] = 0; continue; }
+    if ((int64_t)c <= low_threshold) { nm.norm[i] = -1; distributed++; total -= c; continue; }
+    if ((int64_t)c <= low_one) { nm.norm[i] = 1; distributed++; total -= c; continue; }
+    nm.norm[i] = kTBD;
+  }
+  int64_t to_distribute = ((int64_t)1 << tl) - distributed;
+  if (to_distribute > 0 && total / to_distribute > low_one) {
+    low_one = (total * 3) / (to_distribute * 2);
+    for (int i = 0; i < sl; i++) {
+      if (nm.norm[i] == kTBD && (int64_t)counts[i] <= low_one) {
+        nm.norm[i] = 1; distributed++; total -= counts[i];
+      }
+    }
+    to_distribute = ((int64_t)1 << tl) - distributed;
+  }
+  if (distributed == sl + 1) {
+    int max_v = 0; uint32_t max_c = 0;
+    for (int i = 0; i < sl; i++) if (counts[i] > max_c) { max_c = counts[i]; max_v = i; }
+    nm.norm[max_v] += (int32_t)to_distribute;
+    return true;
+  }
+  if (total == 0) {
+    for (int i = 0; to_distribute > 0; i = (i + 1) % sl)
+      if (nm.norm[i] > 0) { to_distribute--; nm.norm[i]++; }
+    return true;
+  }
+  int v_step_log = 62 - tl;
+  uint64_t mid = ((uint64_t)1 << (v_step_log - 1)) - 1;
+  uint64_t r_step = ((((uint64_t)1 << v_step_log) * (uint64_t)to_distribute) + mid) / (uint64_t)total;
+  uint64_t tmp_total = mid;
+  for (int i = 0; i < sl; i++) {
+    if (nm.norm[i] == kTBD) {
+      uint64_t end = tmp_total + (uint64_t)counts[i] * r_step;
+      uint32_t w = (uint32_t)((end >> v_step_log) - (tmp_total >> v_step_log));
+      if (w < 1) return false;
+      nm.norm[i] = (int32_t)w;
+      tmp_total = end;
+    }
+  }
+  return true;
+}
+
+static bool normalize(const uint32_t* counts, int64_t total, Norm& nm) {
+  const int tl = nm.table_log;
+  const int sl = nm.symbol_len;
+  nm.norm.assign(sl, 0);
+  int scale = 62 - tl;
+  uint64_t step = ((uint64_t)1 << 62) / (uint64_t)total;
+  uint64_t v_step = (uint64_t)1 << (scale - 20);
+  int64_t still = (int64_t)1 << tl;
+  int largest = 0;
+  int64_t largest_p = 0;
+  int64_t low_threshold = total >> tl;
+  for (int i = 0; i < sl; i++) {
+    uint32_t c = counts[i];
+    if (c == 0) continue;
+    if ((int64_t)c <= low_threshold) { nm.norm[i] = -1; still--; continue; }
+    uint64_t prod = (uint64_t)c * step;
+    int64_t proba = (int64_t)(prod >> scale);
+    if (proba < 8) {
+      uint64_t rest = v_step * kRtb[proba];
+      uint64_t v = prod - ((uint64_t)proba << scale);
+      if (v > rest) proba++;
+    }
+    if (proba > largest_p) { largest_p = proba; largest = i; }
+    nm.norm[i] = (int32_t)proba;
+    still -= proba;
+  }
+  if (-still >= (nm.norm[largest] >> 1)) return normalize2(counts, total, nm);
+  nm.norm[largest] += (int32_t)still;
+  return true;
+}
+
+// Normalized-count header: variable-width with zero-run coding.
+static bool write_count(const Norm& nm, std::vector<uint8_t>& out) {
+  int tl = nm.table_log;
+  int table_size = 1 << tl;
+  int64_t bit_stream = tl - kMinTableLog;
+  int bit_count = 4;
+  int remaining = table_size + 1;
+  int threshold = table_size;
+  int nb_bits = tl + 1;
+  bool previous0 = false;
+  int charnum = 0;
+
+  while (remaining > 1) {
+    if (previous0) {
+      int start = charnum;
+      while (nm.norm[charnum] == 0) charnum++;
+      while (charnum >= start + 24) {
+        start += 24;
+        bit_stream += (int64_t)0xFFFF << bit_count;
+        out.push_back((uint8_t)bit_stream);
+        out.push_back((uint8_t)(bit_stream >> 8));
+        bit_stream >>= 16;
+      }
+      while (charnum >= start + 3) { start += 3; bit_stream += (int64_t)3 << bit_count; bit_count += 2; }
+      bit_stream += (int64_t)(charnum - start) << bit_count;
+      bit_count += 2;
+      if (bit_count > 16) {
+        out.push_back((uint8_t)bit_stream);
+        out.push_back((uint8_t)(bit_stream >> 8));
+        bit_stream >>= 16;
+        bit_count -= 16;
+      }
+    }
+    int count = nm.norm[charnum++];
+    int maxv = (2 * threshold - 1) - remaining;
+    remaining -= count < 0 ? -count : count;
+    count++;
+    if (count >= threshold) count += maxv;
+    bit_stream += (int64_t)count << bit_count;
+    bit_count += nb_bits;
+    if (count < maxv) bit_count--;
+    previous0 = count == 1;
+    if (remaining < 1) return false;
+    while (remaining < threshold) { nb_bits--; threshold >>= 1; }
+    if (bit_count > 16) {
+      out.push_back((uint8_t)bit_stream);
+      out.push_back((uint8_t)(bit_stream >> 8));
+      bit_stream >>= 16;
+      bit_count -= 16;
+    }
+  }
+  out.push_back((uint8_t)bit_stream);
+  out.push_back((uint8_t)(bit_stream >> 8));
+  int extra = (bit_count + 7) / 8;
+  out.resize(out.size() - 2 + extra);
+  return charnum <= nm.symbol_len;
+}
+
+static bool read_ncount(const uint8_t* data, size_t len, Norm& nm, size_t* consumed) {
+  if (len < 4) return false;
+  auto u32 = [&](size_t off) -> uint32_t {
+    uint32_t v = 0;
+    size_t n = len - off < 4 ? len - off : 4;
+    std::memcpy(&v, data + off, n);
+    return v;
+  };
+  int64_t iend = (int64_t)len;
+  int64_t off = 0;
+  uint32_t bit_stream = u32(0);
+  int nb_bits = (int)(bit_stream & 0xF) + kMinTableLog;
+  if (nb_bits > 17) return false;
+  bit_stream >>= 4;
+  int bit_count = 4;
+  nm.table_log = nb_bits;
+  int remaining = (1 << nb_bits) + 1;
+  int threshold = 1 << nb_bits;
+  int64_t got_total = 0;
+  nb_bits++;
+
+  nm.norm.assign(kMaxSymbol + 1, 0);
+  int charnum = 0;
+  bool previous0 = false;
+  while (remaining > 1) {
+    if (previous0) {
+      int n0 = charnum;
+      while ((bit_stream & 0xFFFF) == 0xFFFF) {
+        n0 += 24;
+        if (off < iend - 5) { off += 2; bit_stream = u32(off) >> bit_count; }
+        else { bit_stream >>= 16; bit_count += 16; }
+      }
+      while ((bit_stream & 3) == 3) { n0 += 3; bit_stream >>= 2; bit_count += 2; }
+      n0 += bit_stream & 3;
+      bit_count += 2;
+      if (n0 > kMaxSymbol) return false;
+      while (charnum < n0) nm.norm[charnum++ & 0xFFFF] = 0;
+      if (off <= iend - 7 || off + (bit_count >> 3) <= iend - 4) {
+        off += bit_count >> 3;
+        bit_count &= 7;
+        bit_stream = u32(off) >> bit_count;
+      } else {
+        bit_stream >>= 2;
+      }
+    }
+    int maxv = (2 * threshold - 1) - remaining;
+    int count;
+    if ((int)(bit_stream & (threshold - 1)) < maxv) {
+      count = (int)(bit_stream & (threshold - 1));
+      bit_count += nb_bits - 1;
+    } else {
+      count = (int)(bit_stream & (2 * threshold - 1));
+      if (count >= threshold) count -= maxv;
+      bit_count += nb_bits;
+    }
+    count--;
+    if (count < 0) { remaining += count; got_total -= count; }
+    else { remaining -= count; got_total += count; }
+    nm.norm[charnum++ & 0xFFFF] = count;
+    previous0 = count == 0;
+    while (remaining < threshold) { nb_bits--; threshold >>= 1; }
+    if (off <= iend - 7 || off + (bit_count >> 3) <= iend - 4) {
+      off += bit_count >> 3;
+      bit_count &= 7;
+    } else {
+      bit_count -= 8 * (int)(iend - 4 - off);
+      off = iend - 4;
+    }
+    bit_stream = u32(off) >> (bit_count & 31);
+  }
+  nm.symbol_len = charnum;
+  if (charnum <= 1 || charnum > kMaxSymbol + 1) return false;
+  if (remaining != 1 || bit_count > 32) return false;
+  if (got_total != (int64_t)1 << nm.table_log) return false;
+  off += (bit_count + 7) >> 3;
+  *consumed = (size_t)off;
+  return true;
+}
+
+static uint32_t table_step(uint32_t ts) { return (ts >> 1) + (ts >> 3) + 3; }
+
+struct DTable {
+  std::vector<uint32_t> new_state;
+  std::vector<uint16_t> symbol;
+  std::vector<uint8_t> nb_bits;
+};
+
+static bool spread(const Norm& nm, std::vector<uint16_t>& tbl) {
+  uint32_t ts = 1u << nm.table_log;
+  tbl.assign(ts, 0);
+  int32_t high = (int32_t)ts - 1;
+  for (int i = 0; i < nm.symbol_len; i++)
+    if (nm.norm[i] == -1) tbl[high--] = (uint16_t)i;
+  uint32_t step = table_step(ts), maskv = ts - 1, position = 0;
+  for (int s = 0; s < nm.symbol_len; s++) {
+    for (int32_t k = 0; k < nm.norm[s]; k++) {
+      tbl[position] = (uint16_t)s;
+      position = (position + step) & maskv;
+      while ((int32_t)position > high) position = (position + step) & maskv;
+    }
+  }
+  return position == 0;
+}
+
+static bool build_dtable(const Norm& nm, DTable& dt) {
+  uint32_t ts = 1u << nm.table_log;
+  std::vector<uint16_t> tbl;
+  if (!spread(nm, tbl)) return false;
+  std::vector<uint32_t> nxt(nm.symbol_len);
+  for (int i = 0; i < nm.symbol_len; i++)
+    nxt[i] = nm.norm[i] == -1 ? 1 : (nm.norm[i] > 0 ? (uint32_t)nm.norm[i] : 0);
+  dt.new_state.resize(ts);
+  dt.symbol.resize(ts);
+  dt.nb_bits.resize(ts);
+  for (uint32_t u = 0; u < ts; u++) {
+    uint16_t s = tbl[u];
+    uint32_t x = nxt[s]++;
+    int nb = nm.table_log - high_bit(x);
+    uint32_t ns = (x << nb) - ts;
+    if (ns >= ts) return false;
+    dt.symbol[u] = s;
+    dt.nb_bits[u] = (uint8_t)nb;
+    dt.new_state[u] = ns;
+  }
+  return true;
+}
+
+struct CTable {
+  std::vector<uint32_t> state_table;
+  std::vector<uint32_t> delta_nb;    // per symbol
+  std::vector<int32_t> delta_find;   // per symbol
+};
+
+static bool build_ctable(const Norm& nm, CTable& ct) {
+  uint32_t ts = 1u << nm.table_log;
+  std::vector<uint16_t> tbl;
+  if (!spread(nm, tbl)) return false;
+  // cumulative starts per symbol (low-prob = 1 slot)
+  std::vector<uint32_t> cumul(nm.symbol_len + 1, 0);
+  for (int i = 0; i < nm.symbol_len; i++) {
+    uint32_t sz = nm.norm[i] == -1 ? 1 : (nm.norm[i] > 0 ? (uint32_t)nm.norm[i] : 0);
+    cumul[i + 1] = cumul[i] + sz;
+  }
+  if (cumul[nm.symbol_len] != ts) return false;
+  ct.state_table.resize(ts);
+  std::vector<uint32_t> fill = cumul;
+  for (uint32_t u = 0; u < ts; u++) ct.state_table[fill[tbl[u]]++] = ts + u;
+  ct.delta_nb.assign(nm.symbol_len, 0);
+  ct.delta_find.assign(nm.symbol_len, 0);
+  int32_t total = 0;
+  uint32_t tl_term = (((uint32_t)nm.table_log << 16) - (1u << nm.table_log));
+  for (int i = 0; i < nm.symbol_len; i++) {
+    int32_t v = nm.norm[i];
+    if (v == 0) continue;
+    if (v == -1 || v == 1) {
+      ct.delta_nb[i] = tl_term;
+      ct.delta_find[i] = total - 1;
+      total += 1;
+    } else {
+      uint32_t max_bits = nm.table_log - high_bit((uint32_t)(v - 1));
+      uint32_t min_state_plus = (uint32_t)v << max_bits;
+      ct.delta_nb[i] = (max_bits << 16) - min_state_plus;
+      ct.delta_find[i] = total - v;
+      total += v;
+    }
+  }
+  return total == (int32_t)ts;
+}
+
+// ───────────────────── N-state tANS codec ─────────────────────
+
+static bool fse_encode_bits(const uint16_t* src, size_t n, const Norm& nm,
+                            int n_states, std::vector<uint8_t>& bits) {
+  CTable ct;
+  if (!build_ctable(nm, ct)) return false;
+  uint32_t table_size = 1u << nm.table_log;
+  uint32_t states[8];
+  for (int i = 0; i < 8; i++) states[i] = table_size;
+  BitWriter bw;
+  for (int64_t i = (int64_t)n - 1; i >= 0; i--) {
+    uint16_t s = src[i];
+    int lane = (int)(i % n_states);
+    uint32_t x = states[lane];
+    uint32_t nb = (x + ct.delta_nb[s]) >> 16;
+    bw.add(x, nb);
+    states[lane] = ct.state_table[(x >> nb) + ct.delta_find[s]];
+  }
+  for (int lane = n_states - 1; lane >= 0; lane--) bw.add(states[lane], nm.table_log);
+  bw.close();
+  bits = std::move(bw.out);
+  return true;
+}
+
+// Decode `count` symbols with N lanes; count<0 => 1-state implicit end.
+static bool fse_decode_bits(const uint8_t* bits, size_t blen, const DTable& dt,
+                            int table_log, int n_states, int64_t count,
+                            std::vector<uint16_t>& out) {
+  if (blen == 0 || blen > ((size_t)1 << 31)) return false;
+  // Pad both ends so the 8-byte read window is always in-buffer (the
+  // window can reach past the last byte near the stream top).
+  std::vector<uint8_t> buf(blen + 16, 0);
+  std::memcpy(buf.data() + 8, bits, blen);
+  BitReader br;
+  if (!br.init(buf.data() + 8, blen)) return false;
+
+  const uint32_t* ns = dt.new_state.data();
+  const uint16_t* sym = dt.symbol.data();
+  const uint8_t* nb = dt.nb_bits.data();
+
+  if (count >= 0) {
+    uint32_t st[8];
+    for (int l = 0; l < n_states; l++) st[l] = br.get(table_log);
+    out.resize((size_t)count);
+    uint16_t* op = out.data();
+    // Main loop: N symbols per iteration, one per lane — the independent
+    // chains let the compiler keep all lane states in registers.
+    int64_t i = 0;
+    int64_t full = count - count % n_states;
+    for (; i < full; i += n_states) {
+      for (int l = 0; l < n_states; l++) {
+        uint32_t x = st[l];
+        op[i + l] = sym[x];
+        st[l] = ns[x] + br.get(nb[x]);
+      }
+    }
+    for (int l = 0; i < count; i++, l++) {
+      uint32_t x = st[l];
+      op[i] = sym[x];
+      st[l] = ns[x] + br.get(nb[x]);
+    }
+    return true;
+  }
+  uint32_t x = br.get(table_log);
+  out.clear();
+  const int64_t limit = ((int64_t)2 << 30) - 1;
+  while (true) {
+    if (br.pos <= 0 && nb[x] > 0) {
+      if (x != 0) out.push_back(sym[x]);
+      break;
+    }
+    out.push_back(sym[x]);
+    x = ns[x] + br.get(nb[x]);
+    if ((int64_t)out.size() >= limit) return false;
+  }
+  return true;
+}
+
+// rANS decode table: linear slot-sequential fill.
+static bool build_rans_dtable(const Norm& nm, DTable& dt) {
+  uint32_t ts = 1u << nm.table_log;
+  dt.new_state.resize(ts);
+  dt.symbol.resize(ts);
+  dt.nb_bits.resize(ts);
+  uint32_t slot = 0;
+  for (int s = 0; s < nm.symbol_len; s++) {
+    int32_t v = nm.norm[s];
+    if (v <= 0) continue;
+    for (int32_t j = 0; j < v; j++) {
+      uint32_t x = (uint32_t)v + (uint32_t)j;
+      int nbb = nm.table_log - high_bit(x);
+      uint32_t base = (x << nbb) - ts;
+      if (base >= ts || slot >= ts) return false;
+      dt.symbol[slot] = (uint16_t)s;
+      dt.nb_bits[slot] = (uint8_t)nbb;
+      dt.new_state[slot] = base;
+      slot++;
+    }
+  }
+  for (int s = 0; s < nm.symbol_len; s++) {
+    if (nm.norm[s] != -1) continue;
+    if (slot >= ts) return false;
+    dt.symbol[slot] = (uint16_t)s;
+    dt.nb_bits[slot] = (uint8_t)nm.table_log;
+    dt.new_state[slot] = 0;
+    slot++;
+  }
+  return slot == ts;
+}
+
+// ───────────────────── RLE + predictors ─────────────────────
+
+struct Rle {
+  std::vector<uint16_t> out;
+  std::vector<uint16_t> b;
+  uint32_t mid;
+  bool same = false;
+
+  void init(uint16_t max_value) {
+    int depth = max_value ? high_bit(max_value) + 1 : 1;
+    mid = (1u << (depth - 1)) - 1;
+    out.clear();
+    out.push_back(max_value);
+    b.clear();
+  }
+  inline void encode(uint16_t s) {
+    size_t bc = b.size();
+    if (bc < 2) { b.push_back(s); return; }
+    uint16_t p1 = b[bc - 2], p = b[bc - 1];
+    if (p1 == p && p == s) {
+      if (!same && bc > 2) {
+        out.push_back((uint16_t)(mid + bc - 2));
+        out.insert(out.end(), b.begin(), b.end() - 2);
+        b.erase(b.begin(), b.end() - 2);
+      }
+      same = true;
+    } else {
+      if (same && bc > 2) {
+        out.push_back((uint16_t)bc);
+        out.push_back(b[0]);
+        b.clear();
+      }
+      same = false;
+    }
+    bc = b.size();
+    if (bc >= (size_t)(mid - 1)) {
+      if (same) {
+        out.push_back((uint16_t)(bc - 2));
+        out.push_back(b[0]);
+      } else {
+        out.push_back((uint16_t)(mid + bc - 2));
+        out.insert(out.end(), b.begin(), b.end() - 2);
+      }
+      b.erase(b.begin(), b.end() - 2);
+    }
+    b.push_back(s);
+  }
+  void flush() {
+    size_t bc = b.size();
+    if (!bc) return;
+    if (same) {
+      out.push_back((uint16_t)bc);
+      out.push_back(b[0]);
+    } else {
+      out.push_back((uint16_t)(mid + bc));
+      out.insert(out.end(), b.begin(), b.end());
+    }
+  }
+};
+
+// Expand RLE blocks beginning at in[start]; stops when out_len reached or
+// input exhausted.
+static void rle_expand(const uint16_t* in, size_t n, size_t start, uint32_t mid,
+                       std::vector<uint16_t>& out) {
+  size_t i = start;
+  while (i < n) {
+    uint32_t c = in[i++];
+    if (c > mid) {
+      uint32_t k = c - mid;
+      out.insert(out.end(), in + i, in + i + k);
+      i += k;
+    } else {
+      uint16_t v = in[i++];
+      out.insert(out.end(), c, v);
+    }
+  }
+}
+
+enum Pred { PRED_AVG = 0, PRED_GRAD = 1, PRED_MED = 2, PRED_ZZ = 3 };
+
+static inline int32_t grad_predict(int32_t w, int32_t n, int32_t nw, int32_t ne) {
+  int32_t avg = (w + n) >> 1;
+  int32_t gw = w - nw; if (gw < 0) gw = -gw;
+  int32_t gn = n - nw; if (gn < 0) gn = -gn;
+  int32_t g = gw + gn;
+  if (g == 0) return avg;
+  int32_t corr = (ne - nw) >> 3;
+  int32_t lim = g >> 1;
+  if (corr > lim) corr = lim;
+  if (corr < -lim) corr = -lim;
+  return avg + corr;
+}
+static inline int32_t med_predict(int32_t a, int32_t b, int32_t c) {
+  if (c >= a && c >= b) return a < b ? a : b;
+  if (c <= a && c <= b) return a > b ? a : b;
+  return a + b - c;
+}
+
+// Invert the escaped residual stream into pixels.
+// tokens[0] is maxValue; pixels follow.
+static bool predictor_inverse(const uint16_t* tokens, size_t n_tokens, int width,
+                              int height, int kind, uint16_t* out) {
+  if (n_tokens < 1) return false;
+  uint16_t max_value = tokens[0];
+  int depth = max_value ? high_bit(max_value) + 1 : 1;
+  int32_t thr = (1 << (depth - 1)) - 1;
+  uint16_t delim = (uint16_t)((1u << depth) - 1);
+  size_t ic = 1;
+  auto next = [&]() -> uint16_t { return tokens[ic++]; };
+
+  for (int y = 0; y < height; y++) {
+    for (int x = 0; x < width; x++) {
+      if (ic >= n_tokens) return false;
+      int idx = y * width + x;
+      uint16_t v = next();
+      if (v == delim) {
+        out[idx] = next();
+        if (kind == PRED_ZZ) continue;
+        continue;
+      }
+      int32_t pred;
+      if (kind == PRED_ZZ) {
+        int32_t dz = (int32_t)(v >> 1) ^ -(int32_t)(v & 1);
+        pred = x > 0 ? (int32_t)out[idx - 1] : 0;
+        out[idx] = (uint16_t)(pred + dz);
+        continue;
+      }
+      int32_t diff = (int32_t)v - thr;
+      if (x == 0 && y == 0) pred = 0;
+      else if (y == 0) pred = out[idx - 1];
+      else if (x == 0) pred = out[idx - width];
+      else {
+        int32_t w_ = out[idx - 1], nn = out[idx - width], nw = out[idx - width - 1];
+        int32_t ne = x + 1 < width ? out[idx - width + 1] : nw;
+        if (kind == PRED_AVG) pred = (w_ + nn) >> 1;
+        else if (kind == PRED_GRAD) pred = grad_predict(w_, nn, nw, ne);
+        else pred = med_predict(w_, nn, nw);
+      }
+      out[idx] = (uint16_t)(pred + diff);
+    }
+  }
+  return true;
+}
+
+// Forward predictor: pixels -> escaped residual tokens (incl leading maxValue).
+static void predictor_forward(const uint16_t* px, int width, int height,
+                              uint16_t max_value, int kind,
+                              std::vector<uint16_t>& tokens) {
+  int depth = max_value ? high_bit(max_value) + 1 : 1;
+  int32_t thr = (1 << (depth - 1)) - 1;
+  uint16_t delim = (uint16_t)((1u << depth) - 1);
+  tokens.clear();
+  tokens.reserve((size_t)width * height + 16);
+  tokens.push_back(max_value);
+  for (int y = 0; y < height; y++) {
+    for (int x = 0; x < width; x++) {
+      int idx = y * width + x;
+      int32_t pred;
+      if (x == 0 && y == 0) pred = 0;
+      else if (y == 0) pred = px[idx - 1];
+      else if (x == 0) pred = kind == PRED_ZZ ? px[idx - 1] : px[idx - width];
+      else if (kind == PRED_ZZ) pred = px[idx - 1];
+      else {
+        int32_t w_ = px[idx - 1], nn = px[idx - width], nw = px[idx - width - 1];
+        int32_t ne = x + 1 < width ? px[idx - width + 1] : nw;
+        if (kind == PRED_AVG) pred = (w_ + nn) >> 1;
+        else if (kind == PRED_GRAD) pred = grad_predict(w_, nn, nw, ne);
+        else pred = med_predict(w_, nn, nw);
+      }
+      if (kind == PRED_ZZ && x == 0) pred = 0;
+      int32_t diff = (int32_t)px[idx] - pred;
+      int32_t ad = diff < 0 ? -diff : diff;
+      if (ad >= thr) {
+        tokens.push_back(delim);
+        tokens.push_back(px[idx]);
+      } else if (kind == PRED_ZZ) {
+        tokens.push_back((uint16_t)(((uint32_t)diff << 1) ^ (uint32_t)(diff >> 31)) & 0xFFFF);
+      } else {
+        tokens.push_back((uint16_t)(thr + diff));
+      }
+    }
+  }
+}
+
+// ───────────────────── top-level codecs ─────────────────────
+
+static bool entropy_compress(const uint16_t* syms, size_t n, int n_states,
+                             std::vector<uint8_t>& out) {
+  if ((int64_t)n <= (n_states > 1 ? n_states - 1 : 1)) return false;
+  std::vector<uint32_t> counts(kMaxSymbol + 1, 0);
+  uint32_t maxc = 0; int sl = 0;
+  for (size_t i = 0; i < n; i++) {
+    uint32_t c = ++counts[syms[i]];
+    if (c > maxc) maxc = c;
+    if ((int)syms[i] + 1 > sl) sl = syms[i] + 1;
+  }
+  if (maxc == n) return false;                 // UseRLE
+  if (maxc == 1 || maxc < (n >> 15)) return false;  // Incompressible
+  Norm nm;
+  nm.symbol_len = sl;
+  nm.table_log = optimal_table_log(11, (int64_t)n, sl);
+  if (!normalize(counts.data(), (int64_t)n, nm)) return false;
+  std::vector<uint8_t> hdr;
+  if (!write_count(nm, hdr)) return false;
+  std::vector<uint8_t> bits;
+  if (!fse_encode_bits(syms, n, nm, n_states, bits)) return false;
+  size_t body = hdr.size() + bits.size();
+  if (body >= n * 2) return false;
+  out.clear();
+  if (n_states > 1) {
+    uint8_t magic1 = n_states == 2 ? 0x02 : (n_states == 4 ? 0x04 : 0x84);
+    out.push_back(0xFF);
+    out.push_back(magic1);
+    uint32_t cnt = (uint32_t)n;
+    out.insert(out.end(), (uint8_t*)&cnt, (uint8_t*)&cnt + 4);
+  }
+  out.insert(out.end(), hdr.begin(), hdr.end());
+  out.insert(out.end(), bits.begin(), bits.end());
+  return true;
+}
+
+static bool entropy_decompress(const uint8_t* blob, size_t len,
+                               std::vector<uint16_t>& out) {
+  int n_states = 1;
+  int64_t count = -1;
+  bool rans = false;
+  size_t off = 0;
+  if (len >= 6 && blob[0] == 0xFF) {
+    uint8_t m = blob[1];
+    if (m == 0x84) { n_states = 8; }
+    else if (m == 0x08) { n_states = 8; rans = true; }
+    else if (m == 0x04) { n_states = 4; }
+    else if (m == 0x02) { n_states = 2; }
+    if (m == 0x84 || m == 0x08 || m == 0x04 || m == 0x02) {
+      uint32_t c;
+      std::memcpy(&c, blob + 2, 4);
+      count = c;
+      off = 6;
+    }
+  }
+  if (off >= len) return false;
+  Norm nm;
+  size_t consumed = 0;
+  if (!read_ncount(blob + off, len - off, nm, &consumed)) return false;
+  if (off + consumed >= len) return false;
+  DTable dt;
+  if (rans ? !build_rans_dtable(nm, dt) : !build_dtable(nm, dt)) return false;
+  return fse_decode_bits(blob + off + consumed, len - off - consumed, dt,
+                         nm.table_log, n_states, count, out);
+}
+
+}  // namespace
+
+// ───────────────────────── C ABI ─────────────────────────
+
+extern "C" {
+
+// Full single-frame decode: entropy -> RLE expand -> predictor inverse.
+// kind: 0=avg, 1=grad, 2=med, 3=zz.  Returns 0 on success.
+int mic_decompress_frame(const uint8_t* blob, size_t len, int width, int height,
+                         int kind, uint16_t* out_pixels) {
+  std::vector<uint16_t> rle;
+  if (!entropy_decompress(blob, len, rle)) return 1;
+  if (rle.size() < 2) return 2;
+  uint16_t rle_max = rle[0];
+  int depth = rle_max ? high_bit(rle_max) + 1 : 1;
+  uint32_t mid = (1u << (depth - 1)) - 1;
+  std::vector<uint16_t> tokens;
+  tokens.reserve((size_t)width * height * 2);
+  rle_expand(rle.data(), rle.size(), 1, mid, tokens);
+  if (!predictor_inverse(tokens.data(), tokens.size(), width, height, kind, out_pixels))
+    return 3;
+  return 0;
+}
+
+// Full single-frame encode.  n_states in {1,2,4,8}; falls back down the
+// chain exactly like the orchestrators.  Returns compressed length or 0.
+size_t mic_compress_frame(const uint16_t* pixels, int width, int height,
+                          uint16_t max_value, int kind, int n_states,
+                          uint8_t* out, size_t out_cap) {
+  std::vector<uint16_t> tokens;
+  predictor_forward(pixels, width, height, max_value, kind, tokens);
+  int depth = max_value ? high_bit(max_value) + 1 : 1;
+  uint16_t delim = (uint16_t)((1u << depth) - 1);
+  Rle rle;
+  rle.init(delim);
+  for (uint16_t t : tokens) rle.encode(t);
+  rle.flush();
+  std::vector<uint8_t> blob;
+  for (int ns = n_states; ns >= 1; ns >>= 1) {
+    if (entropy_compress(rle.out.data(), rle.out.size(), ns, blob)) {
+      if (blob.size() > out_cap) return 0;
+      std::memcpy(out, blob.data(), blob.size());
+      return blob.size();
+    }
+  }
+  return 0;
+}
+
+// Raw entropy coding of a u16 symbol stream.
+size_t mic_entropy_compress(const uint16_t* syms, size_t n, int n_states,
+                            uint8_t* out, size_t out_cap) {
+  std::vector<uint8_t> blob;
+  if (!entropy_compress(syms, n, n_states, blob)) return 0;
+  if (blob.size() > out_cap) return 0;
+  std::memcpy(out, blob.data(), blob.size());
+  return blob.size();
+}
+
+size_t mic_entropy_decompress(const uint8_t* blob, size_t len, uint16_t* out,
+                              size_t out_cap) {
+  std::vector<uint16_t> o;
+  if (!entropy_decompress(blob, len, o)) return 0;
+  if (o.size() > out_cap) return 0;
+  std::memcpy(out, o.data(), o.size() * 2);
+  return o.size();
+}
+
+int mic_native_version() { return 1; }
+
+}  // extern "C"

@@ -117,11 +117,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@partial(
-    jax.jit,
-    static_argnames=("table_log", "n_steps", "width", "strip_h", "max_tokens", "mid_count", "delim"),
-)
-def _decode_strip_batch(
+def decode_strip_batch_impl(
     init_states,  # [S, L] u32
     words,  # [S, W+1] u32
     tab_sym,  # [S, 2^tl] u16
@@ -139,18 +135,11 @@ def _decode_strip_batch(
     delim: int,
 ):
     """One fused device program: rANS → RLE expand → escape parse → ZZ
-    delta inverse, vmapped over the strip axis."""
-
-    def one(init, w, ts, tf, tb, count, n_tok):
-        rle = rans_decode_jax(
-            init, w, ts, tf, tb,
-            table_log=table_log, n_steps=n_steps, count=int(0) or None,  # placeholder
-        ) if False else None
-        return rle
-
-    # rans_decode_jax is shape-static in count; for the batch we decode
-    # n_steps*L symbols per strip and mask by count inside the scan, so we
-    # need a count-dynamic variant here:
+    delta inverse, vmapped over the strip axis.  Unjitted so it can be
+    wrapped by jit directly (single chip) or shard_map (mesh) — see
+    mic_tpu.tpu.mesh."""
+    # rans_decode_jax is shape-static in count; the batch decodes
+    # n_steps*L symbols per strip and masks by count inside the scan.
     L = init_states.shape[1]
     mask = jnp.uint32((1 << table_log) - 1)
     lane = jnp.arange(L, dtype=jnp.uint32)
@@ -195,6 +184,11 @@ def _decode_strip_batch(
     return pixels  # [S, width*strip_h] uint16
 
 
+_decode_strip_batch = partial(jax.jit, static_argnames=(
+    "table_log", "n_steps", "width", "strip_h", "max_tokens", "mid_count", "delim",
+))(decode_strip_batch_impl)
+
+
 def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
     """Decode a MICW container in one fused device program.
     Returns (pixels, width, height)."""
@@ -235,40 +229,57 @@ def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
     return out, width, height
 
 
-def _decode_group(parsed, strips, table_log, width, strip_h, mid_count, delim):
-    """Pad a group of same-tableLog strips to common shapes and run the
-    fused batch decoder."""
+def build_strip_batch(parsed, strips, table_log, pad_strips_to: int = 0):
+    """Pad a group of same-tableLog parsed MICT strips to common shapes.
+
+    Returns ``(arrays, meta)`` where arrays = (init, words, ts, tf, tb,
+    counts, n_tokens) numpy arrays with leading strip axis, and meta =
+    dict(n_steps=..., max_tokens=...).  ``pad_strips_to`` appends dummy
+    strips (replicas of strip 0) so the batch divides a mesh size.
+    """
     S = len(parsed)
     L = parsed[0][0]
     counts = np.array([p[2] for p in parsed], dtype=np.int32)
     n_tokens = np.array([nt for _, _, nt in strips], dtype=np.int32)
     n_steps = int(max((c + L - 1) // L for c in counts))
     w_max = int(max(len(p[4]) for p in parsed)) + 1
-    ts = np.zeros((S, 1 << table_log), dtype=np.uint16)
-    tf = np.ones((S, 1 << table_log), dtype=np.uint32)
-    tb = np.zeros((S, 1 << table_log), dtype=np.uint32)
-    init = np.zeros((S, L), dtype=np.uint32)
-    words = np.zeros((S, w_max), dtype=np.uint32)
+    S_pad = max(S, pad_strips_to)
+    ts = np.zeros((S_pad, 1 << table_log), dtype=np.uint16)
+    tf = np.ones((S_pad, 1 << table_log), dtype=np.uint32)
+    tb = np.zeros((S_pad, 1 << table_log), dtype=np.uint32)
+    init = np.zeros((S_pad, L), dtype=np.uint32)
+    words = np.zeros((S_pad, w_max), dtype=np.uint32)
     for i, (Lp, tl, count, states, wrds, norm, _sl) in enumerate(parsed):
         sym, fs, bs, _, _ = device_tables(norm, tl)
         ts[i], tf[i], tb[i] = sym, fs, bs
         init[i] = states
         words[i, : len(wrds)] = wrds
-    max_rle = n_steps * L
+    if S_pad > S:
+        counts = np.concatenate([counts, np.full(S_pad - S, counts[0], np.int32)])
+        n_tokens = np.concatenate([n_tokens, np.full(S_pad - S, n_tokens[0], np.int32)])
+        ts[S:] = ts[0]
+        tf[S:] = tf[0]
+        tb[S:] = tb[0]
+        init[S:] = init[0]
+        words[S:] = words[0]
     max_tokens = int(_round_up(int(n_tokens.max()) + 1, 128))
+    return (init, words, ts, tf, tb, counts, n_tokens), {
+        "n_steps": n_steps,
+        "max_tokens": max_tokens,
+    }
+
+
+def _decode_group(parsed, strips, table_log, width, strip_h, mid_count, delim):
+    """Pad a group of same-tableLog strips to common shapes and run the
+    fused batch decoder."""
+    arrays, meta = build_strip_batch(parsed, strips, table_log)
     out = _decode_strip_batch(
-        jnp.asarray(init),
-        jnp.asarray(words),
-        jnp.asarray(ts),
-        jnp.asarray(tf),
-        jnp.asarray(tb),
-        jnp.asarray(counts),
-        jnp.asarray(n_tokens),
+        *[jnp.asarray(a) for a in arrays],
         table_log=table_log,
-        n_steps=n_steps,
+        n_steps=meta["n_steps"],
         width=width,
         strip_h=strip_h,
-        max_tokens=max_tokens,
+        max_tokens=meta["max_tokens"],
         mid_count=mid_count,
         delim=delim,
     )
