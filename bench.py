@@ -58,7 +58,7 @@ def main() -> None:
     # Batch: BATCH copies of the image, 8 strips each, 1024 lanes — deep
     # enough to amortize per-step scan latency across many vector lanes.
     BATCH = 16
-    STRIPS = 8
+    STRIPS = 1
     LANES = 1024
     blob = micw_compress(img.ravel(), w, h, mx, num_strips=STRIPS, lanes=LANES)
     width, height, n_strips, strip_h, max_value, _pred, _lanes, strips = micw_parse(blob)

@@ -59,7 +59,7 @@ def micw_compress(
     width: int,
     height: int,
     max_value: int,
-    num_strips: int = 8,
+    num_strips: int = 1,
     lanes: int = 1024,
     predictor: str = "zz",
 ) -> bytes:
