@@ -62,7 +62,7 @@ def main() -> None:
     LANES = 1024
     blob = micw_compress(img.ravel(), w, h, mx, num_strips=STRIPS, lanes=LANES)
     width, height, n_strips, strip_h, max_value, _pred, _lanes, strips = micw_parse(blob)
-    parsed = [mict_parse(b) for b, _, _ in strips]
+    parsed = [mict_parse(b) for b, *_ in strips]
     tls = {p[1] for p in parsed}
     tl = max(tls)
     # Keep only strips at the modal tableLog for a uniform batch (bench
@@ -81,6 +81,7 @@ def main() -> None:
         n_steps=meta["n_steps"],
         width=width,
         strip_h=strip_h,
+        max_runs=meta["max_runs"],
         max_tokens=meta["max_tokens"],
         mid_count=mid,
         delim=delim,

@@ -23,7 +23,15 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["RleEncoder", "rle_compress", "rle_decompress", "rle_expand", "rle_decompress_stream"]
+__all__ = [
+    "RleEncoder",
+    "rle_compress",
+    "rle_decompress",
+    "rle_expand",
+    "rle_decompress_stream",
+    "rle_to_soa",
+    "soa_expand",
+]
 
 
 class RleEncoder:
@@ -173,3 +181,69 @@ def rle_decompress_stream(stream) -> tuple[np.ndarray, int]:
     mid_count = (1 << (depth - 1)) - 1
     out, _ = rle_expand(s, 1, mid_count, None)
     return out, mid_count
+
+
+def rle_to_soa(stream, start: int, mid_count: int):
+    """Re-order an interleaved RLE block stream into structure-of-arrays
+    sections: ``(soa_symbols, n_runs, n_same)`` where soa_symbols =
+    [counts][same-run values][literals].
+
+    The symbol multiset is unchanged, so entropy-coding the SoA layout
+    costs the same bits as the interleaved layout — but a data-parallel
+    decoder can derive every run boundary from cumsums over the counts
+    section instead of walking header-to-header (the TPU device format,
+    MICW v2, stores RLE this way).
+    """
+    s = np.asarray(stream)
+    i = int(start)
+    total = len(s)
+    counts: list[int] = []
+    same_vals: list[int] = []
+    lit_spans: list[tuple[int, int]] = []
+    while i < total:
+        c = int(s[i])
+        i += 1
+        counts.append(c)
+        if c > mid_count:
+            k = c - mid_count
+            lit_spans.append((i, i + k))
+            i += k
+        else:
+            same_vals.append(int(s[i]))
+            i += 1
+    lits = (
+        np.concatenate([s[a:b] for a, b in lit_spans])
+        if lit_spans
+        else np.zeros(0, dtype=s.dtype)
+    )
+    soa = np.concatenate(
+        [
+            np.array(counts, dtype=np.uint16),
+            np.array(same_vals, dtype=np.uint16),
+            lits.astype(np.uint16),
+        ]
+    )
+    return soa, len(counts), len(same_vals)
+
+
+def soa_expand(soa, n_runs: int, n_same: int, mid_count: int) -> np.ndarray:
+    """Host mirror of the device SoA-RLE expansion (for cross-tier tests)."""
+    s = np.asarray(soa, dtype=np.int64)
+    counts = s[:n_runs]
+    is_same = counts <= mid_count
+    lengths = np.where(is_same, counts, counts - mid_count)
+    same_vals = s[n_runs : n_runs + n_same]
+    lits = s[n_runs + n_same :]
+    parts = []
+    si = 0
+    li = 0
+    for r in range(n_runs):
+        if is_same[r]:
+            parts.append(np.full(lengths[r], same_vals[si]))
+            si += 1
+        else:
+            parts.append(lits[li : li + lengths[r]])
+            li += lengths[r]
+    if not parts:
+        return np.zeros(0, dtype=np.uint16)
+    return np.concatenate(parts).astype(np.uint16)

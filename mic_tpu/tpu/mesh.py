@@ -31,41 +31,16 @@ def make_strip_mesh(devices=None, axis: str = "strips") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def decode_strips_sharded(
-    mesh: Mesh,
-    init_states,
-    words,
-    tab_sym,
-    tab_freq,
-    tab_bias,
-    counts,
-    n_tokens,
-    *,
-    table_log: int,
-    n_steps: int,
-    width: int,
-    strip_h: int,
-    max_tokens: int,
-    mid_count: int,
-    delim: int,
-):
+def decode_strips_sharded(mesh: Mesh, *arrays, **static):
     """Decode a strip batch with the strip axis sharded over ``mesh``.
 
-    The leading (strip) dimension of every operand must be divisible by
-    the mesh size — pad with dummy strips if needed.  Returns
+    ``arrays`` are the 9 operands of decode_strip_batch_impl (leading
+    strip dimension divisible by the mesh size — pad with dummy strips if
+    needed); ``static`` are its keyword parameters.  Returns
     uint16[S, width*strip_h] with the same sharding.
     """
     axis = mesh.axis_names[0]
-    body = partial(
-        decode_strip_batch_impl,
-        table_log=table_log,
-        n_steps=n_steps,
-        width=width,
-        strip_h=strip_h,
-        max_tokens=max_tokens,
-        mid_count=mid_count,
-        delim=delim,
-    )
+    body = partial(decode_strip_batch_impl, **static)
     spec = P(axis)
     # check_vma=False: the rANS scan carry (word cursor) starts replicated
     # and becomes device-varying; that's intentional — each shard walks its
@@ -73,8 +48,8 @@ def decode_strips_sharded(
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, spec, spec),
+        in_specs=tuple(spec for _ in arrays),
         out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(fn)(init_states, words, tab_sym, tab_freq, tab_bias, counts, n_tokens)
+    return jax.jit(fn)(*arrays)

@@ -36,9 +36,9 @@ import numpy as np
 
 __all__ = [
     "rle_expand_device",
+    "soa_rle_expand_device",
     "parse_escaped_device",
     "zz_delta_inverse_device",
-    "decode_tokens_to_pixels",
 ]
 
 
@@ -101,6 +101,54 @@ def rle_expand_device(stream: jax.Array, n_stream: jax.Array, mid_count: jax.Arr
     lit_pos = run_hdr_pos[rid] + 1 + (out_idx - run_out_start[rid])
     lit_v = stream[jnp.clip(lit_pos, 0, m_pad - 1)]
     tokens = jnp.where(run_is_same[rid], same_v, lit_v)
+    tokens = jnp.where(out_idx < n_tokens, tokens, 0)
+    return tokens.astype(jnp.int32), n_tokens.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_runs", "max_out"))
+def soa_rle_expand_device(
+    syms: jax.Array,  # [m] int32 — decoded symbol stream in SoA order
+    n_runs: jax.Array,  # scalar i32
+    n_same: jax.Array,  # scalar i32
+    mid_count: jax.Array,  # scalar i32
+    max_runs: int,
+    max_out: int,
+):
+    """Expand structure-of-arrays RLE: ``syms`` is laid out as
+    [counts (n_runs)] [same-run values (n_same)] [literals ...].
+
+    The MICW v2 device format stores RLE this way precisely so the parse
+    needs no pointer chasing: run boundaries come straight from cumsums
+    over the counts section (contrast rle_expand_device, which must
+    *discover* headers in the interleaved host format by list ranking).
+    """
+    m = syms.shape[0]
+    r_idx = jnp.arange(max_runs, dtype=jnp.int32)
+    valid_run = r_idx < n_runs
+    counts = jnp.where(valid_run, syms[jnp.minimum(r_idx, m - 1)], 0)
+    is_same = valid_run & (counts <= mid_count)
+    lengths = jnp.where(valid_run, jnp.where(is_same, counts, counts - mid_count), 0)
+    out_start = jnp.cumsum(lengths) - lengths
+    n_tokens = jnp.sum(lengths)
+
+    same_rank = jnp.cumsum(is_same.astype(jnp.int32)) - is_same.astype(jnp.int32)
+    lit_len = jnp.where(is_same, 0, lengths)
+    lit_start = jnp.cumsum(lit_len) - lit_len
+
+    value_of_run = syms[jnp.minimum(n_runs + same_rank, m - 1)]
+    lit_base = n_runs + n_same
+
+    # Label output slots with their run id.
+    marks = jnp.zeros(max_out + 1, dtype=jnp.int32)
+    park = jnp.where(valid_run & (lengths > 0), out_start, max_out)
+    marks = marks.at[park].add(1)
+    run_id = jnp.cumsum(marks[:max_out]) - 1
+    rid = jnp.clip(run_id, 0, max_runs - 1)
+
+    out_idx = jnp.arange(max_out, dtype=jnp.int32)
+    lit_pos = lit_base + lit_start[rid] + (out_idx - out_start[rid])
+    lit_v = syms[jnp.clip(lit_pos, 0, m - 1)]
+    tokens = jnp.where(is_same[rid], value_of_run[rid], lit_v)
     tokens = jnp.where(out_idx < n_tokens, tokens, 0)
     return tokens.astype(jnp.int32), n_tokens.astype(jnp.int32)
 

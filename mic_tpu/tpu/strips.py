@@ -1,26 +1,31 @@
-"""MICW — the TPU-native parallel-strip container.
+"""MICW — the TPU-native parallel-strip container (v2, SoA-RLE).
 
-The device-format sibling of PICS (parallelstrips.go): an image splits
-into horizontal strips; each strip's pixels go through the ZZ
-(left-neighbour ZigZag) predictor + 16-bit RLE (identical grammar to the
-host formats) and then the **wide-lane rANS** device entropy coder
-(mic_tpu.tpu.device_rans) instead of byte-oriented tANS.  All strips of an
-image — or of a whole batch of images — decode in ONE jitted device
-program; the strip axis shards over a chip mesh with shard_map.
+The device-format sibling of PICS (parallelstrips.go): images go through
+the ZZ (left-neighbour ZigZag) predictor + 16-bit RLE (same grammar as
+the host formats) and the **wide-lane rANS** device entropy coder
+(mic_tpu.tpu.device_rans) instead of byte-oriented tANS.  A whole batch
+of strips/images decodes in ONE jitted device program; the strip axis
+shards over a chip mesh with shard_map (mic_tpu.tpu.mesh).
 
-Why a new format instead of decoding PICS on device: the reference's
-bit-granular tANS streams serialize per-bit state through a scalar bit
-reader, which has no efficient mapping to a vector unit.  MICW keeps the
-pipeline (predict → RLE → ANS) and the ratio behaviour, but re-shapes the
-entropy layer for 128×K vector lanes (SURVEY.md §7's "wider-N stream
-variants" plan).
+Two TPU-first re-shapings relative to the host formats:
+
+* **Wide-lane rANS** replaces bit-granular tANS (SURVEY.md §7's "wider-N
+  stream variants"): 128×K vector lanes instead of 2/4/8 ILP states.
+* **Structure-of-arrays RLE**: the RLE stream is stored as
+  ``[counts][same-run values][literals]`` instead of interleaved blocks.
+  Identical symbol multiset (same entropy cost), but run boundaries fall
+  out of cumsums over the counts section — no header discovery, no
+  pointer chasing on device.
 
 Container layout::
 
     "MICW" | width u32 | height u32 | numStrips u32 | stripH u32
     maxValue u16 | flags u8 (bit0: 1 = avg predictor, 0 = zz) | lanes_log2 u8
-    per strip: offset u32 | length u32 | n_rle u32 | n_tokens u32
+    per strip: offset u32 | length u32 | nSoa u32 | nTokens u32 | nRuns u32 | nSame u32
     concatenated MICT entropy blobs (one per strip)
+
+Default geometry: one strip per image and 1024 lanes — the lanes carry
+the parallelism; strips exist to shard very large images across chips.
 """
 
 from __future__ import annotations
@@ -32,26 +37,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.deltarle import zz_delta_rle_compress, delta_rle_compress
-from ..ops.fse import IncompressibleError, UseRLEError
+from ..ops.deltarle import delta_rle_compress, zz_delta_rle_compress
 from ..ops.predictors import delta_params
-from ..ops.rle import rle_decompress_stream
+from ..ops.rle import rle_to_soa, soa_expand
 from .device_rans import device_tables, mict_encode, mict_parse
-from .decode import rans_decode_jax
-from .pipeline import parse_escaped_device, rle_expand_device, zz_delta_inverse_device
+from .pipeline import parse_escaped_device, soa_rle_expand_device, zz_delta_inverse_device
 
 __all__ = [
     "micw_compress",
     "micw_decompress_device",
     "micw_decompress_host",
     "micw_parse",
+    "decode_strip_batch_impl",
+    "build_strip_batch",
     "MICW_MAGIC",
 ]
 
 MICW_MAGIC = b"MICW"
-MICW_HEADER = 20
-MICW_ENTRY = 16
+MICW_HEADER = 24
+MICW_ENTRY = 24
 FLAG_AVG_PREDICTOR = 0x01
+
+
+def _rle_mid(max_value: int) -> int:
+    _thr, delim = delta_params(max_value)
+    return (1 << (int(delim).bit_length() - 1)) - 1
 
 
 def micw_compress(
@@ -71,6 +81,7 @@ def micw_compress(
     strip_h = (height + num_strips - 1) // num_strips
     actual = (height + strip_h - 1) // strip_h
     fused = zz_delta_rle_compress if predictor == "zz" else delta_rle_compress
+    mid = _rle_mid(max_value)
 
     blobs = []
     metas = []
@@ -79,10 +90,19 @@ def micw_compress(
         y1 = min(y0 + strip_h, height)
         sh = y1 - y0
         rle_stream = fused(pixels[y0 * width : y1 * width], width, sh, max_value)
-        tokens, _mid = rle_decompress_stream(rle_stream)
-        blob = mict_encode(rle_stream, lanes=lanes)
+        soa, n_runs, n_same = rle_to_soa(rle_stream, 1, mid)
+        n_tokens = int(
+            np.sum(
+                np.where(
+                    soa[:n_runs] <= mid,
+                    soa[:n_runs].astype(np.int64),
+                    soa[:n_runs].astype(np.int64) - mid,
+                )
+            )
+        )
+        blob = mict_encode(soa, lanes=lanes)
         blobs.append(blob)
-        metas.append((len(rle_stream), len(tokens)))
+        metas.append((len(soa), n_tokens, n_runs, n_same))
 
     out = bytearray()
     out += MICW_MAGIC
@@ -90,25 +110,28 @@ def micw_compress(
     flags = FLAG_AVG_PREDICTOR if predictor == "avg" else 0
     out += struct.pack("<HBB", max_value, flags, int(np.log2(lanes)))
     offset = 0
-    for blob, (n_rle, n_tok) in zip(blobs, metas):
-        out += struct.pack("<IIII", offset, len(blob), n_rle, n_tok)
+    for blob, (n_soa, n_tok, n_runs, n_same) in zip(blobs, metas):
+        out += struct.pack("<IIIIII", offset, len(blob), n_soa, n_tok, n_runs, n_same)
         offset += len(blob)
     return bytes(out) + b"".join(blobs)
 
 
 def micw_parse(blob: bytes):
-    if len(blob) < MICW_HEADER + 4 or blob[:4] != MICW_MAGIC:
+    if len(blob) < MICW_HEADER or blob[:4] != MICW_MAGIC:
         raise ValueError("micw: invalid magic")
     width, height, num_strips, strip_h = struct.unpack_from("<IIII", blob, 4)
     max_value, flags, lanes_log2 = struct.unpack_from("<HBB", blob, 20)
-    hdr = 24
-    table = []
-    for s in range(num_strips):
-        table.append(struct.unpack_from("<IIII", blob, hdr + s * MICW_ENTRY))
+    hdr = MICW_HEADER
+    table = [
+        struct.unpack_from("<IIIIII", blob, hdr + s * MICW_ENTRY) for s in range(num_strips)
+    ]
     data0 = hdr + num_strips * MICW_ENTRY
     strips = []
-    for off, ln, n_rle, n_tok in table:
-        strips.append((blob[data0 + off : data0 + off + ln], n_rle, n_tok))
+    for off, ln, n_soa, n_tok, n_runs, n_same in table:
+        start = data0 + off
+        if start + ln > len(blob):
+            raise ValueError("micw: strip data out of bounds")
+        strips.append((blob[start : start + ln], n_soa, n_tok, n_runs, n_same))
     predictor = "avg" if flags & FLAG_AVG_PREDICTOR else "zz"
     return width, height, num_strips, strip_h, max_value, predictor, 1 << lanes_log2, strips
 
@@ -123,23 +146,23 @@ def decode_strip_batch_impl(
     tab_sym,  # [S, 2^tl] u16
     tab_freq,  # [S, 2^tl] u32
     tab_bias,  # [S, 2^tl] u32
-    counts,  # [S] i32  (rANS symbol counts = n_rle per strip)
+    counts,  # [S] i32  (rANS symbol counts = SoA length per strip)
     n_tokens,  # [S] i32
+    n_runs,  # [S] i32
+    n_same,  # [S] i32
     *,
     table_log: int,
     n_steps: int,
     width: int,
     strip_h: int,
+    max_runs: int,
     max_tokens: int,
     mid_count: int,
     delim: int,
 ):
-    """One fused device program: rANS → RLE expand → escape parse → ZZ
-    delta inverse, vmapped over the strip axis.  Unjitted so it can be
-    wrapped by jit directly (single chip) or shard_map (mesh) — see
-    mic_tpu.tpu.mesh."""
-    # rans_decode_jax is shape-static in count; the batch decodes
-    # n_steps*L symbols per strip and masks by count inside the scan.
+    """One fused device program: wide-lane rANS → SoA-RLE expand → escape
+    parse → ZZ predictor inverse, vmapped over the strip axis.  Unjitted
+    so it can be wrapped by jit (single chip) or shard_map (mesh)."""
     L = init_states.shape[1]
     mask = jnp.uint32((1 << table_log) - 1)
     lane = jnp.arange(L, dtype=jnp.uint32)
@@ -168,11 +191,9 @@ def decode_strip_batch_impl(
 
     rle_syms = jax.vmap(rans_one)(init_states, words, tab_sym, tab_freq, tab_bias, counts)
 
-    def post_one(rle, count, n_tok):
-        # Skip the RLE stream's leading maxValue word.
-        stream = rle[1:].astype(jnp.int32)
-        tokens, _nt = rle_expand_device(
-            stream, count - 1, jnp.int32(mid_count), max_tokens
+    def post_one(soa, n_tok, nr, nsm):
+        tokens, _nt = soa_rle_expand_device(
+            soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
         )
         # tokens[0] is the fused pipeline's maxValue token; pixels follow.
         vals, is_raw = parse_escaped_device(
@@ -180,67 +201,30 @@ def decode_strip_batch_impl(
         )
         return zz_delta_inverse_device(vals, is_raw, jnp.int32(0), width, strip_h)
 
-    pixels = jax.vmap(post_one)(rle_syms, counts, n_tokens)
+    pixels = jax.vmap(post_one)(rle_syms, n_tokens, n_runs, n_same)
     return pixels  # [S, width*strip_h] uint16
 
 
 _decode_strip_batch = partial(jax.jit, static_argnames=(
-    "table_log", "n_steps", "width", "strip_h", "max_tokens", "mid_count", "delim",
+    "table_log", "n_steps", "width", "strip_h", "max_runs", "max_tokens",
+    "mid_count", "delim",
 ))(decode_strip_batch_impl)
-
-
-def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode a MICW container in one fused device program.
-    Returns (pixels, width, height)."""
-    width, height, num_strips, strip_h, max_value, predictor, lanes, strips = micw_parse(blob)
-    if predictor != "zz":
-        raise NotImplementedError("device decode currently supports the zz predictor")
-    _thr, delim = delta_params(max_value)
-    rle_mid = ((1 << (int(delim).bit_length() - 1)) - 1)
-
-    parsed = [mict_parse(b) for b, _, _ in strips]
-    tl = max(p[1] for p in parsed)
-    if any(p[1] != tl for p in parsed):
-        # Pad smaller tables by re-deriving with the max tableLog mask is
-        # not valid — tableLog differs per strip; decode strips per group.
-        # Simple fallback: group strips by tableLog.
-        groups: dict[int, list[int]] = {}
-        for i, p in enumerate(parsed):
-            groups.setdefault(p[1], []).append(i)
-        out = np.empty(width * height, dtype=np.uint16)
-        for g_tl, idxs in groups.items():
-            sub = _decode_group(
-                [parsed[i] for i in idxs],
-                [strips[i] for i in idxs],
-                g_tl, width, strip_h, rle_mid, delim,
-            )
-            for j, i in enumerate(idxs):
-                y0 = i * strip_h
-                sh = min(strip_h, height - y0)
-                out[y0 * width : (y0 + sh) * width] = sub[j][: sh * width]
-        return out, width, height
-
-    sub = _decode_group(parsed, strips, tl, width, strip_h, rle_mid, delim)
-    out = np.empty(width * height, dtype=np.uint16)
-    for i in range(num_strips):
-        y0 = i * strip_h
-        sh = min(strip_h, height - y0)
-        out[y0 * width : (y0 + sh) * width] = sub[i][: sh * width]
-    return out, width, height
 
 
 def build_strip_batch(parsed, strips, table_log, pad_strips_to: int = 0):
     """Pad a group of same-tableLog parsed MICT strips to common shapes.
 
     Returns ``(arrays, meta)`` where arrays = (init, words, ts, tf, tb,
-    counts, n_tokens) numpy arrays with leading strip axis, and meta =
-    dict(n_steps=..., max_tokens=...).  ``pad_strips_to`` appends dummy
-    strips (replicas of strip 0) so the batch divides a mesh size.
+    counts, n_tokens, n_runs, n_same) and meta = dict(n_steps, max_runs,
+    max_tokens).  ``pad_strips_to`` appends replicas of strip 0 so the
+    batch divides a mesh size.
     """
     S = len(parsed)
     L = parsed[0][0]
     counts = np.array([p[2] for p in parsed], dtype=np.int32)
-    n_tokens = np.array([nt for _, _, nt in strips], dtype=np.int32)
+    n_tokens = np.array([m[2] for m in strips], dtype=np.int32)
+    n_runs = np.array([m[3] for m in strips], dtype=np.int32)
+    n_same = np.array([m[4] for m in strips], dtype=np.int32)
     n_steps = int(max((c + L - 1) // L for c in counts))
     w_max = int(max(len(p[4]) for p in parsed)) + 1
     S_pad = max(S, pad_strips_to)
@@ -255,48 +239,81 @@ def build_strip_batch(parsed, strips, table_log, pad_strips_to: int = 0):
         init[i] = states
         words[i, : len(wrds)] = wrds
     if S_pad > S:
-        counts = np.concatenate([counts, np.full(S_pad - S, counts[0], np.int32)])
-        n_tokens = np.concatenate([n_tokens, np.full(S_pad - S, n_tokens[0], np.int32)])
+        pad = S_pad - S
+        counts = np.concatenate([counts, np.full(pad, counts[0], np.int32)])
+        n_tokens = np.concatenate([n_tokens, np.full(pad, n_tokens[0], np.int32)])
+        n_runs = np.concatenate([n_runs, np.full(pad, n_runs[0], np.int32)])
+        n_same = np.concatenate([n_same, np.full(pad, n_same[0], np.int32)])
         ts[S:] = ts[0]
         tf[S:] = tf[0]
         tb[S:] = tb[0]
         init[S:] = init[0]
         words[S:] = words[0]
-    max_tokens = int(_round_up(int(n_tokens.max()) + 1, 128))
-    return (init, words, ts, tf, tb, counts, n_tokens), {
+    meta = {
         "n_steps": n_steps,
-        "max_tokens": max_tokens,
+        "max_runs": int(_round_up(int(n_runs.max()) + 1, 128)),
+        "max_tokens": int(_round_up(int(n_tokens.max()) + 1, 128)),
     }
+    return (init, words, ts, tf, tb, counts, n_tokens, n_runs, n_same), meta
 
 
-def _decode_group(parsed, strips, table_log, width, strip_h, mid_count, delim):
-    """Pad a group of same-tableLog strips to common shapes and run the
-    fused batch decoder."""
-    arrays, meta = build_strip_batch(parsed, strips, table_log)
-    out = _decode_strip_batch(
-        *[jnp.asarray(a) for a in arrays],
-        table_log=table_log,
-        n_steps=meta["n_steps"],
-        width=width,
-        strip_h=strip_h,
-        max_tokens=meta["max_tokens"],
-        mid_count=mid_count,
-        delim=delim,
-    )
-    return np.asarray(out)
+def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a MICW container in one fused device program (strips grouped
+    by tableLog).  Returns (pixels, width, height)."""
+    width, height, num_strips, strip_h, max_value, predictor, _lanes, strips = micw_parse(blob)
+    if predictor != "zz":
+        raise NotImplementedError("device decode currently supports the zz predictor")
+    _thr, delim = delta_params(max_value)
+    mid = _rle_mid(max_value)
+
+    parsed = [mict_parse(b) for b, *_ in strips]
+    groups: dict[int, list[int]] = {}
+    for i, p in enumerate(parsed):
+        groups.setdefault(p[1], []).append(i)
+
+    out = np.empty(width * height, dtype=np.uint16)
+    for g_tl, idxs in groups.items():
+        arrays, meta = build_strip_batch(
+            [parsed[i] for i in idxs], [strips[i] for i in idxs], g_tl
+        )
+        sub = _decode_strip_batch(
+            *[jnp.asarray(a) for a in arrays],
+            table_log=g_tl,
+            n_steps=meta["n_steps"],
+            width=width,
+            strip_h=strip_h,
+            max_runs=meta["max_runs"],
+            max_tokens=meta["max_tokens"],
+            mid_count=mid,
+            delim=delim,
+        )
+        sub = np.asarray(sub)
+        for j, i in enumerate(idxs):
+            y0 = i * strip_h
+            sh = min(strip_h, height - y0)
+            out[y0 * width : (y0 + sh) * width] = sub[j][: sh * width]
+    return out, width, height
 
 
 def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
     """Host (numpy) MICW decoder — cross-checks the device path."""
-    from ..ops.deltarle import zz_delta_rle_decompress, delta_rle_decompress
+    from ..ops.predictors import parse_escaped, predictor_decode
     from .device_rans import mict_decode_numpy
 
-    width, height, num_strips, strip_h, _mx, predictor, _lanes, strips = micw_parse(blob)
-    inv = zz_delta_rle_decompress if predictor == "zz" else delta_rle_decompress
+    width, height, num_strips, strip_h, max_value, predictor, _lanes, strips = micw_parse(blob)
+    _thr, delim = delta_params(max_value)
+    mid = _rle_mid(max_value)
+    kind = "zz" if predictor == "zz" else "avg"
     out = np.empty(width * height, dtype=np.uint16)
-    for i, (b, _n_rle, _n_tok) in enumerate(strips):
+    for i, (b, _n_soa, n_tok, n_runs, n_same) in enumerate(strips):
         y0 = i * strip_h
         sh = min(strip_h, height - y0)
-        rle = mict_decode_numpy(b)
-        out[y0 * width : (y0 + sh) * width] = inv(rle, width, sh)
+        soa = mict_decode_numpy(b)
+        tokens = soa_expand(soa, n_runs, n_same, mid)
+        if len(tokens) != n_tok:
+            raise ValueError("micw: token count mismatch")
+        values, is_raw = parse_escaped(tokens[1:], delim, width * sh)
+        out[y0 * width : (y0 + sh) * width] = predictor_decode(
+            values, is_raw, width, sh, int(tokens[0]), kind
+        ).ravel()
     return out, width, height

@@ -163,3 +163,48 @@ def test_micw_parse_fields(mr_image):
     assert (width, height, n) == (w, h, 4)
     assert max_value == mx and predictor == "zz" and lanes == 128
     assert len(strips) == 4
+
+
+def test_soa_rle_roundtrip(rng):
+    """SoA re-ordering preserves the symbol multiset and expands exactly."""
+    from mic_tpu.ops.rle import RleEncoder, rle_expand, rle_to_soa, soa_expand
+
+    data = np.concatenate(
+        [np.full(300, 9), rng.integers(0, 200, 400), np.zeros(1500)]
+    ).astype(np.uint16)
+    enc = RleEncoder(len(data), 1, 255)
+    enc.encode(77)
+    for v in data.tolist():
+        enc.encode(v)
+    enc.flush()
+    stream = np.array(enc.out, dtype=np.uint16)
+    want, _ = rle_expand(stream, 1, 127, None)
+    soa, n_runs, n_same = rle_to_soa(stream, 1, 127)
+    assert sorted(soa.tolist()) == sorted(stream[1:].tolist())  # same multiset
+    got = soa_expand(soa, n_runs, n_same, 127)
+    assert np.array_equal(got, want)
+
+
+def test_soa_rle_expand_device_matches_host(rng):
+    from mic_tpu.ops.rle import RleEncoder, rle_to_soa, soa_expand
+    from mic_tpu.tpu.pipeline import soa_rle_expand_device
+
+    data = np.concatenate(
+        [np.full(250, 5), rng.integers(0, 100, 300), np.full(64, 2), np.zeros(900)]
+    ).astype(np.uint16)
+    enc = RleEncoder(len(data), 1, 255)
+    enc.encode(42)
+    for v in data.tolist():
+        enc.encode(v)
+    enc.flush()
+    stream = np.array(enc.out, dtype=np.uint16)
+    soa, n_runs, n_same = rle_to_soa(stream, 1, 127)
+    want = soa_expand(soa, n_runs, n_same, 127)
+    pad = np.zeros(len(soa) + 16, np.int32)
+    pad[: len(soa)] = soa
+    tokens, n_tok = soa_rle_expand_device(
+        jnp.asarray(pad), jnp.int32(n_runs), jnp.int32(n_same), jnp.int32(127),
+        n_runs + 8, len(want) + 64,
+    )
+    assert int(n_tok) == len(want)
+    assert np.array_equal(np.asarray(tokens)[: len(want)], want)
