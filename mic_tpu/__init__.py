@@ -32,6 +32,7 @@ from .ops.fse_codec import (  # noqa: F401
     fse_decompress_auto,
 )
 from .ops.rans import rans_compress_8state, rans_decompress_8state  # noqa: F401
+from .ops.huffman import can_huffman_compress, can_huffman_decompress  # noqa: F401
 from .ops.rle import rle_compress, rle_decompress  # noqa: F401
 from .ops.deltarle import (  # noqa: F401
     delta_rle_compress,
@@ -57,6 +58,8 @@ from .ops.predictors import (  # noqa: F401
 )
 from .models.single_frame import (  # noqa: F401
     compress_residual_frame,
+    compress_single_frame_huffman,
+    decompress_single_frame_huffman,
     compress_single_frame,
     compress_single_frame_4state,
     compress_single_frame_8state,
@@ -89,5 +92,7 @@ TemporalDeltaEncode = temporal_delta_encode
 TemporalDeltaDecode = temporal_delta_decode
 ZigZag = zigzag
 UnZigZag = unzigzag
+CanHuffmanCompressU16 = can_huffman_compress
+CanHuffmanDecompressU16 = can_huffman_decompress
 
 __version__ = "0.1.0"

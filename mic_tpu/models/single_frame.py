@@ -36,6 +36,8 @@ __all__ = [
     "decompress_single_frame",
     "decompress_single_frame_grad",
     "compress_residual_frame",
+    "compress_single_frame_huffman",
+    "decompress_single_frame_huffman",
     "decompress_residual_frame",
 ]
 
@@ -138,3 +140,21 @@ def compress_residual_frame(residuals, max_value) -> bytes:
 def decompress_residual_frame(blob: bytes) -> np.ndarray:
     rle_data = fse_decompress_auto(blob)
     return rle_decompress(rle_data)
+
+
+def compress_single_frame_huffman(pixels, width, height, max_value) -> bytes:
+    """Delta+RLE+canonical-Huffman pipeline (the encode side of the
+    reference's deltarlehuffdecompressu16.go / rlehuffdecompressu16.go
+    decode stack; benched as BenchmarkDeltaRLEHuffCompress)."""
+    from ..ops.huffman import can_huffman_compress
+
+    rle = delta_rle_compress(pixels, width, height, max_value)
+    return can_huffman_compress(rle)
+
+
+def decompress_single_frame_huffman(blob: bytes, width, height) -> np.ndarray:
+    """Inverse of compress_single_frame_huffman: Huffman → RLE → delta."""
+    from ..ops.huffman import can_huffman_decompress
+
+    rle = can_huffman_decompress(blob)
+    return delta_rle_decompress(rle, width, height)

@@ -208,3 +208,60 @@ def test_soa_rle_expand_device_matches_host(rng):
     )
     assert int(n_tok) == len(want)
     assert np.array_equal(np.asarray(tokens)[: len(want)], want)
+
+
+def test_pallas_ycocgr_matches_host(rng):
+    from mic_tpu.ops.color import ycocgr_forward, ycocgr_inverse
+    from mic_tpu.tpu.kernels import ycocgr_forward_tpu, ycocgr_inverse_tpu
+
+    h, w = 32, 128
+    rgb = rng.integers(0, 256, h * w * 3).astype(np.uint8)
+    y_h, co_h, cg_h = ycocgr_forward(rgb, w, h)
+    px = rgb.reshape(-1, 3)
+    r = px[:, 0].astype(np.uint16).reshape(h, w)
+    g = px[:, 1].astype(np.uint16).reshape(h, w)
+    b = px[:, 2].astype(np.uint16).reshape(h, w)
+    y_d, co_d, cg_d = ycocgr_forward_tpu(jnp.asarray(r), jnp.asarray(g), jnp.asarray(b))
+    assert np.array_equal(np.asarray(y_d).ravel(), y_h)
+    assert np.array_equal(np.asarray(co_d).ravel(), co_h)
+    assert np.array_equal(np.asarray(cg_d).ravel(), cg_h)
+    r2, g2, b2 = ycocgr_inverse_tpu(y_d, co_d, cg_d)
+    assert np.array_equal(np.asarray(r2), r)
+    assert np.array_equal(np.asarray(g2), g)
+    assert np.array_equal(np.asarray(b2), b)
+
+
+@pytest.mark.parametrize("cols", [64, 65, 127, 128])
+def test_pallas_wavelet_rows_matches_host(cols, rng):
+    from mic_tpu.ops.wavelet import wt53_forward_1d, wt53_inverse_1d
+    from mic_tpu.tpu.kernels import wt53_rows_forward_tpu, wt53_rows_inverse_tpu
+
+    x = rng.integers(0, 65535, (48, cols)).astype(np.int64)
+    want = wt53_forward_1d(x, axis=1)
+    got = np.asarray(wt53_rows_forward_tpu(jnp.asarray(x, dtype=jnp.int32)))
+    assert np.array_equal(got, want.astype(np.int32))
+    back = np.asarray(wt53_rows_inverse_tpu(jnp.asarray(got)))
+    assert np.array_equal(back, x.astype(np.int32))
+
+
+@pytest.mark.parametrize("shape,levels", [((64, 64), 3), ((33, 47), 2)])
+def test_pallas_wavelet_2d_separated(shape, levels, rng):
+    from mic_tpu.ops.wavelet import wt53_forward_2d_separated
+    from mic_tpu.tpu.kernels import (
+        wavelet_forward_2d_separated_tpu,
+        wavelet_inverse_2d_separated_tpu,
+    )
+
+    r, c = shape
+    img = rng.integers(0, 4096, (r, c)).astype(np.int64)
+    want = img.copy()
+    rr, cc = r, c
+    for _ in range(levels):
+        if rr < 2 or cc < 2:
+            break
+        wt53_forward_2d_separated(want, rr, cc, c)
+        rr, cc = (rr + 1) // 2, (cc + 1) // 2
+    got = np.asarray(wavelet_forward_2d_separated_tpu(jnp.asarray(img), rows=r, cols=c, levels=levels))
+    assert np.array_equal(got, want.reshape(r, c).astype(np.int32))
+    back = np.asarray(wavelet_inverse_2d_separated_tpu(jnp.asarray(got), rows=r, cols=c, levels=levels))
+    assert np.array_equal(back, img.astype(np.int32))
