@@ -47,6 +47,7 @@ __all__ = [
     "micw_compress",
     "micw_decompress_device",
     "micw_decompress_host",
+    "micw_decode_batch",
     "micw_parse",
     "decode_strip_batch_impl",
     "build_strip_batch",
@@ -317,3 +318,52 @@ def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
             values, is_raw, width, sh, int(tokens[0]), kind
         ).ravel()
     return out, width, height
+
+
+def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
+    """Decode many MICW containers in as few fused device programs as
+    possible — the serving path.  Strips from all images are pooled and
+    grouped by (tableLog, width, strip_h); each group runs as one batched
+    device call.  Returns the pixel array for each input blob.
+
+    This is the TPU analog of a multi-core decode farm: the batch axis
+    does what the reference's goroutine/pthread pools do
+    (parallelstrips.go:292-321, mic_parallel.c).
+    """
+    metas = []
+    pool: dict[tuple, list] = {}
+    for bi, blob in enumerate(blobs):
+        width, height, num_strips, strip_h, max_value, predictor, _lanes, strips = micw_parse(blob)
+        if predictor != "zz":
+            raise NotImplementedError("device decode currently supports the zz predictor")
+        mid = _rle_mid(max_value)
+        _thr, delim = delta_params(max_value)
+        metas.append((width, height, num_strips, strip_h))
+        for si, strip in enumerate(strips):
+            p = mict_parse(strip[0])
+            key = (p[1], width, strip_h, mid, delim)
+            pool.setdefault(key, []).append((bi, si, p, strip))
+
+    outs = [np.empty(m[0] * m[1], dtype=np.uint16) for m in metas]
+    for (tl, width, strip_h, mid, delim), items in pool.items():
+        parsed = [it[2] for it in items]
+        strips = [it[3] for it in items]
+        arrays, meta = build_strip_batch(parsed, strips, tl)
+        sub = _decode_strip_batch(
+            *[jnp.asarray(a) for a in arrays],
+            table_log=tl,
+            n_steps=meta["n_steps"],
+            width=width,
+            strip_h=strip_h,
+            max_runs=meta["max_runs"],
+            max_tokens=meta["max_tokens"],
+            mid_count=mid,
+            delim=delim,
+        )
+        sub = np.asarray(sub)
+        for j, (bi, si, _p, _s) in enumerate(items):
+            w, h, _n, sh = metas[bi]
+            y0 = si * sh
+            rows = min(sh, h - y0)
+            outs[bi][y0 * w : (y0 + rows) * w] = sub[j][: rows * w]
+    return outs
