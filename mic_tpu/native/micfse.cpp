@@ -633,49 +633,88 @@ static inline int32_t med_predict(int32_t a, int32_t b, int32_t c) {
 }
 
 // Invert the escaped residual stream into pixels.
-// tokens[0] is maxValue; pixels follow.
-static bool predictor_inverse(const uint16_t* tokens, size_t n_tokens, int width,
-                              int height, int kind, uint16_t* out) {
-  if (n_tokens < 1) return false;
+// tokens[0] is maxValue; pixels follow.  Templated per predictor with
+// boundary rows/columns peeled out of the interior loop.
+template <int KIND>
+static bool predictor_inverse_t(const uint16_t* tokens, size_t n_tokens, int width,
+                                int height, uint16_t* out) {
+  if (n_tokens < (size_t)width * height + 1) return false;
   uint16_t max_value = tokens[0];
   int depth = max_value ? high_bit(max_value) + 1 : 1;
-  int32_t thr = (1 << (depth - 1)) - 1;
-  uint16_t delim = (uint16_t)((1u << depth) - 1);
-  size_t ic = 1;
-  auto next = [&]() -> uint16_t { return tokens[ic++]; };
+  const int32_t thr = (1 << (depth - 1)) - 1;
+  const uint16_t delim = (uint16_t)((1u << depth) - 1);
+  const uint16_t* tp = tokens + 1;
 
-  for (int y = 0; y < height; y++) {
-    for (int x = 0; x < width; x++) {
-      if (ic >= n_tokens) return false;
-      int idx = y * width + x;
-      uint16_t v = next();
-      if (v == delim) {
-        out[idx] = next();
-        if (kind == PRED_ZZ) continue;
-        continue;
+  if (KIND == PRED_ZZ) {
+    for (int y = 0; y < height; y++) {
+      uint16_t* row = out + (size_t)y * width;
+      int32_t prev = 0;
+      for (int x = 0; x < width; x++) {
+        uint16_t v = *tp++;
+        if (v == delim) {
+          prev = *tp++;
+        } else {
+          prev = (uint16_t)(prev + ((int32_t)(v >> 1) ^ -(int32_t)(v & 1)));
+        }
+        row[x] = (uint16_t)prev;
       }
-      int32_t pred;
-      if (kind == PRED_ZZ) {
-        int32_t dz = (int32_t)(v >> 1) ^ -(int32_t)(v & 1);
-        pred = x > 0 ? (int32_t)out[idx - 1] : 0;
-        out[idx] = (uint16_t)(pred + dz);
-        continue;
+    }
+    return true;
+  }
+
+  // Row 0: left-only chain.
+  {
+    uint16_t v = *tp++;
+    out[0] = v == delim ? *tp++ : (uint16_t)((int32_t)v - thr);
+    for (int x = 1; x < width; x++) {
+      uint16_t t = *tp++;
+      out[x] = t == delim ? *tp++ : (uint16_t)((int32_t)out[x - 1] + (int32_t)t - thr);
+    }
+  }
+  for (int y = 1; y < height; y++) {
+    uint16_t* row = out + (size_t)y * width;
+    const uint16_t* up = row - width;
+    {
+      uint16_t t = *tp++;
+      row[0] = t == delim ? *tp++ : (uint16_t)((int32_t)up[0] + (int32_t)t - thr);
+    }
+    int32_t left = row[0];
+    for (int x = 1; x < width; x++) {
+      uint16_t t = *tp++;
+      if (t == delim) {
+        left = *tp++;
+      } else {
+        int32_t pred;
+        if (KIND == PRED_AVG) {
+          pred = (left + (int32_t)up[x]) >> 1;
+        } else if (KIND == PRED_GRAD) {
+          int32_t ne = x + 1 < width ? (int32_t)up[x + 1] : (int32_t)up[x - 1];
+          pred = grad_predict(left, up[x], up[x - 1], ne);
+        } else {
+          pred = med_predict(left, up[x], up[x - 1]);
+        }
+        left = (uint16_t)(pred + (int32_t)t - thr);
       }
-      int32_t diff = (int32_t)v - thr;
-      if (x == 0 && y == 0) pred = 0;
-      else if (y == 0) pred = out[idx - 1];
-      else if (x == 0) pred = out[idx - width];
-      else {
-        int32_t w_ = out[idx - 1], nn = out[idx - width], nw = out[idx - width - 1];
-        int32_t ne = x + 1 < width ? out[idx - width + 1] : nw;
-        if (kind == PRED_AVG) pred = (w_ + nn) >> 1;
-        else if (kind == PRED_GRAD) pred = grad_predict(w_, nn, nw, ne);
-        else pred = med_predict(w_, nn, nw);
-      }
-      out[idx] = (uint16_t)(pred + diff);
+      row[x] = (uint16_t)left;
     }
   }
   return true;
+}
+
+static bool predictor_inverse(const uint16_t* tokens, size_t n_tokens, int width,
+                              int height, int kind, uint16_t* out) {
+  // The token stream length varies with escapes; the templated loops read
+  // exactly one token per pixel plus one per escape, and rle_expand
+  // produced the full expansion, so a short stream means corruption.
+  // Recompute the minimal check: at least width*height tokens + 1.
+  if (n_tokens < (size_t)width * height + 1) return false;
+  switch (kind) {
+    case PRED_AVG: return predictor_inverse_t<PRED_AVG>(tokens, n_tokens, width, height, out);
+    case PRED_GRAD: return predictor_inverse_t<PRED_GRAD>(tokens, n_tokens, width, height, out);
+    case PRED_MED: return predictor_inverse_t<PRED_MED>(tokens, n_tokens, width, height, out);
+    case PRED_ZZ: return predictor_inverse_t<PRED_ZZ>(tokens, n_tokens, width, height, out);
+  }
+  return false;
 }
 
 // Forward predictor: pixels -> escaped residual tokens (incl leading maxValue).
@@ -802,9 +841,12 @@ int mic_decompress_frame(const uint8_t* blob, size_t len, int width, int height,
   int depth = rle_max ? high_bit(rle_max) + 1 : 1;
   uint32_t mid = (1u << (depth - 1)) - 1;
   std::vector<uint16_t> tokens;
-  tokens.reserve((size_t)width * height * 2);
+  tokens.reserve((size_t)width * height * 2 + 2);
   rle_expand(rle.data(), rle.size(), 1, mid, tokens);
-  if (!predictor_inverse(tokens.data(), tokens.size(), width, height, kind, out_pixels))
+  size_t n_tok = tokens.size();
+  tokens.push_back(0);  // over-read pads: corrupt escape-heavy streams
+  tokens.push_back(0);  // read zeros instead of past the buffer
+  if (!predictor_inverse(tokens.data(), n_tok, width, height, kind, out_pixels))
     return 3;
   return 0;
 }

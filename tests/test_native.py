@@ -1,0 +1,92 @@
+"""Native (C++) tier tests: cross-tier byte-identity and exactness —
+the analog of the reference's Go-vs-C cross matrix
+(ojph/mic_c_test.go TestFourWayComparison)."""
+
+import numpy as np
+import pytest
+
+from mic_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="libmicfse.so not built (make -C mic_tpu/native)"
+)
+
+
+@pytest.fixture(scope="module")
+def ct(ct_image_module=None):
+    import pathlib
+
+    p = pathlib.Path("/root/reference/testdata/CT_512_512_image.bin")
+    if not p.exists():
+        pytest.skip("missing CT test data")
+    px = np.fromfile(p, dtype="<u2")
+    return px, 512, 512, int(px.max())
+
+
+@pytest.mark.parametrize("n_states", [1, 2, 4, 8])
+def test_entropy_blob_byte_identity(n_states, ct, rng):
+    """Native encoder must produce byte-identical streams to the Python
+    tier for every state count."""
+    from mic_tpu.ops.fse_codec import (
+        fse_compress,
+        fse_compress_2state,
+        fse_compress_4state,
+        fse_compress_8state,
+    )
+
+    data = (rng.standard_normal(30000) * 30 + 500).clip(0, 2047).astype(np.uint16)
+    py = {1: fse_compress, 2: fse_compress_2state, 4: fse_compress_4state, 8: fse_compress_8state}[
+        n_states
+    ](data)
+    nat = native.entropy_compress_native(data, n_states)
+    assert nat == py
+
+
+def test_four_way_cross_matrix(ct):
+    """py-enc→native-dec, native-enc→py-dec, native-enc→native-dec,
+    py-enc→py-dec all bit-exact on real CT."""
+    from mic_tpu.models.single_frame import compress_single_frame_4state, decompress_single_frame
+
+    px, w, h, mx = ct
+    blob_py = compress_single_frame_4state(px, w, h, mx)
+    blob_nat = native.compress_frame_native(px, w, h, mx, native.PRED_AVG, 4)
+    assert blob_py == blob_nat  # byte identity
+
+    out_nat = native.decompress_frame_native(blob_py, w, h, native.PRED_AVG)
+    out_py = decompress_single_frame(blob_nat, w, h)
+    assert np.array_equal(out_nat, px)
+    assert np.array_equal(out_py, px)
+
+
+@pytest.mark.parametrize(
+    "kind", [native.PRED_AVG, native.PRED_GRAD, native.PRED_MED, native.PRED_ZZ]
+)
+def test_native_predictor_roundtrips(kind, rng):
+    h, w = 96, 61
+    img = (rng.standard_normal((h, w)).cumsum(axis=1) * 30 + 2000).clip(0, 4095).astype(np.uint16)
+    mx = int(img.max())
+    blob = native.compress_frame_native(img.ravel(), w, h, mx, kind, 4)
+    out = native.decompress_frame_native(blob, w, h, kind)
+    assert np.array_equal(out, img.ravel())
+
+
+def test_native_rans_decode(ct):
+    """Native decoder handles the rANS-8 magic too."""
+    from mic_tpu.ops.rans import rans_compress_8state
+    from mic_tpu.ops.deltarle import delta_rle_compress
+
+    px, w, h, mx = ct
+    rle = delta_rle_compress(px, w, h, mx)
+    blob = rans_compress_8state(rle)
+    out = native.entropy_decompress_native(blob, len(rle) + 64)
+    assert np.array_equal(out, rle)
+
+
+def test_native_corrupt_rejected(ct):
+    px, w, h, mx = ct
+    from mic_tpu.models.single_frame import compress_single_frame
+
+    blob = bytearray(compress_single_frame(px, w, h, mx))
+    blob[8] ^= 0xFF  # header corruption
+    with pytest.raises(ValueError):
+        native.decompress_frame_native(bytes(blob), w, h, native.PRED_AVG)
