@@ -21,6 +21,7 @@ names are provided as aliases for discoverability.
 
 from .ops.fse import IncompressibleError, UseRLEError  # noqa: F401
 from .ops.fse_codec import (  # noqa: F401
+    ScratchU16,
     fse_compress,
     fse_compress_2state,
     fse_compress_4state,
@@ -68,6 +69,7 @@ from .models.single_frame import (  # noqa: F401
     decompress_residual_frame,
     decompress_single_frame,
     decompress_single_frame_grad,
+    decode_frame,
 )
 
 # Reference-name aliases (Go API surface).

@@ -53,6 +53,7 @@ def main(argv=None) -> int:
     ap.add_argument("-grad", action="store_true", help="gradient predictor")
     ap.add_argument("-testdata", action="store_true", help="compress the test corpus")
     ap.add_argument("-outdir", default="testdata_out")
+    ap.add_argument("-device", action="store_true", help="decode MICW on the TPU")
     args = ap.parse_args(argv)
 
     from .utils.io import read_mic1, write_mic1, write_micr
@@ -173,9 +174,14 @@ def _decode(args) -> int:
 
         px, w, h = decompress_parallel_strips_adaptive(data)
     elif magic == b"MICW":
-        from .tpu.strips import micw_decompress_host
+        if getattr(args, "device", False):
+            from .tpu.strips import micw_decompress_device
 
-        px, w, h = micw_decompress_host(data)
+            px, w, h = micw_decompress_device(data)
+        else:
+            from .tpu.strips import micw_decompress_host
+
+            px, w, h = micw_decompress_host(data)
     elif magic == b"MICR":
         from .models.rgb import decompress_rgb
         from .utils.io import read_micr

@@ -39,6 +39,7 @@ __all__ = [
     "compress_single_frame_huffman",
     "decompress_single_frame_huffman",
     "decompress_residual_frame",
+    "decode_frame",
 ]
 
 _FALLBACKS = {
@@ -158,3 +159,27 @@ def decompress_single_frame_huffman(blob: bytes, width, height) -> np.ndarray:
 
     rle = can_huffman_decompress(blob)
     return delta_rle_decompress(rle, width, height)
+
+
+def decode_frame(blob: bytes, width: int, height: int, kind: str = "avg", tier: str = "auto"):
+    """Tier-routing decode convenience: 'auto' uses the native C++ tier
+    when built, falling back to the numpy tier; 'native'/'python' force.
+
+    The explicit decompress_single_frame* functions always use the numpy
+    tier (they are the cross-tier correctness oracle)."""
+    if tier in ("auto", "native"):
+        try:
+            from .. import native
+
+            if native.available():
+                kmap = {"avg": native.PRED_AVG, "grad": native.PRED_GRAD,
+                        "med": native.PRED_MED, "zz": native.PRED_ZZ}
+                return native.decompress_frame_native(blob, width, height, kmap[kind])
+        except Exception:
+            if tier == "native":
+                raise
+    if kind == "avg":
+        return decompress_single_frame(blob, width, height)
+    if kind == "grad":
+        return decompress_single_frame_grad(blob, width, height)
+    raise ValueError(f"unsupported kind for python tier: {kind}")

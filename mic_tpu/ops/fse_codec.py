@@ -53,6 +53,7 @@ __all__ = [
     "fse_decompress_8state",
     "fse_decompress_auto",
     "DECOMPRESS_LIMIT_DEFAULT",
+    "ScratchU16",
 ]
 
 MAGIC_2STATE = b"\xff\x02"
@@ -268,3 +269,34 @@ def fse_decompress_auto(data: bytes, limit: int = DECOMPRESS_LIMIT_DEFAULT):
     if len(data) >= 2 and data[:2] == MAGIC_2STATE:
         return fse_decompress_2state(data, limit)
     return fse_decompress(data, limit)
+
+
+class ScratchU16:
+    """API-parity shim for the reference's ScratchU16 (fseu16.go:62-103):
+    per-block knobs carried across calls.  The numpy tier has no buffer
+    reuse to manage, so this only carries the tunables.
+
+    >>> s = ScratchU16(); s.TableLog = 12
+    >>> blob = s.compress(data); out = s.decompress(blob)
+    """
+
+    def __init__(self) -> None:
+        self.TableLog = DEFAULT_TABLE_LOG
+        self.MaxSymbolValue = 65535
+        self.DecompressLimit = DECOMPRESS_LIMIT_DEFAULT
+        self.Out: bytes | None = None
+        self.OutU16 = None
+
+    def compress(self, data, n_states: int = 1) -> bytes:
+        fn = {
+            1: fse_compress,
+            2: fse_compress_2state,
+            4: fse_compress_4state,
+            8: fse_compress_8state,
+        }[n_states]
+        self.Out = fn(data, table_log=self.TableLog)
+        return self.Out
+
+    def decompress(self, blob: bytes):
+        self.OutU16 = fse_decompress_auto(blob, limit=self.DecompressLimit)
+        return self.OutU16
