@@ -161,7 +161,7 @@ def main() -> int:
             lambda b, w, h: decompress_parallel_strips(b)[0],
         ),
         "MICW": (
-            lambda px, w, h, mx: micw_compress(px, w, h, mx, num_strips=8, lanes=256),
+            lambda px, w, h, mx: micw_compress(px, w, h, mx),
             lambda b, w, h: micw_decompress_host(b)[0],
         ),
     }

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.deltarle import delta_rle_compress, zz_delta_rle_compress
+from ..ops.fse import IncompressibleError, UseRLEError
 from ..ops.predictors import delta_params
 from ..ops.rle import rle_to_soa, soa_expand
 from .device_rans import device_tables, mict_encode, mict_parse
@@ -56,13 +57,50 @@ __all__ = [
 
 MICW_MAGIC = b"MICW"
 MICW_HEADER = 24
-MICW_ENTRY = 24
+MICW_ENTRY = 28
 FLAG_AVG_PREDICTOR = 0x01
+STRIP_MODE_MICT = 0
+STRIP_MODE_RAW = 1  # raw u16 pixels (entropy stage rejected the strip)
 
 
 def _rle_mid(max_value: int) -> int:
+    """MICW's RLE midCount: derived from the escape delimiter like the
+    host formats, but floored at 127 — tiny midCounts (maxValue < 255)
+    make the RLE state machine degenerate (see developer-guide.md)."""
     _thr, delim = delta_params(max_value)
-    return (1 << (int(delim).bit_length() - 1)) - 1
+    delim = max(int(delim), 255)
+    return (1 << (delim.bit_length() - 1)) - 1
+
+
+
+
+def _fused_rle(strip_px, width, sh, max_value, predictor, mid):
+    """Predictor + RLE with MICW's floored midCount (see _rle_mid)."""
+    from ..ops.predictors import predictor_encode, zigzag
+    from ..ops.rle import RleEncoder
+
+    thr, delim = delta_params(max_value)
+    if predictor == "zz":
+        img = np.asarray(strip_px, dtype=np.uint16).reshape(sh, width)
+        p = img.astype(np.int64)
+        left = np.zeros_like(p)
+        left[:, 1:] = p[:, :-1]
+        diff = p - left
+        escape = np.abs(diff) >= thr
+        from ..ops.predictors import _interleave_escapes
+
+        stream = _interleave_escapes(
+            zigzag(diff.astype(np.int16)).ravel(), img.ravel(), escape.ravel(), delim
+        )
+    else:
+        stream = predictor_encode(strip_px, width, sh, max_value, "avg")
+    rle_max = (mid << 1) | 1  # maxValue whose midCount is exactly `mid`
+    enc = RleEncoder(width, sh, rle_max)
+    enc.encode(int(max_value))
+    for v in stream.tolist():
+        enc.encode(v)
+    enc.flush()
+    return np.array(enc.out, dtype=np.uint16)
 
 
 def micw_compress(
@@ -81,7 +119,6 @@ def micw_compress(
     num_strips = max(1, min(num_strips, height))
     strip_h = (height + num_strips - 1) // num_strips
     actual = (height + strip_h - 1) // strip_h
-    fused = zz_delta_rle_compress if predictor == "zz" else delta_rle_compress
     mid = _rle_mid(max_value)
 
     blobs = []
@@ -90,7 +127,8 @@ def micw_compress(
         y0 = s * strip_h
         y1 = min(y0 + strip_h, height)
         sh = y1 - y0
-        rle_stream = fused(pixels[y0 * width : y1 * width], width, sh, max_value)
+        strip_px = pixels[y0 * width : y1 * width]
+        rle_stream = _fused_rle(strip_px, width, sh, max_value, predictor, mid)
         soa, n_runs, n_same = rle_to_soa(rle_stream, 1, mid)
         n_tokens = int(
             np.sum(
@@ -101,9 +139,16 @@ def micw_compress(
                 )
             )
         )
-        blob = mict_encode(soa, lanes=lanes)
+        try:
+            blob = mict_encode(soa, lanes=lanes)
+            mode = STRIP_MODE_MICT
+        except (IncompressibleError, UseRLEError, ValueError):
+            # Raw fallback — the MICW analog of the WSI planeRaw path
+            # (constant or incompressible strips).
+            blob = strip_px.astype("<u2").tobytes()
+            mode = STRIP_MODE_RAW
         blobs.append(blob)
-        metas.append((len(soa), n_tokens, n_runs, n_same))
+        metas.append((len(soa), n_tokens, n_runs, n_same, mode))
 
     out = bytearray()
     out += MICW_MAGIC
@@ -111,8 +156,8 @@ def micw_compress(
     flags = FLAG_AVG_PREDICTOR if predictor == "avg" else 0
     out += struct.pack("<HBB", max_value, flags, int(np.log2(lanes)))
     offset = 0
-    for blob, (n_soa, n_tok, n_runs, n_same) in zip(blobs, metas):
-        out += struct.pack("<IIIIII", offset, len(blob), n_soa, n_tok, n_runs, n_same)
+    for blob, (n_soa, n_tok, n_runs, n_same, mode) in zip(blobs, metas):
+        out += struct.pack("<IIIIIII", offset, len(blob), n_soa, n_tok, n_runs, n_same, mode)
         offset += len(blob)
     return bytes(out) + b"".join(blobs)
 
@@ -124,15 +169,15 @@ def micw_parse(blob: bytes):
     max_value, flags, lanes_log2 = struct.unpack_from("<HBB", blob, 20)
     hdr = MICW_HEADER
     table = [
-        struct.unpack_from("<IIIIII", blob, hdr + s * MICW_ENTRY) for s in range(num_strips)
+        struct.unpack_from("<IIIIIII", blob, hdr + s * MICW_ENTRY) for s in range(num_strips)
     ]
     data0 = hdr + num_strips * MICW_ENTRY
     strips = []
-    for off, ln, n_soa, n_tok, n_runs, n_same in table:
+    for off, ln, n_soa, n_tok, n_runs, n_same, mode in table:
         start = data0 + off
         if start + ln > len(blob):
             raise ValueError("micw: strip data out of bounds")
-        strips.append((blob[start : start + ln], n_soa, n_tok, n_runs, n_same))
+        strips.append((blob[start : start + ln], n_soa, n_tok, n_runs, n_same, mode))
     predictor = "avg" if flags & FLAG_AVG_PREDICTOR else "zz"
     return width, height, num_strips, strip_h, max_value, predictor, 1 << lanes_log2, strips
 
@@ -267,12 +312,20 @@ def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
     _thr, delim = delta_params(max_value)
     mid = _rle_mid(max_value)
 
-    parsed = [mict_parse(b) for b, *_ in strips]
-    groups: dict[int, list[int]] = {}
-    for i, p in enumerate(parsed):
-        groups.setdefault(p[1], []).append(i)
-
     out = np.empty(width * height, dtype=np.uint16)
+    parsed = {}
+    groups: dict[int, list[int]] = {}
+    for i, st in enumerate(strips):
+        if st[5] == STRIP_MODE_RAW:
+            y0 = i * strip_h
+            sh = min(strip_h, height - y0)
+            out[y0 * width : (y0 + sh) * width] = np.frombuffer(
+                st[0], dtype="<u2", count=width * sh
+            )
+            continue
+        p = mict_parse(st[0])
+        parsed[i] = p
+        groups.setdefault(p[1], []).append(i)
     for g_tl, idxs in groups.items():
         arrays, meta = build_strip_batch(
             [parsed[i] for i in idxs], [strips[i] for i in idxs], g_tl
@@ -306,9 +359,12 @@ def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
     mid = _rle_mid(max_value)
     kind = "zz" if predictor == "zz" else "avg"
     out = np.empty(width * height, dtype=np.uint16)
-    for i, (b, _n_soa, n_tok, n_runs, n_same) in enumerate(strips):
+    for i, (b, _n_soa, n_tok, n_runs, n_same, mode) in enumerate(strips):
         y0 = i * strip_h
         sh = min(strip_h, height - y0)
+        if mode == STRIP_MODE_RAW:
+            out[y0 * width : (y0 + sh) * width] = np.frombuffer(b, dtype="<u2", count=width * sh)
+            continue
         soa = mict_decode_numpy(b)
         tokens = soa_expand(soa, n_runs, n_same, mid)
         if len(tokens) != n_tok:
@@ -340,12 +396,25 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
         _thr, delim = delta_params(max_value)
         metas.append((width, height, num_strips, strip_h))
         for si, strip in enumerate(strips):
+            if strip[5] == STRIP_MODE_RAW:
+                pool.setdefault("raw", []).append((bi, si, None, strip))
+                continue
             p = mict_parse(strip[0])
             key = (p[1], width, strip_h, mid, delim)
             pool.setdefault(key, []).append((bi, si, p, strip))
 
     outs = [np.empty(m[0] * m[1], dtype=np.uint16) for m in metas]
-    for (tl, width, strip_h, mid, delim), items in pool.items():
+    for key, items in pool.items():
+        if key == "raw":
+            for bi, si, _p, st in items:
+                w, h, _n, sh = metas[bi]
+                y0 = si * sh
+                rows = min(sh, h - y0)
+                outs[bi][y0 * w : (y0 + rows) * w] = np.frombuffer(
+                    st[0], dtype="<u2", count=w * rows
+                )
+            continue
+        tl, width, strip_h, mid, delim = key
         parsed = [it[2] for it in items]
         strips = [it[3] for it in items]
         arrays, meta = build_strip_batch(parsed, strips, tl)

@@ -86,6 +86,8 @@ def rgb_tissue():
     return data, 512, 384
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped with a fixed seed: each test sees the same stream
+    # regardless of execution order or new tests being added.
     return np.random.default_rng(1234)

@@ -148,14 +148,13 @@ def test_gap_removal_dense_passthrough(rng):
     assert np.array_equal(out, img.ravel())
 
 
-@pytest.mark.parametrize("mode_data", ["sparse_small", "sparse_wide"])
-def test_gap_removal_modes(mode_data, rng):
-    if mode_data == "sparse_small":
-        vals = np.array([3, 40, 100, 180, 220], dtype=np.uint16)
-    else:
-        vals = (np.arange(40) * 1637 % 60000).astype(np.uint16)
-    img = rng.choice(vals, 64 * 64).astype(np.uint16)
-    img = np.sort(img).reshape(64, 64).ravel()  # some spatial coherence
+@pytest.mark.parametrize("scale,want_mode", [(97, 0x03), (256, 0x03), (513, 0x01)])
+def test_gap_removal_modes(scale, want_mode, rng):
+    """Sparse residual alphabets (quantized smooth images) exercise the
+    delta-list and raw expand-map modes."""
+    img = (rng.standard_normal((64, 64)).cumsum(axis=1) * 3 + 40).astype(np.int32)
+    img = (img.clip(0, 120) * scale).astype(np.uint16).ravel()
     blob = compress_single_frame_gap_removal(img, 64, 64, int(img.max()))
+    assert blob[0] == want_mode
     out = decompress_single_frame_gap_removal(blob, 64, 64)
     assert np.array_equal(out, img)
