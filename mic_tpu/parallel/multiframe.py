@@ -33,6 +33,8 @@ __all__ = [
     "compress_multi_frame",
     "decompress_multi_frame",
     "decompress_frame",
+    "compress_multi_frame_device",
+    "decompress_multi_frame_device",
 ]
 
 MIC2_MAGIC = b"MIC2"
@@ -124,6 +126,10 @@ def decompress_multi_frame(data: bytes):
         if hdr.temporal and i > 0:
             residuals = decompress_residual_frame(blob)
             pixels = temporal_delta_decode(residuals, prev)
+        elif blob[:4] == b"MICW":
+            from ..tpu.strips import micw_decompress_host
+
+            pixels = micw_decompress_host(blob)[0]
         else:
             pixels = decompress_single_frame(blob, hdr.width, hdr.height)
         frames.append(pixels)
@@ -139,6 +145,10 @@ def decompress_frame(data: bytes, frame_idx: int):
         raise ValueError(f"frame index {frame_idx} out of range [0, {hdr.frame_count})")
     if not hdr.temporal:
         blob = extract_frame(data, entries, data_offset, frame_idx)
+        if blob[:4] == b"MICW":
+            from ..tpu.strips import micw_decompress_host
+
+            return micw_decompress_host(blob)[0], hdr
         return decompress_single_frame(blob, hdr.width, hdr.height), hdr
     prev = None
     for i in range(frame_idx + 1):
@@ -149,3 +159,27 @@ def decompress_frame(data: bytes, frame_idx: int):
         else:
             prev = decompress_single_frame(blob, hdr.width, hdr.height)
     return prev, hdr
+
+
+def compress_multi_frame_device(frames, width, height, max_value, lanes: int = 1024) -> bytes:
+    """MIC2 container whose frame payloads are MICW device-format blobs:
+    independent frames, all decodable in one fused device program
+    (the device analog of MIC2's O(1) frame parallel access)."""
+    from ..tpu.strips import micw_compress
+
+    blobs = [
+        micw_compress(np.asarray(f, dtype=np.uint16), width, height, max_value, lanes=lanes)
+        for f in frames
+    ]
+    return write_mic2(MIC2Header(width, height, len(frames), temporal=False), blobs)
+
+
+def decompress_multi_frame_device(data: bytes):
+    """Batch-decode a device-format MIC2 on the accelerator: every frame's
+    strips pool into as few fused programs as possible.
+    Returns (frames, header)."""
+    from ..tpu.strips import micw_decode_batch
+
+    hdr, entries, data_offset = read_mic2_header(data)
+    blobs = [extract_frame(data, entries, data_offset, i) for i in range(hdr.frame_count)]
+    return micw_decode_batch(blobs), hdr

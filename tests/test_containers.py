@@ -277,3 +277,38 @@ def test_wsi_pyramid_level_dims(rgb_tissue):
     assert hdr.levels[0].width == w and hdr.levels[0].height == h
     for i in range(1, len(hdr.levels)):
         assert hdr.levels[i].width == hdr.levels[i - 1].width // 2
+
+
+def test_mic2_device_format_frames(rng):
+    """MIC2 carrying MICW device-format frames: batch device decode and
+    host sniffing both roundtrip."""
+    import jax
+
+    from mic_tpu.parallel.multiframe import (
+        compress_multi_frame_device,
+        decompress_multi_frame,
+        decompress_multi_frame_device,
+        decompress_frame,
+    )
+
+    h, w = 32, 64
+    base = (
+        ((rng.standard_normal((h, w)).cumsum(axis=1) * 10 + 500).astype(np.int32) >> 2 << 2)
+        .clip(0, 1023)
+        .astype(np.uint16)
+    )
+    frames = [base.ravel()]
+    for _ in range(2):
+        frames.append(
+            ((frames[-1].astype(np.int32) + rng.integers(-1, 2, h * w) * 4).clip(0, 1023)).astype(
+                np.uint16
+            )
+        )
+    blob = compress_multi_frame_device(frames, w, h, 1023, lanes=64)
+    with jax.disable_jit():
+        out, hdr = decompress_multi_frame_device(blob)
+    assert all(np.array_equal(a, b) for a, b in zip(out, frames))
+    out2, _ = decompress_multi_frame(blob)
+    assert all(np.array_equal(a, b) for a, b in zip(out2, frames))
+    one, _ = decompress_frame(blob, 2)
+    assert np.array_equal(one, frames[2])
