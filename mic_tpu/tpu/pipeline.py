@@ -39,6 +39,7 @@ __all__ = [
     "soa_rle_expand_device",
     "parse_escaped_device",
     "zz_delta_inverse_device",
+    "avg_delta_inverse_device",
 ]
 
 
@@ -222,3 +223,46 @@ def zz_delta_inverse_device(
     # add it back for rows whose segment base is the non-raw x==0.
     out = out + jnp.where((reset_pos == 0) & ~raw[:, :1], add[:, :1], 0)
     return (out & 0xFFFF).astype(jnp.uint16).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def avg_delta_inverse_device(
+    values: jax.Array, is_raw: jax.Array, thr: jax.Array, width: int, height: int
+):
+    """Invert the avg(left, top) predictor on device via anti-diagonal
+    wavefronts k = 2*i + j (all four neighbour positions lie on strictly
+    earlier wavefronts — see ops/predictors.predictor_decode).
+
+    Each of the 2(h-1)+w wavefront steps is a masked full-grid update, so
+    total work is O(n * (2h+w)) elementwise VPU ops — the parity mode for
+    the reference's default predictor; the ZZ mode (log-depth segmented
+    scans) remains the throughput path.
+    """
+    v = values.reshape(height, width).astype(jnp.int32)
+    raw = is_raw.reshape(height, width)
+    diff = v - thr
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    wave = 2 * rows + cols
+
+    def shift_left(a):  # a[i, j-1]
+        return jnp.pad(a, ((0, 0), (1, 0)))[:, :-1]
+
+    def shift_up(a):  # a[i-1, j]
+        return jnp.pad(a, ((1, 0), (0, 0)))[:-1, :]
+
+    def body(k, out):
+        left = shift_left(out)
+        top = shift_up(out)
+        pred = jnp.where(
+            rows == 0,
+            jnp.where(cols == 0, 0, left),
+            jnp.where(cols == 0, top, (left + top) >> 1),
+        )
+        cand = jnp.where(raw, v, (pred + diff) & 0xFFFF)
+        return jnp.where(wave == k, cand, out)
+
+    out = jnp.zeros((height, width), dtype=jnp.int32)
+    out = jax.lax.fori_loop(0, 2 * (height - 1) + width, body, out)
+    return out.astype(jnp.uint16).reshape(-1)

@@ -42,7 +42,12 @@ from ..ops.fse import IncompressibleError, UseRLEError
 from ..ops.predictors import delta_params
 from ..ops.rle import rle_to_soa, soa_expand
 from .device_rans import device_tables, mict_encode, mict_parse
-from .pipeline import parse_escaped_device, soa_rle_expand_device, zz_delta_inverse_device
+from .pipeline import (
+    avg_delta_inverse_device,
+    parse_escaped_device,
+    soa_rle_expand_device,
+    zz_delta_inverse_device,
+)
 
 __all__ = [
     "micw_compress",
@@ -205,10 +210,15 @@ def decode_strip_batch_impl(
     max_tokens: int,
     mid_count: int,
     delim: int,
+    predictor: str = "zz",
 ):
     """One fused device program: wide-lane rANS → SoA-RLE expand → escape
-    parse → ZZ predictor inverse, vmapped over the strip axis.  Unjitted
-    so it can be wrapped by jit (single chip) or shard_map (mesh)."""
+    parse → predictor inverse, vmapped over the strip axis.  Unjitted so
+    it can be wrapped by jit (single chip) or shard_map (mesh).
+
+    predictor "zz" inverts with log-depth segmented scans (throughput
+    path); "avg" uses the anti-diagonal wavefront (reference-default
+    predictor parity at higher latency)."""
     L = init_states.shape[1]
     mask = jnp.uint32((1 << table_log) - 1)
     lane = jnp.arange(L, dtype=jnp.uint32)
@@ -245,6 +255,10 @@ def decode_strip_batch_impl(
         vals, is_raw = parse_escaped_device(
             tokens[1:], n_tok - 1, jnp.int32(delim), width * strip_h
         )
+        if predictor == "avg":
+            return avg_delta_inverse_device(
+                vals, is_raw, jnp.int32(delim >> 1), width, strip_h
+            )
         return zz_delta_inverse_device(vals, is_raw, jnp.int32(0), width, strip_h)
 
     pixels = jax.vmap(post_one)(rle_syms, n_tokens, n_runs, n_same)
@@ -253,7 +267,7 @@ def decode_strip_batch_impl(
 
 _decode_strip_batch = partial(jax.jit, static_argnames=(
     "table_log", "n_steps", "width", "strip_h", "max_runs", "max_tokens",
-    "mid_count", "delim",
+    "mid_count", "delim", "predictor",
 ))(decode_strip_batch_impl)
 
 
@@ -307,8 +321,6 @@ def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
     """Decode a MICW container in one fused device program (strips grouped
     by tableLog).  Returns (pixels, width, height)."""
     width, height, num_strips, strip_h, max_value, predictor, _lanes, strips = micw_parse(blob)
-    if predictor != "zz":
-        raise NotImplementedError("device decode currently supports the zz predictor")
     _thr, delim = delta_params(max_value)
     mid = _rle_mid(max_value)
 
@@ -340,6 +352,7 @@ def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
             max_tokens=meta["max_tokens"],
             mid_count=mid,
             delim=delim,
+            predictor=predictor,
         )
         sub = np.asarray(sub)
         for j, i in enumerate(idxs):
@@ -390,8 +403,6 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
     pool: dict[tuple, list] = {}
     for bi, blob in enumerate(blobs):
         width, height, num_strips, strip_h, max_value, predictor, _lanes, strips = micw_parse(blob)
-        if predictor != "zz":
-            raise NotImplementedError("device decode currently supports the zz predictor")
         mid = _rle_mid(max_value)
         _thr, delim = delta_params(max_value)
         metas.append((width, height, num_strips, strip_h))
@@ -400,7 +411,7 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
                 pool.setdefault("raw", []).append((bi, si, None, strip))
                 continue
             p = mict_parse(strip[0])
-            key = (p[1], width, strip_h, mid, delim)
+            key = (p[1], width, strip_h, mid, delim, predictor)
             pool.setdefault(key, []).append((bi, si, p, strip))
 
     outs = [np.empty(m[0] * m[1], dtype=np.uint16) for m in metas]
@@ -414,7 +425,7 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
                     st[0], dtype="<u2", count=w * rows
                 )
             continue
-        tl, width, strip_h, mid, delim = key
+        tl, width, strip_h, mid, delim, predictor = key
         parsed = [it[2] for it in items]
         strips = [it[3] for it in items]
         arrays, meta = build_strip_batch(parsed, strips, tl)
@@ -428,6 +439,7 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
             max_tokens=meta["max_tokens"],
             mid_count=mid,
             delim=delim,
+            predictor=predictor,
         )
         sub = np.asarray(sub)
         for j, (bi, si, _p, _s) in enumerate(items):

@@ -265,3 +265,20 @@ def test_pallas_wavelet_2d_separated(shape, levels, rng):
     assert np.array_equal(got, want.reshape(r, c).astype(np.int32))
     back = np.asarray(wavelet_inverse_2d_separated_tpu(jnp.asarray(got), rows=r, cols=c, levels=levels))
     assert np.array_equal(back, img.astype(np.int32))
+
+
+def test_micw_avg_predictor_device(rng):
+    """MICW avg mode: wavefront inversion on device matches host + pixels."""
+    from mic_tpu.tpu.strips import micw_decompress_device
+
+    h, w = 40, 48
+    img = (
+        ((rng.standard_normal((h, w)).cumsum(axis=1) * 10 + 800).astype(np.int32) >> 2 << 2)
+        .clip(0, 2047)
+        .astype(np.uint16)
+    )
+    blob = micw_compress(img.ravel(), w, h, int(img.max()), lanes=64, predictor="avg")
+    a, _, _ = micw_decompress_host(blob)
+    b, _, _ = micw_decompress_device(blob)
+    assert np.array_equal(a, img.ravel())
+    assert np.array_equal(a, b)
