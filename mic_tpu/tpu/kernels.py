@@ -106,10 +106,12 @@ def ycocgr_inverse_tpu(y: jax.Array, co: jax.Array, cg: jax.Array):
 # (waveletu16.go:314-412), transposed to rows.
 
 
-def _wt53_fwd_kernel(x_ref, out_ref, *, n: int):
-    x = x_ref[:].astype(jnp.int32)
-    even = x[:, 0::2]
-    odd = x[:, 1::2]
+def _wt53_fwd_kernel(even_ref, odd_ref, s_ref, d_ref, *, n: int):
+    """Lifting on pre-split even/odd halves: pure VPU math with static
+    slices only (Mosaic does not lower strided gathers; the interleave
+    and de-interleave live outside the kernel where XLA handles them)."""
+    even = even_ref[:].astype(jnp.int32)
+    odd = odd_ref[:].astype(jnp.int32)
     n_half = n // 2
     if n % 2 == 1:
         right = even[:, 1:]
@@ -121,17 +123,13 @@ def _wt53_fwd_kernel(x_ref, out_ref, *, n: int):
     else:
         d_right = d
     d_left = jnp.concatenate([d_right[:, :1], d[:, : ((n + 1) // 2) - 1]], axis=1)
-    s = even + ((d_left + d_right + 2) >> 2)
-    out = jnp.zeros_like(x)
-    out = out.at[:, 0::2].set(s)
-    out = out.at[:, 1::2].set(d)
-    out_ref[:] = out
+    s_ref[:] = even + ((d_left + d_right + 2) >> 2)
+    d_ref[:] = d
 
 
-def _wt53_inv_kernel(x_ref, out_ref, *, n: int):
-    x = x_ref[:].astype(jnp.int32)
-    s = x[:, 0::2]
-    d = x[:, 1::2]
+def _wt53_inv_kernel(s_in_ref, d_in_ref, even_ref, odd_ref, *, n: int):
+    s = s_in_ref[:].astype(jnp.int32)
+    d = d_in_ref[:].astype(jnp.int32)
     n_half = n // 2
     n_low = (n + 1) // 2
     if n % 2 == 1:
@@ -144,40 +142,57 @@ def _wt53_inv_kernel(x_ref, out_ref, *, n: int):
         right = even[:, 1:]
     else:
         right = jnp.concatenate([even[:, 1:], even[:, -1:]], axis=1)
-    odd = d + ((even[:, :n_half] + right) >> 1)
-    out = jnp.zeros_like(x)
-    out = out.at[:, 0::2].set(even)
-    out = out.at[:, 1::2].set(odd)
-    out_ref[:] = out
+    even_ref[:] = even
+    odd_ref[:] = d + ((even[:, :n_half] + right) >> 1)
 
 
-def _rows_pass(x: jax.Array, kernel) -> jax.Array:
-    rows, cols = x.shape
-    if cols < 2:
-        return x
+def _wt53_call(kernel, a: jax.Array, b: jax.Array, n: int, out_cols):
+    rows = a.shape[0]
     block = min(rows, 256)
     grid = (rows + block - 1) // block
+    shapes = tuple(jax.ShapeDtypeStruct((rows, c), jnp.int32) for c in out_cols)
     return pl.pallas_call(
-        partial(kernel, n=cols),
-        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.int32),
+        partial(kernel, n=n),
+        out_shape=shapes,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((block, cols), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((block, cols), lambda i: (i, 0)),
+        in_specs=[
+            pl.BlockSpec((block, a.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((block, b.shape[1]), lambda i: (i, 0)),
+        ],
+        out_specs=tuple(pl.BlockSpec((block, c), lambda i: (i, 0)) for c in out_cols),
         interpret=_interpret(),
-    )(x.astype(jnp.int32))
+    )(a.astype(jnp.int32), b.astype(jnp.int32))
 
 
 @jax.jit
 def wt53_rows_forward_tpu(x: jax.Array) -> jax.Array:
     """Forward 5/3 lifting along axis 1 (interleaved output), gridded over
     row blocks.  Bit-exact with ops.wavelet.wt53_forward_1d(axis=1)."""
-    return _rows_pass(x, _wt53_fwd_kernel)
+    rows, cols = x.shape
+    if cols < 2:
+        return x.astype(jnp.int32)
+    even, odd = x[:, 0::2], x[:, 1::2]  # strided split outside the kernel
+    n_low, n_half = (cols + 1) // 2, cols // 2
+    s, d = _wt53_call(_wt53_fwd_kernel, even, odd, cols, (n_low, n_half))
+    out = jnp.zeros((rows, cols), jnp.int32)
+    out = out.at[:, 0::2].set(s)
+    out = out.at[:, 1::2].set(d)
+    return out
 
 
 @jax.jit
 def wt53_rows_inverse_tpu(x: jax.Array) -> jax.Array:
     """Inverse of wt53_rows_forward_tpu."""
-    return _rows_pass(x, _wt53_inv_kernel)
+    rows, cols = x.shape
+    if cols < 2:
+        return x.astype(jnp.int32)
+    s, d = x[:, 0::2], x[:, 1::2]
+    n_low, n_half = (cols + 1) // 2, cols // 2
+    even, odd = _wt53_call(_wt53_inv_kernel, s, d, cols, (n_low, n_half))
+    out = jnp.zeros((rows, cols), jnp.int32)
+    out = out.at[:, 0::2].set(even)
+    out = out.at[:, 1::2].set(odd)
+    return out
 
 
 # ─────────────── multi-level 2D wavelet on device ───────────────
