@@ -6,14 +6,15 @@ reference's C decoder already discovered the right shape — two-pass
 (mic_decompress_c.c:562-800); here every pass is a data-parallel device
 program with static shapes:
 
-* **RLE header parse** is a linked-list ranking problem (each header's
-  count points at the next header).  Solved with pointer doubling:
-  log2(m) rounds of gather+scatter instead of a serial walk.
-* **Run expansion** scatters run boundaries into the output index space,
-  then a cumsum assigns every output slot its run id — the device mirror
-  of the C decoder's SIMD fills.
+* **RLE expansion**: the device format stores RLE as structure-of-arrays
+  ([counts][same-values][literals]), so run boundaries are cumsums over
+  the counts section and every output slot finds its run with a
+  searchsorted (log-depth gathers — TPU scatters serialize, gathers
+  vectorize).  For the *host* interleaved format there is also a
+  list-ranking parser (pointer doubling over the speculative next-header
+  map) — correct everywhere but scatter-bound on TPU.
 * **Escape parsing** uses the run-parity property (see
-  ops/predictors.parse_escaped) — masks and cumsums only.
+  ops/predictors.parse_escaped) — masks, cumsums, and searchsorted only.
 * **Predictor inversion** for the device format's ZZ (left-neighbour)
   predictor is a *segmented prefix sum* — log-depth, fully parallel.
   (This is why the device format defaults to the ZZ predictor: the
