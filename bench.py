@@ -1,10 +1,11 @@
 """Headline benchmark: fused device decode throughput on real TPU.
 
-Measures the flagship path — MICW wide-lane rANS + RLE expand + predictor
-inversion, one fused XLA program over a batch of strips — in sustained
-steady state (decoded pixels stay device-resident, as they would when
-feeding a TPU training/inference pipeline; compressed payloads and tables
-are staged once, as a decode service would).
+Measures the flagship path — MICW (zzd predictor) decoded by the Pallas
+wide-lane rANS kernel (mic_tpu/tpu/pallas_rans.py) plus the fused XLA
+post-stage (unzigzag + row prefix-sum) — in sustained steady state
+(decoded pixels stay device-resident, as they would when feeding a TPU
+training/inference pipeline; compressed payloads and decode tables are
+staged once, as a decode service would).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
@@ -27,6 +28,11 @@ import numpy as np
 BASELINE_GBPS = 7.5
 CT_PATH = "/root/reference/testdata/CT_512_512_image.bin"
 
+# Images decoded per kernel launch.  128 CT-512 images = 1024 strips of
+# 64 rows x 128 lanes; the kernel grids over strip-groups of 32, so VMEM
+# stays bounded at any batch size.
+BATCH_IMAGES = 128
+
 
 def _load_image():
     p = Path(CT_PATH)
@@ -39,72 +45,60 @@ def _load_image():
 
 
 def main() -> None:
-    import jax
     import jax.numpy as jnp
 
     from mic_tpu.ops.predictors import delta_params
     from mic_tpu.tpu.device_rans import mict_parse
-    from mic_tpu.tpu.strips import (
-        _decode_strip_batch,
-        build_strip_batch,
-        micw_compress,
-        micw_parse,
-    )
+    from mic_tpu.tpu.pallas_rans import build_pallas_tables, rans_decode_pallas
+    from mic_tpu.tpu.strips import _micw_post_batch, _rle_mid, micw_compress, micw_parse
 
     img = _load_image()
     h, w = img.shape
     mx = int(img.max())
 
-    # Batch: BATCH copies of the image, 8 strips each, 1024 lanes — deep
-    # enough to amortize per-step scan latency across many vector lanes.
-    BATCH = 16
-    STRIPS = 1
-    LANES = 1024
-    blob = micw_compress(img.ravel(), w, h, mx, num_strips=STRIPS, lanes=LANES)
+    # Default MICW geometry: zzd predictor (no RLE, bijective zigzag row
+    # deltas), 64-row strips, 128 lanes.
+    blob = micw_compress(img.ravel(), w, h, mx)
     width, height, n_strips, strip_h, max_value, _pred, _lanes, strips = micw_parse(blob)
-    parsed = [mict_parse(b) for b, *_ in strips]
-    tls = {p[1] for p in parsed}
-    tl = max(tls)
-    # Keep only strips at the modal tableLog for a uniform batch (bench
-    # geometry only; the production decoder groups by tableLog).
-    keep = [i for i, p in enumerate(parsed) if p[1] == tl]
-    parsed = [parsed[i] for i in keep]
-    strips = [strips[i] for i in keep]
-    parsed = parsed * BATCH
-    strips = strips * BATCH
+    base_parsed = [mict_parse(b) for b, *_ in strips]
+    tl = max(p[1] for p in base_parsed)
 
-    arrays, meta = build_strip_batch(parsed, strips, tl)
+    parsed = base_parsed * BATCH_IMAGES
+    strips_b = strips * BATCH_IMAGES
+    S = len(parsed)
+    init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(parsed, tl)
+    args = tuple(jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift))
+    n_tok = jnp.asarray(np.array([st[2] for st in strips_b], np.int32))
+    zeros = jnp.zeros(S, jnp.int32)
     _thr, delim = delta_params(max_value)
-    mid = (1 << (int(delim).bit_length() - 1)) - 1
-    static = dict(
-        table_log=tl,
-        n_steps=meta["n_steps"],
-        width=width,
-        strip_h=strip_h,
-        max_runs=meta["max_runs"],
-        max_tokens=meta["max_tokens"],
-        mid_count=mid,
-        delim=delim,
-    )
-    dev_arrays = tuple(jnp.asarray(a) for a in arrays)
+    mid = _rle_mid(max_value)
 
-    # Compile + correctness check on the first strip batch.
-    out = _decode_strip_batch(*dev_arrays, **static)
+    def decode():
+        syms = rans_decode_pallas(*args, steps=steps, n_strips=S, table_log=tl)
+        flat = jnp.transpose(syms, (1, 0, 2)).reshape(S, -1)
+        return _micw_post_batch(
+            flat, n_tok, zeros, zeros,
+            width=width, strip_h=strip_h, max_runs=128, max_tokens=128,
+            mid_count=mid, delim=delim, predictor="zzd",
+        )
+
+    # Compile + bit-exactness check over one full image's strips.
+    out = decode()
     out.block_until_ready()
-    got = np.asarray(out[: len(keep)])
-    for j, i in enumerate(keep):
+    got = np.asarray(out[:n_strips])
+    for i in range(n_strips):
         y0 = i * strip_h
         sh = min(strip_h, height - y0)
-        if not np.array_equal(got[j][: sh * width], img[y0 : y0 + sh].ravel()):
+        if not np.array_equal(got[i][: sh * width], img[y0 : y0 + sh].ravel()):
             print(json.dumps({"metric": "decode_error", "value": 0, "unit": "GB/s", "vs_baseline": 0}))
             return
 
     # Steady state.
-    n_pixel_bytes = arrays[0].shape[0] * strip_h * width * 2
+    n_pixel_bytes = BATCH_IMAGES * img.nbytes
     reps = 30
     t0 = time.time()
     for _ in range(reps):
-        out = _decode_strip_batch(*dev_arrays, **static)
+        out = decode()
     out.block_until_ready()
     dt = (time.time() - t0) / reps
 
@@ -112,7 +106,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "fused_device_decode_throughput_CT512_batch",
+                "metric": "pallas_device_decode_throughput_CT512_x128",
                 "value": round(gbps, 3),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / BASELINE_GBPS, 3),

@@ -1,0 +1,181 @@
+"""Pallas TPU kernel for the wide-lane rANS decode scan.
+
+The lax.scan implementation (tpu/decode.py) pays per-step kernel-launch
+overhead (~tens of µs on the tunneled runtime), which dominates at
+260-ish steps.  This kernel runs the *entire* scan inside one
+``pallas_call``: states live in vregs, tables and word streams in VMEM,
+and the only per-step costs are VPU ops.
+
+Mosaic constraints shape the design (all discovered empirically, v5e):
+
+* hardware gather = ``take_along_axis`` on [rows, 128] with table width
+  exactly 128 → the 2^tl-entry decode table is swept in 128-wide tiles
+  with a static Python loop (masked select per tile);
+* no ``cumsum`` → renorm compaction uses a Hillis–Steele scan built from
+  ``pltpu.roll``;
+* no ``scatter`` → per-strip word windows are built by concatenating
+  per-row dynamic slices.
+
+Geometry: strips ride the sublane axis in groups of 8 (one vreg), each
+strip contributing 128 lanes (MICW's default).  The strip-group axis is
+the pallas grid, so arbitrarily large batches decode in one launch with
+bounded VMEM (Mosaic double-buffers the per-group blocks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["rans_decode_pallas", "supports_pallas_rans"]
+
+
+def supports_pallas_rans() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _kernel(init_ref, tsym_ref, tfb_ref, words_ref, mask_ref, shift_ref, out_ref, *, steps, n_strips, table_log):
+    S = n_strips
+    TS = 1 << table_log
+    SWEEP = TS // 128
+
+    def body(t, carry):
+        x, cur = carry  # x: [S,128] uint32 states, cur: [S,1] int32 word cursors
+        slot = (x & mask_ref[:]).astype(jnp.int32)
+        hi = slot >> 7
+        lo = slot & 127
+        sym = jnp.zeros((S, 128), jnp.uint32)
+        fb = jnp.zeros((S, 128), jnp.uint32)
+        for h in range(SWEEP):
+            m = hi == h
+            ts_row = tsym_ref[:, pl.ds(h * 128, 128)]
+            tf_row = tfb_ref[:, pl.ds(h * 128, 128)]
+            sym = jnp.where(m, jnp.take_along_axis(ts_row, lo, axis=1), sym)
+            fb = jnp.where(m, jnp.take_along_axis(tf_row, lo, axis=1), fb)
+        f = fb >> 16
+        b = fb & jnp.uint32(0xFFFF)
+        xn = f * jax.lax.shift_right_logical(x, shift_ref[:]) + b
+        need = xn < jnp.uint32(1 << 16)
+        nee = need.astype(jnp.int32)  # int32: Mosaic lacks unsigned reductions
+        # Exclusive prefix sum along lanes (Hillis-Steele on rolls).
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+        inc = nee
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            rolled = pltpu.roll(inc, shift=sh, axis=1)
+            inc = inc + jnp.where(col >= sh, rolled, 0)
+        k = inc - nee
+        # Per-strip word windows: Mosaic requires 128-aligned minor-dim
+        # loads, so take the two aligned blocks covering [cur, cur+128)
+        # (words_ref is [S, W/128, 128]; major-dim indices may be dynamic).
+        win0 = jnp.concatenate(
+            [words_ref[s, pl.ds(cur[s, 0] >> 7, 1), :] for s in range(S)], axis=0
+        )
+        win1 = jnp.concatenate(
+            [words_ref[s, pl.ds((cur[s, 0] >> 7) + 1, 1), :] for s in range(S)], axis=0
+        )
+        idx = (cur & 127) + k  # [S,128], in [0, 255]
+        idx0 = idx & 127
+        wv = jnp.where(
+            idx < 128,
+            jnp.take_along_axis(win0, idx0, axis=1),
+            jnp.take_along_axis(win1, idx0, axis=1),
+        )
+        xn = jnp.where(need, (xn << jnp.uint32(16)) | wv, xn)
+        out_ref[pl.ds(t, 1), :, :] = sym.astype(jnp.uint16).reshape(1, S, 128)
+        newcur = cur + jnp.sum(nee, axis=1, keepdims=True)
+        # No max-guard needed: valid streams keep states >= 2^16; pad
+        # lanes/steps may hold garbage but their outputs are discarded
+        # (Mosaic cannot legalize unsigned max anyway).
+        return (xn, newcur)
+
+    jax.lax.fori_loop(0, steps, body, (init_ref[:], jnp.zeros((S, 1), jnp.int32)))
+
+
+GROUP = 32  # strips per grid program (bounds VMEM; sweep empirically: 32 > 16 > 8)
+
+
+@partial(jax.jit, static_argnames=("steps", "n_strips", "table_log"))
+def rans_decode_pallas(init, tsym, tfb, words, mask, shift, *, steps, n_strips, table_log):
+    """Decode S strips × 128 lanes of wide-lane rANS in one kernel.
+
+    init: uint32[S,128] initial states.  tsym/tfb: uint32[S, 2^tl] decode
+    tables (tfb = freq<<16 | bias), tables of strips with smaller
+    tableLogs tiled up to 2^tl.  words: uint32[S, W/128, 128] per-strip
+    renorm streams (u16 values), padded by >=256.  mask/shift:
+    uint32[S,128] per-strip slot masks (2^tl_s - 1) and shifts (tl_s).
+    Returns uint16[steps, S, 128] symbols in (step, strip, lane) order.
+    """
+    S = init.shape[0]
+    if S % GROUP != 0:
+        # Pad the strip axis with copies of strip 0 so every grid program
+        # sees a full group; padded rows decode real (discarded) data, so
+        # no out-of-bounds word reads can occur.
+        pad = GROUP - S % GROUP
+        init, tsym, tfb, words, mask, shift = (
+            jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            for a in (init, tsym, tfb, words, mask, shift)
+        )
+        full = rans_decode_pallas(
+            init, tsym, tfb, words, mask, shift,
+            steps=steps, n_strips=S + pad, table_log=table_log,
+        )
+        return full[:, :S, :]
+    grid = S // GROUP
+    TS = 1 << table_log
+    W = words.shape[1] * words.shape[2]
+    return pl.pallas_call(
+        partial(_kernel, steps=steps, n_strips=GROUP, table_log=table_log),
+        out_shape=jax.ShapeDtypeStruct((steps, S, 128), jnp.uint16),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, TS), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, TS), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, words.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((steps, GROUP, 128), lambda i: (0, i, 0)),
+        interpret=not supports_pallas_rans(),
+    )(init, tsym, tfb, words, mask, shift)
+
+
+def build_pallas_tables(parsed, table_log: int):
+    """Build the kernel's table/state/word arrays from parsed MICT strips
+    (mict_parse outputs).  Strips with smaller tableLogs get their tables
+    tiled (slot masks stay valid because each strip's states never exceed
+    its own 2^tl in the low bits... the tiling makes any higher bits map
+    to the same entries)."""
+    from .device_rans import device_tables
+
+    S = len(parsed)
+    TS = 1 << table_log
+    init = np.zeros((S, 128), np.uint32)
+    tsym = np.zeros((S, TS), np.uint32)
+    tfb = np.zeros((S, TS), np.uint32)
+    wmax = ((max(len(p[4]) for p in parsed) + 384 + 127) // 128) * 128
+    words = np.zeros((S, wmax), np.uint32)
+    mask = np.zeros((S, 128), np.uint32)
+    shift = np.zeros((S, 128), np.uint32)
+    counts = []
+    for i, p in enumerate(parsed):
+        L, tl, count, states, wrds, norm, _sl = p
+        if L != 128:
+            raise ValueError("pallas rANS kernel requires 128 lanes per strip")
+        sym, fs, bs, _, _ = device_tables(norm, tl)
+        reps = TS // (1 << tl)
+        tsym[i] = np.tile(sym.astype(np.uint32), reps)
+        tfb[i] = np.tile((fs.astype(np.uint32) << 16) | bs.astype(np.uint32), reps)
+        init[i] = states
+        words[i, : len(wrds)] = wrds
+        mask[i, :] = (1 << tl) - 1
+        shift[i, :] = tl
+        counts.append(count)
+    steps = max((c + 127) // 128 for c in counts)
+    words = words.reshape(S, -1, 128)
+    return init, tsym, tfb, words, mask, shift, counts, steps

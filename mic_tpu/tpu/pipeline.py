@@ -41,6 +41,7 @@ __all__ = [
     "parse_escaped_device",
     "zz_delta_inverse_device",
     "avg_delta_inverse_device",
+    "zzd_inverse_device",
 ]
 
 
@@ -140,14 +141,16 @@ def soa_rle_expand_device(
     value_of_run = syms[jnp.minimum(n_runs + same_rank, m - 1)]
     lit_base = n_runs + n_same
 
-    # Label output slots with their run id — scatter-free: output slot k
-    # belongs to the run whose cumulative end first exceeds k (TPU scatters
-    # serialize; searchsorted is log-depth gathers).
-    run_end = jnp.cumsum(lengths)  # [max_runs], monotone (pads have len 0)
-    run_end = jnp.where(valid_run, run_end, jnp.int32(2**30))
+    # Label output slots with their run id: scatter run starts, cumsum.
+    # (Measured on v5e: batched scatters at per-strip sizes are fast;
+    # jnp.searchsorted lowers to a sequential lax.scan and is 40-80ms at
+    # these sizes — see ROUND1_NOTES.md.)
+    marks = jnp.zeros(max_out + 1, dtype=jnp.int32)
+    park = jnp.where(valid_run & (lengths > 0), out_start, max_out)
+    marks = marks.at[park].add(1)
+    run_id = jnp.cumsum(marks[:max_out]) - 1
+    rid = jnp.clip(run_id, 0, max_runs - 1)
     out_idx = jnp.arange(max_out, dtype=jnp.int32)
-    rid = jnp.searchsorted(run_end, out_idx, side="right").astype(jnp.int32)
-    rid = jnp.clip(rid, 0, max_runs - 1)
     lit_pos = lit_base + lit_start[rid] + (out_idx - out_start[rid])
     lit_v = syms[jnp.clip(lit_pos, 0, m - 1)]
     tokens = jnp.where(is_same[rid], value_of_run[rid], lit_v)
@@ -176,13 +179,12 @@ def parse_escaped_device(tokens: jax.Array, n_tokens: jax.Array, delim: jax.Arra
     consumed_as_raw = jnp.concatenate([jnp.array([False]), escape_marker[:-1]])
     token_start = ~consumed_as_raw & valid
 
-    # Compact token-start positions to the first n_pixels tokens —
-    # scatter-free rank/select: the r-th token start is the first position
-    # whose inclusive token_start cumsum reaches r+1.
-    t_cum = jnp.cumsum(token_start.astype(jnp.int32))
-    ranks = jnp.arange(1, n_pixels + 1, dtype=jnp.int32)
-    tok_pos = jnp.searchsorted(t_cum, ranks, side="left").astype(jnp.int32)
-    tok_pos = jnp.clip(tok_pos, 0, m - 1)
+    # Compact token-start positions to the first n_pixels tokens via
+    # scatter-max (junk parks in an overflow slot).
+    t_rank = jnp.cumsum(token_start.astype(jnp.int32)) - 1
+    tok_pos_full = jnp.zeros(n_pixels + 1, dtype=jnp.int32)
+    park = jnp.where(token_start & (t_rank < n_pixels), t_rank, n_pixels)
+    tok_pos = tok_pos_full.at[park].max(pos)[:n_pixels]
 
     is_raw = escape_marker[tok_pos]
     vals = jnp.where(is_raw, tokens[jnp.minimum(tok_pos + 1, m - 1)], tokens[tok_pos])
@@ -268,3 +270,14 @@ def avg_delta_inverse_device(
     out = jnp.zeros((height, width), dtype=jnp.int32)
     out = jax.lax.fori_loop(0, 2 * (height - 1) + width, body, out)
     return out.astype(jnp.uint16).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def zzd_inverse_device(syms: jax.Array, width: int, height: int):
+    """Invert the zz-direct predictor: unzigzag then per-row prefix sum
+    modulo 2^16.  No escapes exist (the mod-2^16 mapping is bijective),
+    so this is the cheapest possible inversion — one cumsum."""
+    v = syms[: width * height].astype(jnp.uint32)
+    dz = ((v >> 1) ^ (-(v & 1))).astype(jnp.int32)
+    img = jnp.cumsum(dz.reshape(height, width), axis=1)
+    return (img & 0xFFFF).astype(jnp.uint16).reshape(-1)

@@ -44,6 +44,7 @@ from ..ops.rle import rle_to_soa, soa_expand
 from .device_rans import device_tables, mict_encode, mict_parse
 from .pipeline import (
     avg_delta_inverse_device,
+    zzd_inverse_device,
     parse_escaped_device,
     soa_rle_expand_device,
     zz_delta_inverse_device,
@@ -54,6 +55,7 @@ __all__ = [
     "micw_decompress_device",
     "micw_decompress_host",
     "micw_decode_batch",
+    "micw_decompress_device_pallas",
     "micw_parse",
     "decode_strip_batch_impl",
     "build_strip_batch",
@@ -64,6 +66,7 @@ MICW_MAGIC = b"MICW"
 MICW_HEADER = 24
 MICW_ENTRY = 28
 FLAG_AVG_PREDICTOR = 0x01
+FLAG_DIRECT = 0x02  # zz-direct: no RLE, no escapes (mod-2^16 ZigZag diffs)
 STRIP_MODE_MICT = 0
 STRIP_MODE_RAW = 1  # raw u16 pixels (entropy stage rejected the strip)
 
@@ -113,14 +116,26 @@ def micw_compress(
     width: int,
     height: int,
     max_value: int,
-    num_strips: int = 1,
-    lanes: int = 1024,
-    predictor: str = "zz",
+    num_strips: int = 0,
+    lanes: int = 128,
+    predictor: str = "zzd",
 ) -> bytes:
-    """Compress into MICW.  Encoding is host-side (vectorized numpy)."""
+    """Compress into MICW.  Encoding is host-side (vectorized numpy).
+
+    Predictors: "zzd" (default) — zz-direct: per-row mod-2^16 ZigZag
+    deltas entropy-coded with NO RLE and NO escapes (the mapping is
+    bijective, so escapes are unnecessary); measured better ratio than
+    the RLE modes on the corpus AND the cheapest possible device
+    inversion (unzigzag + row cumsum).  "zz"/"avg" — the escaped
+    RLE pipelines shared with the host formats.
+    """
     pixels = np.asarray(pixels, dtype=np.uint16)
     if len(pixels) != width * height:
         raise ValueError("micw: pixel count mismatch")
+    if num_strips <= 0:
+        # Default geometry: ~64-row strips (vreg rows in the Pallas rANS
+        # kernel; per-strip arrays stay small for the post stages).
+        num_strips = max(1, height // 64)
     num_strips = max(1, min(num_strips, height))
     strip_h = (height + num_strips - 1) // num_strips
     actual = (height + strip_h - 1) // strip_h
@@ -133,19 +148,29 @@ def micw_compress(
         y1 = min(y0 + strip_h, height)
         sh = y1 - y0
         strip_px = pixels[y0 * width : y1 * width]
-        rle_stream = _fused_rle(strip_px, width, sh, max_value, predictor, mid)
-        soa, n_runs, n_same = rle_to_soa(rle_stream, 1, mid)
-        n_tokens = int(
-            np.sum(
-                np.where(
-                    soa[:n_runs] <= mid,
-                    soa[:n_runs].astype(np.int64),
-                    soa[:n_runs].astype(np.int64) - mid,
+        if predictor == "zzd":
+            img = strip_px.reshape(sh, width).astype(np.int64)
+            left = np.zeros_like(img)
+            left[:, 1:] = img[:, :-1]
+            d16 = (img - left).astype(np.uint16).astype(np.int16)
+            syms = (((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF
+                    ).astype(np.uint16).ravel()
+            n_runs = n_same = 0
+            n_tokens = len(syms)
+        else:
+            rle_stream = _fused_rle(strip_px, width, sh, max_value, predictor, mid)
+            syms, n_runs, n_same = rle_to_soa(rle_stream, 1, mid)
+            n_tokens = int(
+                np.sum(
+                    np.where(
+                        syms[:n_runs] <= mid,
+                        syms[:n_runs].astype(np.int64),
+                        syms[:n_runs].astype(np.int64) - mid,
+                    )
                 )
             )
-        )
         try:
-            blob = mict_encode(soa, lanes=lanes)
+            blob = mict_encode(syms, lanes=lanes)
             mode = STRIP_MODE_MICT
         except (IncompressibleError, UseRLEError, ValueError):
             # Raw fallback — the MICW analog of the WSI planeRaw path
@@ -153,12 +178,12 @@ def micw_compress(
             blob = strip_px.astype("<u2").tobytes()
             mode = STRIP_MODE_RAW
         blobs.append(blob)
-        metas.append((len(soa), n_tokens, n_runs, n_same, mode))
+        metas.append((len(syms), n_tokens, n_runs, n_same, mode))
 
     out = bytearray()
     out += MICW_MAGIC
     out += struct.pack("<IIII", width, height, actual, strip_h)
-    flags = FLAG_AVG_PREDICTOR if predictor == "avg" else 0
+    flags = {"avg": FLAG_AVG_PREDICTOR, "zzd": FLAG_DIRECT}.get(predictor, 0)
     out += struct.pack("<HBB", max_value, flags, int(np.log2(lanes)))
     offset = 0
     for blob, (n_soa, n_tok, n_runs, n_same, mode) in zip(blobs, metas):
@@ -183,7 +208,12 @@ def micw_parse(blob: bytes):
         if start + ln > len(blob):
             raise ValueError("micw: strip data out of bounds")
         strips.append((blob[start : start + ln], n_soa, n_tok, n_runs, n_same, mode))
-    predictor = "avg" if flags & FLAG_AVG_PREDICTOR else "zz"
+    if flags & FLAG_DIRECT:
+        predictor = "zzd"
+    elif flags & FLAG_AVG_PREDICTOR:
+        predictor = "avg"
+    else:
+        predictor = "zz"
     return width, height, num_strips, strip_h, max_value, predictor, 1 << lanes_log2, strips
 
 
@@ -248,6 +278,8 @@ def decode_strip_batch_impl(
     rle_syms = jax.vmap(rans_one)(init_states, words, tab_sym, tab_freq, tab_bias, counts)
 
     def post_one(soa, n_tok, nr, nsm):
+        if predictor == "zzd":
+            return zzd_inverse_device(soa, width, strip_h)
         tokens, _nt = soa_rle_expand_device(
             soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
         )
@@ -378,6 +410,13 @@ def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
         if mode == STRIP_MODE_RAW:
             out[y0 * width : (y0 + sh) * width] = np.frombuffer(b, dtype="<u2", count=width * sh)
             continue
+        if predictor == "zzd":
+            syms = mict_decode_numpy(b)[: width * sh].astype(np.uint16)
+            u = syms.astype(np.uint32)
+            dz = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)).astype(np.uint16).astype(np.int64)
+            img = np.cumsum(dz.reshape(sh, width), axis=1) & 0xFFFF
+            out[y0 * width : (y0 + sh) * width] = img.astype(np.uint16).ravel()
+            continue
         soa = mict_decode_numpy(b)
         tokens = soa_expand(soa, n_runs, n_same, mid)
         if len(tokens) != n_tok:
@@ -448,3 +487,76 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
             rows = min(sh, h - y0)
             outs[bi][y0 * w : (y0 + rows) * w] = sub[j][: rows * w]
     return outs
+
+
+def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
+    """MICW decode with the Pallas rANS kernel for the entropy stage
+    (requires 128 lanes/strip; falls back to the lax.scan path otherwise).
+    The post stages (SoA expand, escape parse, predictor inverse) run as
+    the jitted XLA program."""
+    from .pallas_rans import build_pallas_tables, rans_decode_pallas, supports_pallas_rans
+
+    width, height, num_strips, strip_h, max_value, predictor, lanes, strips = micw_parse(blob)
+    if lanes != 128 or any(st[5] != STRIP_MODE_MICT for st in strips):
+        return micw_decompress_device(blob)
+    _thr, delim = delta_params(max_value)
+    mid = _rle_mid(max_value)
+    parsed = [mict_parse(st[0]) for st in strips]
+    tl = max(p[1] for p in parsed)
+    init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(parsed, tl)
+    S = len(parsed)
+    rle_syms = rans_decode_pallas(
+        *[jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift)],
+        steps=steps, n_strips=S, table_log=tl,
+    )
+    # [steps, S, 128] -> per-strip [steps*128]
+    rle_flat = jnp.transpose(rle_syms, (1, 0, 2)).reshape(S, -1)
+    n_tokens = np.array([st[2] for st in strips], dtype=np.int32)
+    n_runs = np.array([st[3] for st in strips], dtype=np.int32)
+    n_same = np.array([st[4] for st in strips], dtype=np.int32)
+    max_runs = int(_round_up(int(n_runs.max()) + 1, 128))
+    max_tokens = int(_round_up(int(n_tokens.max()) + 1, 128))
+    out_dev = _micw_post_batch(
+        rle_flat,
+        jnp.asarray(n_tokens),
+        jnp.asarray(n_runs),
+        jnp.asarray(n_same),
+        width=width,
+        strip_h=strip_h,
+        max_runs=max_runs,
+        max_tokens=max_tokens,
+        mid_count=mid,
+        delim=delim,
+        predictor=predictor,
+    )
+    sub = np.asarray(out_dev)
+    out = np.empty(width * height, dtype=np.uint16)
+    for i in range(num_strips):
+        y0 = i * strip_h
+        sh = min(strip_h, height - y0)
+        out[y0 * width : (y0 + sh) * width] = sub[i][: sh * width]
+    return out, width, height
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "strip_h", "max_runs", "max_tokens", "mid_count", "delim", "predictor",
+))
+def _micw_post_batch(
+    rle_syms, n_tokens, n_runs, n_same, *,
+    width, strip_h, max_runs, max_tokens, mid_count, delim, predictor="zz",
+):
+    """Post-entropy stages as one jitted program, vmapped over strips."""
+    def post_one(soa, n_tok, nr, nsm):
+        if predictor == "zzd":
+            return zzd_inverse_device(soa, width, strip_h)
+        tokens, _nt = soa_rle_expand_device(
+            soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
+        )
+        vals, is_raw = parse_escaped_device(
+            tokens[1:], n_tok - 1, jnp.int32(delim), width * strip_h
+        )
+        if predictor == "avg":
+            return avg_delta_inverse_device(vals, is_raw, jnp.int32(delim >> 1), width, strip_h)
+        return zz_delta_inverse_device(vals, is_raw, jnp.int32(0), width, strip_h)
+
+    return jax.vmap(post_one)(rle_syms, n_tokens, n_runs, n_same)

@@ -26,7 +26,9 @@ GOLDEN = {
     "mic2": "7750a9305c897a16",
     "micr": "2737e26f318b2358",
     "mic3": "8e1b39ca2eb157f6",
-    "micw": "ea5cdc074f167c75",
+    # micw regenerated 2026-08-16: default predictor changed to zzd
+    # (direct zigzag row-delta, no RLE) — deliberate format-v3 bump.
+    "micw": "b664817d2f98f0a3",
 }
 
 

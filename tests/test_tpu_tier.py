@@ -161,7 +161,7 @@ def test_micw_parse_fields(mr_image):
     blob = micw_compress(px, w, h, mx, num_strips=4, lanes=128)
     width, height, n, strip_h, max_value, predictor, lanes, strips = micw_parse(blob)
     assert (width, height, n) == (w, h, 4)
-    assert max_value == mx and predictor == "zz" and lanes == 128
+    assert max_value == mx and predictor == "zzd" and lanes == 128
     assert len(strips) == 4
 
 
@@ -282,3 +282,44 @@ def test_micw_avg_predictor_device(rng):
     b, _, _ = micw_decompress_device(blob)
     assert np.array_equal(a, img.ravel())
     assert np.array_equal(a, b)
+
+
+def test_pallas_rans_kernel_interpret(rng):
+    """The Pallas rANS kernel (interpret mode on CPU) matches the host
+    decoder symbol-for-symbol, including the strip-padding branch
+    (S=2 strips padded up to GROUP)."""
+    import jax.numpy as jnp
+
+    from mic_tpu.tpu.device_rans import mict_decode_numpy, mict_parse
+    from mic_tpu.tpu.pallas_rans import build_pallas_tables, rans_decode_pallas
+    from mic_tpu.tpu.strips import micw_compress, micw_parse
+
+    img = (rng.standard_normal((32, 128)).cumsum(axis=1) * 20 + 800).astype(np.int32)
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    blob = micw_compress(px, 128, 32, int(px.max()), num_strips=2, lanes=128)
+    *_, strips = micw_parse(blob)
+    parsed = [mict_parse(st[0]) for st in strips]
+    tl = max(p[1] for p in parsed)
+    init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(parsed, tl)
+    out = rans_decode_pallas(
+        *[jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift)],
+        steps=steps, n_strips=len(parsed), table_log=tl,
+    )
+    out = np.asarray(out)
+    for i, st in enumerate(strips):
+        want = mict_decode_numpy(st[0])
+        # kernel emits (step, lane); strip stream order is lane-major per step
+        got = out[:, i, :].reshape(-1)[: len(want)]
+        assert np.array_equal(got, want)
+
+
+def test_micw_pallas_roundtrip(rng):
+    """Full MICW decode through the Pallas entropy kernel is bit-exact."""
+    from mic_tpu.tpu.strips import micw_compress, micw_decompress_device_pallas
+
+    img = (rng.standard_normal((48, 128)).cumsum(axis=1) * 15 + 900).astype(np.int32)
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    blob = micw_compress(px, 128, 48, int(px.max()), num_strips=3, lanes=128)
+    out, w, h = micw_decompress_device_pallas(blob)
+    assert (w, h) == (128, 48)
+    assert np.array_equal(np.asarray(out, dtype=np.uint16).ravel(), px)
