@@ -49,7 +49,7 @@ def main() -> None:
 
     from mic_tpu.ops.predictors import delta_params
     from mic_tpu.tpu.device_rans import mict_parse
-    from mic_tpu.tpu.pallas_rans import build_pallas_tables, rans_decode_pallas
+    from mic_tpu.tpu.pallas_rans import build_packed_tables, rans_decode_pallas_packed
     from mic_tpu.tpu.strips import _micw_post_batch, _rle_mid, micw_compress, micw_parse
 
     img = _load_image()
@@ -66,16 +66,18 @@ def main() -> None:
     parsed = base_parsed * BATCH_IMAGES
     strips_b = strips * BATCH_IMAGES
     S = len(parsed)
-    init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(parsed, tl)
-    args = tuple(jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift))
+    init, tpk, alpha, words, mask, shift, counts, steps, asweep = build_packed_tables(parsed, tl)
+    args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift))
     n_tok = jnp.asarray(np.array([st[2] for st in strips_b], np.int32))
     zeros = jnp.zeros(S, jnp.int32)
     _thr, delim = delta_params(max_value)
     mid = _rle_mid(max_value)
 
     def decode():
-        syms = rans_decode_pallas(*args, steps=steps, n_strips=S, table_log=tl)
-        flat = jnp.transpose(syms, (1, 0, 2)).reshape(S, -1)
+        syms = rans_decode_pallas_packed(
+            *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep
+        )
+        flat = syms.reshape(S, -1)
         return _micw_post_batch(
             flat, n_tok, zeros, zeros,
             width=width, strip_h=strip_h, max_runs=128, max_tokens=128,

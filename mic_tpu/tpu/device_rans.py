@@ -99,6 +99,7 @@ def mict_encode(
     symbols,
     lanes: int = 512,
     table_log: int = DEFAULT_TABLE_LOG,
+    max_table_log: int | None = None,
 ) -> bytes:
     """Encode a u16 symbol stream into the MICT wide-lane rANS format.
 
@@ -115,6 +116,11 @@ def mict_encode(
     if max_count == 1 or max_count < (n >> 15):
         raise IncompressibleError
     tl = optimal_table_log(table_log, n, symbol_len)
+    if max_table_log is not None and tl > max_table_log:
+        # Hard cap (the adaptive rule bumps tl up by symbol density): the
+        # packed Pallas decode kernel needs tl <= 11 so a whole table
+        # entry fits one u32 gather.  ~0.5% ratio cost on dense strips.
+        tl = max_table_log
     norm = normalize_count(counts, n, tl, symbol_len)
     try:
         _sym, _fs, _bs, freq, cumul = device_tables(norm, tl)

@@ -32,7 +32,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rans_decode_pallas", "supports_pallas_rans"]
+__all__ = [
+    "rans_decode_pallas",
+    "rans_decode_pallas_packed",
+    "build_pallas_tables",
+    "build_packed_tables",
+    "supports_pallas_rans",
+]
 
 
 def supports_pallas_rans() -> bool:
@@ -44,7 +50,7 @@ def _kernel(init_ref, tsym_ref, tfb_ref, words_ref, mask_ref, shift_ref, out_ref
     TS = 1 << table_log
     SWEEP = TS // 128
 
-    def body(t, carry):
+    def step(carry):
         x, cur = carry  # x: [S,128] uint32 states, cur: [S,1] int32 word cursors
         slot = (x & mask_ref[:]).astype(jnp.int32)
         hi = slot >> 7
@@ -86,14 +92,23 @@ def _kernel(init_ref, tsym_ref, tfb_ref, words_ref, mask_ref, shift_ref, out_ref
             jnp.take_along_axis(win1, idx0, axis=1),
         )
         xn = jnp.where(need, (xn << jnp.uint32(16)) | wv, xn)
-        out_ref[pl.ds(t, 1), :, :] = sym.astype(jnp.uint16).reshape(1, S, 128)
         newcur = cur + jnp.sum(nee, axis=1, keepdims=True)
         # No max-guard needed: valid streams keep states >= 2^16; pad
         # lanes/steps may hold garbage but their outputs are discarded
         # (Mosaic cannot legalize unsigned max anyway).
-        return (xn, newcur)
+        return (xn, newcur), sym
 
-    jax.lax.fori_loop(0, steps, body, (init_ref[:], jnp.zeros((S, 1), jnp.int32)))
+    def body(tb, carry):
+        # 8 steps per iteration: dynamic stores on the step axis must be
+        # 8-aligned (u16 sublane granularity), so buffer a block in vregs.
+        syms = []
+        for _ in range(8):
+            carry, sym = step(carry)
+            syms.append(sym.astype(jnp.uint16).reshape(S, 1, 128))
+        out_ref[:, pl.ds(tb * 8, 8), :] = jnp.concatenate(syms, axis=1)
+        return carry
+
+    jax.lax.fori_loop(0, steps // 8, body, (init_ref[:], jnp.zeros((S, 1), jnp.int32)))
 
 
 GROUP = 32  # strips per grid program (bounds VMEM; sweep empirically: 32 > 16 > 8)
@@ -108,7 +123,8 @@ def rans_decode_pallas(init, tsym, tfb, words, mask, shift, *, steps, n_strips, 
     tableLogs tiled up to 2^tl.  words: uint32[S, W/128, 128] per-strip
     renorm streams (u16 values), padded by >=256.  mask/shift:
     uint32[S,128] per-strip slot masks (2^tl_s - 1) and shifts (tl_s).
-    Returns uint16[steps, S, 128] symbols in (step, strip, lane) order.
+    Returns uint16[S, steps, 128] symbols: reshape(S, -1) gives each
+    strip's stream in order with no transpose.
     """
     S = init.shape[0]
     if S % GROUP != 0:
@@ -124,13 +140,13 @@ def rans_decode_pallas(init, tsym, tfb, words, mask, shift, *, steps, n_strips, 
             init, tsym, tfb, words, mask, shift,
             steps=steps, n_strips=S + pad, table_log=table_log,
         )
-        return full[:, :S, :]
+        return full[:S]
     grid = S // GROUP
     TS = 1 << table_log
     W = words.shape[1] * words.shape[2]
     return pl.pallas_call(
         partial(_kernel, steps=steps, n_strips=GROUP, table_log=table_log),
-        out_shape=jax.ShapeDtypeStruct((steps, S, 128), jnp.uint16),
+        out_shape=jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
@@ -140,7 +156,7 @@ def rans_decode_pallas(init, tsym, tfb, words, mask, shift, *, steps, n_strips, 
             pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
             pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((steps, GROUP, 128), lambda i: (0, i, 0)),
+        out_specs=pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
         interpret=not supports_pallas_rans(),
     )(init, tsym, tfb, words, mask, shift)
 
@@ -158,7 +174,14 @@ def build_pallas_tables(parsed, table_log: int):
     init = np.zeros((S, 128), np.uint32)
     tsym = np.zeros((S, TS), np.uint32)
     tfb = np.zeros((S, TS), np.uint32)
-    wmax = ((max(len(p[4]) for p in parsed) + 384 + 127) // 128) * 128
+    # Word-stream margin: steps is the max over strips (rounded up to the
+    # 8-step store block), so a shorter strip keeps renorming garbage
+    # states off the zero padding after its stream ends — reads must stay
+    # in bounds for (steps*128 - count) extra lane-steps.
+    steps = max((p[2] + 127) // 128 for p in parsed)
+    steps = (steps + 7) // 8 * 8
+    margin = max(steps * 128 - p[2] for p in parsed) + 256
+    wmax = ((max(len(p[4]) for p in parsed) + margin + 127) // 128) * 128
     words = np.zeros((S, wmax), np.uint32)
     mask = np.zeros((S, 128), np.uint32)
     shift = np.zeros((S, 128), np.uint32)
@@ -176,6 +199,163 @@ def build_pallas_tables(parsed, table_log: int):
         mask[i, :] = (1 << tl) - 1
         shift[i, :] = tl
         counts.append(count)
-    steps = max((c + 127) // 128 for c in counts)
     words = words.reshape(S, -1, 128)
     return init, tsym, tfb, words, mask, shift, counts, steps
+
+# ---------------------------------------------------------------------------
+# Packed variant: at tableLog <= 11 the whole decode-table entry fits one
+# u32 — (freq-1)<<21 | bias<<10 | rank, with rank indexing a per-strip
+# alphabet table (alphabet size <= 1024 <=> 10-bit rank; guaranteed when
+# sum(freq) = 2^10, and true in practice at 2^11 for medical residuals).
+# The per-step sweep then needs ONE gather per 128-slot tile instead of
+# two, plus a short alphabet sweep: 16+ceil(A/128) gathers/step vs 64 at
+# tableLog 12 — the sweep is the kernel's dominant cost (measured 52%).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_packed(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, out_ref, *, steps, n_strips, table_log, asweep):
+    S = n_strips
+    SWEEP = (1 << table_log) // 128
+
+    def step(carry):
+        x, cur = carry
+        slot = (x & mask_ref[:]).astype(jnp.int32)
+        hi = slot >> 7
+        lo = slot & 127
+        pk = jnp.zeros((S, 128), jnp.uint32)
+        for h in range(SWEEP):
+            m = hi == h
+            pk = jnp.where(m, jnp.take_along_axis(tpk_ref[:, pl.ds(h * 128, 128)], lo, axis=1), pk)
+        f = (pk >> 21) + 1
+        b = (pk >> 10) & jnp.uint32(0x7FF)
+        rank = (pk & jnp.uint32(0x3FF)).astype(jnp.int32)
+        xn = f * jax.lax.shift_right_logical(x, shift_ref[:]) + b
+        sym = jnp.zeros((S, 128), jnp.uint32)
+        rhi = rank >> 7
+        rlo = rank & 127
+        for h in range(asweep):
+            m = rhi == h
+            sym = jnp.where(m, jnp.take_along_axis(alpha_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), sym)
+        need = xn < jnp.uint32(1 << 16)
+        nee = need.astype(jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+        inc = nee
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            rolled = pltpu.roll(inc, shift=sh, axis=1)
+            inc = inc + jnp.where(col >= sh, rolled, 0)
+        k = inc - nee
+        win0 = jnp.concatenate(
+            [words_ref[s, pl.ds(cur[s, 0] >> 7, 1), :] for s in range(S)], axis=0
+        )
+        win1 = jnp.concatenate(
+            [words_ref[s, pl.ds((cur[s, 0] >> 7) + 1, 1), :] for s in range(S)], axis=0
+        )
+        idx = (cur & 127) + k
+        idx0 = idx & 127
+        wv = jnp.where(
+            idx < 128,
+            jnp.take_along_axis(win0, idx0, axis=1),
+            jnp.take_along_axis(win1, idx0, axis=1),
+        )
+        xn = jnp.where(need, (xn << jnp.uint32(16)) | wv, xn)
+        return (xn, cur + jnp.sum(nee, axis=1, keepdims=True)), sym
+
+    def body(tb, carry):
+        syms = []
+        for _ in range(8):
+            carry, sym = step(carry)
+            syms.append(sym.astype(jnp.uint16).reshape(S, 1, 128))
+        out_ref[:, pl.ds(tb * 8, 8), :] = jnp.concatenate(syms, axis=1)
+        return carry
+
+    jax.lax.fori_loop(0, steps // 8, body, (init_ref[:], jnp.zeros((S, 1), jnp.int32)))
+
+
+@partial(jax.jit, static_argnames=("steps", "n_strips", "table_log", "asweep"))
+def rans_decode_pallas_packed(init, tpk, alpha, words, mask, shift, *, steps, n_strips, table_log, asweep):
+    """Packed-table variant of rans_decode_pallas (tableLog <= 11).
+
+    tpk: uint32[S, 2^tl] packed entries (freq-1)<<21 | bias<<10 | rank.
+    alpha: uint32[S, 128*asweep] rank -> symbol tables.  Other operands
+    and the output layout match rans_decode_pallas.
+    """
+    S = init.shape[0]
+    if S % GROUP != 0:
+        pad = GROUP - S % GROUP
+        init, tpk, alpha, words, mask, shift = (
+            jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            for a in (init, tpk, alpha, words, mask, shift)
+        )
+        full = rans_decode_pallas_packed(
+            init, tpk, alpha, words, mask, shift,
+            steps=steps, n_strips=S + pad, table_log=table_log, asweep=asweep,
+        )
+        return full[:S]
+    grid = S // GROUP
+    TS = 1 << table_log
+    return pl.pallas_call(
+        partial(_kernel_packed, steps=steps, n_strips=GROUP, table_log=table_log, asweep=asweep),
+        out_shape=jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, TS), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, alpha.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, words.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
+        interpret=not supports_pallas_rans(),
+    )(init, tpk, alpha, words, mask, shift)
+
+
+def build_packed_tables(parsed, table_log: int):
+    """Packed-kernel table build; returns None if any strip's tableLog
+    exceeds 11 or alphabet exceeds 1024 symbols (caller falls back to the
+    two-table kernel).  Otherwise returns
+    (init, tpk, alpha, words, mask, shift, counts, steps, asweep)."""
+    from .device_rans import device_tables
+
+    S = len(parsed)
+    if table_log > 11:
+        return None
+    TS = 1 << table_log
+    init = np.zeros((S, 128), np.uint32)
+    tpk = np.zeros((S, TS), np.uint32)
+    steps = max((p[2] + 127) // 128 for p in parsed)
+    steps = (steps + 7) // 8 * 8  # kernel stores 8-step blocks
+    # See build_pallas_tables: margin covers garbage-state renorms on the
+    # zero padding after a short strip's stream ends.
+    margin = max(steps * 128 - p[2] for p in parsed) + 256
+    wmax = ((max(len(p[4]) for p in parsed) + margin + 127) // 128) * 128
+    words = np.zeros((S, wmax), np.uint32)
+    mask = np.zeros((S, 128), np.uint32)
+    shift = np.zeros((S, 128), np.uint32)
+    counts = []
+    alphas = []
+    for i, p in enumerate(parsed):
+        L, tl, count, states, wrds, norm, _sl = p
+        if L != 128:
+            raise ValueError("pallas rANS kernel requires 128 lanes per strip")
+        norm = np.asarray(norm)
+        alpha_syms = np.nonzero(norm)[0].astype(np.uint32)
+        if len(alpha_syms) > 1024:
+            return None
+        sym, fs, bs, _, _ = device_tables(norm, tl)
+        rank = np.searchsorted(alpha_syms, sym).astype(np.uint32)
+        packed = ((fs.astype(np.uint32) - 1) << 21) | (bs.astype(np.uint32) << 10) | rank
+        reps = TS // (1 << tl)
+        tpk[i] = np.tile(packed, reps)
+        init[i] = states
+        words[i, : len(wrds)] = wrds
+        mask[i, :] = (1 << tl) - 1
+        shift[i, :] = tl
+        counts.append(count)
+        alphas.append(alpha_syms)
+    asweep = max(1, (max(len(a) for a in alphas) + 127) // 128)
+    alpha = np.zeros((S, asweep * 128), np.uint32)
+    for i, a in enumerate(alphas):
+        alpha[i, : len(a)] = a
+    words = words.reshape(S, -1, 128)
+    return init, tpk, alpha, words, mask, shift, counts, steps, asweep

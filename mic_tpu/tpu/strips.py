@@ -170,7 +170,7 @@ def micw_compress(
                 )
             )
         try:
-            blob = mict_encode(syms, lanes=lanes)
+            blob = mict_encode(syms, lanes=lanes, max_table_log=11)
             mode = STRIP_MODE_MICT
         except (IncompressibleError, UseRLEError, ValueError):
             # Raw fallback — the MICW analog of the WSI planeRaw path
@@ -494,7 +494,12 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
     (requires 128 lanes/strip; falls back to the lax.scan path otherwise).
     The post stages (SoA expand, escape parse, predictor inverse) run as
     the jitted XLA program."""
-    from .pallas_rans import build_pallas_tables, rans_decode_pallas, supports_pallas_rans
+    from .pallas_rans import (
+        build_packed_tables,
+        build_pallas_tables,
+        rans_decode_pallas,
+        rans_decode_pallas_packed,
+    )
 
     width, height, num_strips, strip_h, max_value, predictor, lanes, strips = micw_parse(blob)
     if lanes != 128 or any(st[5] != STRIP_MODE_MICT for st in strips):
@@ -503,14 +508,21 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
     mid = _rle_mid(max_value)
     parsed = [mict_parse(st[0]) for st in strips]
     tl = max(p[1] for p in parsed)
-    init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(parsed, tl)
     S = len(parsed)
-    rle_syms = rans_decode_pallas(
-        *[jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift)],
-        steps=steps, n_strips=S, table_log=tl,
-    )
-    # [steps, S, 128] -> per-strip [steps*128]
-    rle_flat = jnp.transpose(rle_syms, (1, 0, 2)).reshape(S, -1)
+    packed = build_packed_tables(parsed, tl)
+    if packed is not None:
+        init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
+        rle_syms = rans_decode_pallas_packed(
+            *[jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift)],
+            steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+        )
+    else:
+        init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(parsed, tl)
+        rle_syms = rans_decode_pallas(
+            *[jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift)],
+            steps=steps, n_strips=S, table_log=tl,
+        )
+    rle_flat = rle_syms.reshape(S, -1)  # kernel emits [S, steps, 128]
     n_tokens = np.array([st[2] for st in strips], dtype=np.int32)
     n_runs = np.array([st[3] for st in strips], dtype=np.int32)
     n_same = np.array([st[4] for st in strips], dtype=np.int32)

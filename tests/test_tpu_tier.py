@@ -308,8 +308,8 @@ def test_pallas_rans_kernel_interpret(rng):
     out = np.asarray(out)
     for i, st in enumerate(strips):
         want = mict_decode_numpy(st[0])
-        # kernel emits (step, lane); strip stream order is lane-major per step
-        got = out[:, i, :].reshape(-1)[: len(want)]
+        # kernel emits [strip, step, lane]; stream order is lane-major per step
+        got = out[i].reshape(-1)[: len(want)]
         assert np.array_equal(got, want)
 
 
