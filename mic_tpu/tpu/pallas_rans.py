@@ -49,6 +49,9 @@ def _kernel(init_ref, tsym_ref, tfb_ref, words_ref, mask_ref, shift_ref, out_ref
     S = n_strips
     TS = 1 << table_log
     SWEEP = TS // 128
+    ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    M = (ri < ci).astype(jnp.bfloat16)
 
     def step(carry):
         x, cur = carry  # x: [S,128] uint32 states, cur: [S,1] int32 word cursors
@@ -68,13 +71,16 @@ def _kernel(init_ref, tsym_ref, tfb_ref, words_ref, mask_ref, shift_ref, out_ref
         xn = f * jax.lax.shift_right_logical(x, shift_ref[:]) + b
         need = xn < jnp.uint32(1 << 16)
         nee = need.astype(jnp.int32)  # int32: Mosaic lacks unsigned reductions
-        # Exclusive prefix sum along lanes (Hillis-Steele on rolls).
-        col = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
-        inc = nee
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            rolled = pltpu.roll(inc, shift=sh, axis=1)
-            inc = inc + jnp.where(col >= sh, rolled, 0)
-        k = inc - nee
+        # Exclusive prefix sum along lanes on the MXU: nee @ strict-upper-
+        # triangular ones.  Values <= 128 are exact in bfloat16, and one
+        # 128x128 matmul beats the 7-round Hillis-Steele roll scan by ~5ms
+        # per 128-image batch (measured; the scan was the largest cost).
+        kf = jax.lax.dot_general(
+            nee.astype(jnp.bfloat16), M, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k = kf.astype(jnp.int32)
+        total = k[:, 127:128] + nee[:, 127:128]
         # Per-strip word windows: Mosaic requires 128-aligned minor-dim
         # loads, so take the two aligned blocks covering [cur, cur+128)
         # (words_ref is [S, W/128, 128]; major-dim indices may be dynamic).
@@ -92,11 +98,10 @@ def _kernel(init_ref, tsym_ref, tfb_ref, words_ref, mask_ref, shift_ref, out_ref
             jnp.take_along_axis(win1, idx0, axis=1),
         )
         xn = jnp.where(need, (xn << jnp.uint32(16)) | wv, xn)
-        newcur = cur + jnp.sum(nee, axis=1, keepdims=True)
         # No max-guard needed: valid streams keep states >= 2^16; pad
         # lanes/steps may hold garbage but their outputs are discarded
         # (Mosaic cannot legalize unsigned max anyway).
-        return (xn, newcur), sym
+        return (xn, cur + total), sym
 
     def body(tb, carry):
         # 8 steps per iteration: dynamic stores on the step axis must be
@@ -216,6 +221,9 @@ def build_pallas_tables(parsed, table_log: int):
 def _kernel_packed(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, out_ref, *, steps, n_strips, table_log, asweep):
     S = n_strips
     SWEEP = (1 << table_log) // 128
+    ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    M = (ri < ci).astype(jnp.bfloat16)
 
     def step(carry):
         x, cur = carry
@@ -238,12 +246,13 @@ def _kernel_packed(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref,
             sym = jnp.where(m, jnp.take_along_axis(alpha_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), sym)
         need = xn < jnp.uint32(1 << 16)
         nee = need.astype(jnp.int32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
-        inc = nee
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            rolled = pltpu.roll(inc, shift=sh, axis=1)
-            inc = inc + jnp.where(col >= sh, rolled, 0)
-        k = inc - nee
+        # MXU exclusive prefix sum — see _kernel.
+        kf = jax.lax.dot_general(
+            nee.astype(jnp.bfloat16), M, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k = kf.astype(jnp.int32)
+        total = k[:, 127:128] + nee[:, 127:128]
         win0 = jnp.concatenate(
             [words_ref[s, pl.ds(cur[s, 0] >> 7, 1), :] for s in range(S)], axis=0
         )
@@ -258,7 +267,7 @@ def _kernel_packed(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref,
             jnp.take_along_axis(win1, idx0, axis=1),
         )
         xn = jnp.where(need, (xn << jnp.uint32(16)) | wv, xn)
-        return (xn, cur + jnp.sum(nee, axis=1, keepdims=True)), sym
+        return (xn, cur + total), sym
 
     def body(tb, carry):
         syms = []
