@@ -47,10 +47,9 @@ def _load_image():
 def main() -> None:
     import jax.numpy as jnp
 
-    from mic_tpu.ops.predictors import delta_params
     from mic_tpu.tpu.device_rans import mict_parse
-    from mic_tpu.tpu.pallas_rans import build_packed_tables, rans_decode_pallas_packed
-    from mic_tpu.tpu.strips import _micw_post_batch, _rle_mid, micw_compress, micw_parse
+    from mic_tpu.tpu.pallas_rans import build_packed_tables, rans_decode_pallas_zzd
+    from mic_tpu.tpu.strips import micw_compress, micw_parse
 
     img = _load_image()
     h, w = img.shape
@@ -64,25 +63,18 @@ def main() -> None:
     tl = max(p[1] for p in base_parsed)
 
     parsed = base_parsed * BATCH_IMAGES
-    strips_b = strips * BATCH_IMAGES
     S = len(parsed)
     init, tpk, alpha, words, mask, shift, counts, steps, asweep = build_packed_tables(parsed, tl)
     args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift))
-    n_tok = jnp.asarray(np.array([st[2] for st in strips_b], np.int32))
-    zeros = jnp.zeros(S, jnp.int32)
-    _thr, delim = delta_params(max_value)
-    mid = _rle_mid(max_value)
 
     def decode():
-        syms = rans_decode_pallas_packed(
-            *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep
+        # Fully-fused kernel: entropy decode + unzigzag + row cumsum in
+        # one pallas_call; the output IS the pixel batch.
+        pix = rans_decode_pallas_zzd(
+            *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+            width_steps=width // 128,
         )
-        flat = syms.reshape(S, -1)
-        return _micw_post_batch(
-            flat, n_tok, zeros, zeros,
-            width=width, strip_h=strip_h, max_runs=128, max_tokens=128,
-            mid_count=mid, delim=delim, predictor="zzd",
-        )
+        return pix.reshape(S, -1)
 
     # Compile + bit-exactness check over one full image's strips.
     out = decode()

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "rans_decode_pallas",
     "rans_decode_pallas_packed",
+    "rans_decode_pallas_zzd",
     "build_pallas_tables",
     "build_packed_tables",
     "supports_pallas_rans",
@@ -368,3 +369,132 @@ def build_packed_tables(parsed, table_log: int):
         alpha[i, : len(a)] = a
     words = words.reshape(S, -1, 128)
     return init, tpk, alpha, words, mask, shift, counts, steps, asweep
+
+# ---------------------------------------------------------------------------
+# Fully-fused zzd decode: entropy + unzigzag + row prefix-sum in ONE kernel.
+# The zzd predictor's inverse (mod-2^16 row cumsum of unzigzagged deltas)
+# runs on the MXU per step: an inclusive 128-lane prefix matmul in f32
+# (|delta| <= 32767 so 128-element partial sums <= 2^22 stay exact;
+# precision=HIGHEST keeps the operand split exact too) plus an int32
+# row-carry threaded through the scan, reset every width/128 steps.
+# The kernel therefore emits PIXELS — no separate post program, no HBM
+# round-trip for the symbol stream.  Requires width % 128 == 0.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, out_ref, *, steps, n_strips, table_log, asweep, width_steps):
+    S = n_strips
+    SWEEP = (1 << table_log) // 128
+    ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    M = (ri < ci).astype(jnp.bfloat16)
+    Mi = (ri <= ci).astype(jnp.float32)
+
+    def step(t, carry):
+        x, cur, rowc = carry
+        slot = (x & mask_ref[:]).astype(jnp.int32)
+        hi = slot >> 7
+        lo = slot & 127
+        pk = jnp.zeros((S, 128), jnp.uint32)
+        for h in range(SWEEP):
+            m = hi == h
+            pk = jnp.where(m, jnp.take_along_axis(tpk_ref[:, pl.ds(h * 128, 128)], lo, axis=1), pk)
+        f = (pk >> 21) + 1
+        b = (pk >> 10) & jnp.uint32(0x7FF)
+        rank = (pk & jnp.uint32(0x3FF)).astype(jnp.int32)
+        xn = f * jax.lax.shift_right_logical(x, shift_ref[:]) + b
+        sym = jnp.zeros((S, 128), jnp.uint32)
+        rhi = rank >> 7
+        rlo = rank & 127
+        for h in range(asweep):
+            m = rhi == h
+            sym = jnp.where(m, jnp.take_along_axis(alpha_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), sym)
+        need = xn < jnp.uint32(1 << 16)
+        nee = need.astype(jnp.int32)
+        kf = jax.lax.dot_general(
+            nee.astype(jnp.bfloat16), M, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k = kf.astype(jnp.int32)
+        total = k[:, 127:128] + nee[:, 127:128]
+        win0 = jnp.concatenate(
+            [words_ref[s, pl.ds(cur[s, 0] >> 7, 1), :] for s in range(S)], axis=0
+        )
+        win1 = jnp.concatenate(
+            [words_ref[s, pl.ds((cur[s, 0] >> 7) + 1, 1), :] for s in range(S)], axis=0
+        )
+        idx = (cur & 127) + k
+        idx0 = idx & 127
+        wv = jnp.where(
+            idx < 128,
+            jnp.take_along_axis(win0, idx0, axis=1),
+            jnp.take_along_axis(win1, idx0, axis=1),
+        )
+        xn = jnp.where(need, (xn << jnp.uint32(16)) | wv, xn)
+        si = sym.astype(jnp.int32)
+        dz = (si >> 1) ^ (-(si & 1))
+        ps = jax.lax.dot_general(
+            dz.astype(jnp.float32), Mi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        rowc = jnp.where(t % width_steps == 0, jnp.zeros_like(rowc), rowc)
+        pix = (rowc + ps) & 0xFFFF
+        rowc = pix[:, 127:128]
+        return (xn, cur + total, rowc), pix.astype(jnp.uint16)
+
+    def body(tb, carry):
+        outs = []
+        for u in range(8):
+            carry, pix = step(tb * 8 + u, carry)
+            outs.append(pix.reshape(S, 1, 128))
+        out_ref[:, pl.ds(tb * 8, 8), :] = jnp.concatenate(outs, axis=1)
+        return carry
+
+    jax.lax.fori_loop(
+        0, steps // 8, body,
+        (init_ref[:], jnp.zeros((S, 1), jnp.int32), jnp.zeros((S, 1), jnp.int32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("steps", "n_strips", "table_log", "asweep", "width_steps"))
+def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, *, steps, n_strips, table_log, asweep, width_steps):
+    """Fused MICW-zzd decode: packed-table rANS + unzigzag + row cumsum.
+
+    Returns uint16[S, steps, 128] PIXELS (row-major per strip; rows are
+    ``width_steps`` steps wide).  See rans_decode_pallas_packed for the
+    operand layout.
+    """
+    S = init.shape[0]
+    if S % GROUP != 0:
+        pad = GROUP - S % GROUP
+        init, tpk, alpha, words, mask, shift = (
+            jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            for a in (init, tpk, alpha, words, mask, shift)
+        )
+        full = rans_decode_pallas_zzd(
+            init, tpk, alpha, words, mask, shift,
+            steps=steps, n_strips=S + pad, table_log=table_log,
+            asweep=asweep, width_steps=width_steps,
+        )
+        return full[:S]
+    grid = S // GROUP
+    TS = 1 << table_log
+    return pl.pallas_call(
+        partial(
+            _kernel_zzd, steps=steps, n_strips=GROUP, table_log=table_log,
+            asweep=asweep, width_steps=width_steps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, TS), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, alpha.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, words.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
+        interpret=not supports_pallas_rans(),
+    )(init, tpk, alpha, words, mask, shift)

@@ -499,6 +499,7 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
         build_pallas_tables,
         rans_decode_pallas,
         rans_decode_pallas_packed,
+        rans_decode_pallas_zzd,
     )
 
     width, height, num_strips, strip_h, max_value, predictor, lanes, strips = micw_parse(blob)
@@ -510,6 +511,21 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
     tl = max(p[1] for p in parsed)
     S = len(parsed)
     packed = build_packed_tables(parsed, tl)
+    if packed is not None and predictor == "zzd" and width % 128 == 0:
+        # Fully-fused path: the kernel emits pixels directly.
+        init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
+        pix = rans_decode_pallas_zzd(
+            *[jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift)],
+            steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+            width_steps=width // 128,
+        )
+        sub = np.asarray(pix).reshape(S, -1)
+        out = np.empty(width * height, dtype=np.uint16)
+        for i in range(num_strips):
+            y0 = i * strip_h
+            sh = min(strip_h, height - y0)
+            out[y0 * width : (y0 + sh) * width] = sub[i][: sh * width]
+        return out, width, height
     if packed is not None:
         init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
         rle_syms = rans_decode_pallas_packed(
