@@ -65,14 +65,14 @@ def main() -> None:
     parsed = base_parsed * BATCH_IMAGES
     S = len(parsed)
     init, tpk, alpha, words, mask, shift, counts, steps, asweep = build_packed_tables(parsed, tl)
-    args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift))
+    ws = np.full((S, 128), width // 128, np.uint32)
+    args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws))
 
     def decode():
         # Fully-fused kernel: entropy decode + unzigzag + row cumsum in
         # one pallas_call; the output IS the pixel batch.
         pix = rans_decode_pallas_zzd(
             *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep,
-            width_steps=width // 128,
         )
         return pix.reshape(S, -1)
 

@@ -58,6 +58,11 @@ def _load():
     lib.mic_entropy_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
     ]
+    lib.mic_read_ncount.restype = ctypes.c_size_t
+    lib.mic_read_ncount.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p,
+    ]
     _LIB = lib
     return lib
 
@@ -120,3 +125,22 @@ def entropy_decompress_native(blob: bytes, max_symbols: int) -> np.ndarray:
     if n == 0:
         raise ValueError("native entropy decompress failed")
     return out[:n]
+
+
+def read_ncount_native(data: bytes):
+    """Native normalized-count header reader (reference fseu16.go
+    readNCount semantics; ~1000x the pure-Python nibble loop).  Returns
+    (norm int32[symbol_len], symbol_len, table_log, consumed) or None if
+    the native library is unavailable or the header is invalid."""
+    lib = _load()
+    if not lib:
+        return None
+    out = np.zeros(65536, dtype=np.int32)
+    meta = np.zeros(2, dtype=np.int32)
+    n = lib.mic_read_ncount(
+        bytes(data), len(data), out.ctypes.data, 65536, meta.ctypes.data
+    )
+    if n == 0:
+        return None
+    sl, tl = int(meta[0]), int(meta[1])
+    return out[:sl].copy(), sl, tl, int(n)

@@ -830,6 +830,23 @@ static bool entropy_decompress(const uint8_t* blob, size_t len,
 
 extern "C" {
 
+// Fast normalized-count header reader for the Python tiers (the pure-
+// Python nibble state machine costs ~1ms per strip; this is ~1000x
+// faster).  Fills out_norm (norm_cap >= symbol_len int32 slots, -1 kept
+// for low-prob symbols) and out_meta[0]=symbol_len, out_meta[1]=table_log.
+// Returns bytes consumed, or 0 on failure.
+size_t mic_read_ncount(const uint8_t* data, size_t len, int32_t* out_norm,
+                       size_t norm_cap, int32_t* out_meta) {
+  Norm nm;
+  size_t consumed = 0;
+  if (!read_ncount(data, len, nm, &consumed)) return 0;
+  if ((size_t)nm.symbol_len > norm_cap) return 0;
+  for (int i = 0; i < nm.symbol_len; i++) out_norm[i] = nm.norm[i];
+  out_meta[0] = nm.symbol_len;
+  out_meta[1] = nm.table_log;
+  return consumed;
+}
+
 // Full single-frame decode: entropy -> RLE expand -> predictor inverse.
 // kind: 0=avg, 1=grad, 2=med, 3=zz.  Returns 0 on success.
 int mic_decompress_frame(const uint8_t* blob, size_t len, int width, int height,

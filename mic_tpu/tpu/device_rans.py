@@ -198,7 +198,15 @@ def mict_parse(blob: bytes):
     count, n_words = struct.unpack_from("<II", blob, 4)
     L = 1 << log2_lanes
     body = blob[12:]
-    norm, symbol_len, table_log, consumed = read_ncount(body)
+    # Native header reader when built (~1ms/strip in pure Python — it
+    # dominated batch-decode latency); falls back to ops.fse.read_ncount.
+    from ..native import read_ncount_native
+
+    nat = read_ncount_native(body)
+    if nat is not None:
+        norm, symbol_len, table_log, consumed = nat
+    else:
+        norm, symbol_len, table_log, consumed = read_ncount(body)
     if table_log != tl_hdr:
         raise ValueError("MICT: header tableLog mismatch")
     pos = 12 + consumed

@@ -320,11 +320,13 @@ def rans_decode_pallas_packed(init, tpk, alpha, words, mask, shift, *, steps, n_
     )(init, tpk, alpha, words, mask, shift)
 
 
-def build_packed_tables(parsed, table_log: int):
+def build_packed_tables(parsed, table_log: int, min_steps: int = 0):
     """Packed-kernel table build; returns None if any strip's tableLog
     exceeds 11 or alphabet exceeds 1024 symbols (caller falls back to the
     two-table kernel).  Otherwise returns
-    (init, tpk, alpha, words, mask, shift, counts, steps, asweep)."""
+    (init, tpk, alpha, words, mask, shift, counts, steps, asweep).
+    ``min_steps`` pads the scan length (and the word-stream margins that
+    depend on it) up to a caller-chosen bucket size."""
     from .device_rans import device_tables
 
     S = len(parsed)
@@ -333,7 +335,7 @@ def build_packed_tables(parsed, table_log: int):
     TS = 1 << table_log
     init = np.zeros((S, 128), np.uint32)
     tpk = np.zeros((S, TS), np.uint32)
-    steps = max((p[2] + 127) // 128 for p in parsed)
+    steps = max(min_steps, max((p[2] + 127) // 128 for p in parsed))
     steps = (steps + 7) // 8 * 8  # kernel stores 8-step blocks
     # See build_pallas_tables: margin covers garbage-state renorms on the
     # zero padding after a short strip's stream ends.
@@ -382,7 +384,7 @@ def build_packed_tables(parsed, table_log: int):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, out_ref, *, steps, n_strips, table_log, asweep, width_steps):
+def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ws_ref, out_ref, *, steps, n_strips, table_log, asweep):
     S = n_strips
     SWEEP = (1 << table_log) // 128
     ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
@@ -390,8 +392,8 @@ def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ou
     M = (ri < ci).astype(jnp.bfloat16)
     Mi = (ri <= ci).astype(jnp.float32)
 
-    def step(t, carry):
-        x, cur, rowc = carry
+    def step(carry):
+        x, cur, rowc, rcnt = carry
         slot = (x & mask_ref[:]).astype(jnp.int32)
         hi = slot >> 7
         lo = slot & 127
@@ -438,44 +440,47 @@ def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ou
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
-        rowc = jnp.where(t % width_steps == 0, jnp.zeros_like(rowc), rowc)
+        # Per-strip row counter: reset the carry at each row start, so one
+        # batch can mix strips of different widths (rcnt counts steps into
+        # the current row; ws = width/128 per strip).
+        rowc = jnp.where(rcnt == 0, jnp.zeros_like(rowc), rowc)
         pix = (rowc + ps) & 0xFFFF
         rowc = pix[:, 127:128]
-        return (xn, cur + total, rowc), pix.astype(jnp.uint16)
+        rcnt = rcnt + 1
+        rcnt = jnp.where(rcnt >= ws_ref[:, :1].astype(jnp.int32), jnp.zeros_like(rcnt), rcnt)
+        return (xn, cur + total, rowc, rcnt), pix.astype(jnp.uint16)
 
     def body(tb, carry):
         outs = []
-        for u in range(8):
-            carry, pix = step(tb * 8 + u, carry)
+        for _ in range(8):
+            carry, pix = step(carry)
             outs.append(pix.reshape(S, 1, 128))
         out_ref[:, pl.ds(tb * 8, 8), :] = jnp.concatenate(outs, axis=1)
         return carry
 
-    jax.lax.fori_loop(
-        0, steps // 8, body,
-        (init_ref[:], jnp.zeros((S, 1), jnp.int32), jnp.zeros((S, 1), jnp.int32)),
-    )
+    zero = jnp.zeros((S, 1), jnp.int32)
+    jax.lax.fori_loop(0, steps // 8, body, (init_ref[:], zero, zero, zero))
 
 
-@partial(jax.jit, static_argnames=("steps", "n_strips", "table_log", "asweep", "width_steps"))
-def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, *, steps, n_strips, table_log, asweep, width_steps):
+@partial(jax.jit, static_argnames=("steps", "n_strips", "table_log", "asweep"))
+def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, ws, *, steps, n_strips, table_log, asweep):
     """Fused MICW-zzd decode: packed-table rANS + unzigzag + row cumsum.
 
-    Returns uint16[S, steps, 128] PIXELS (row-major per strip; rows are
-    ``width_steps`` steps wide).  See rans_decode_pallas_packed for the
-    operand layout.
+    Returns uint16[S, steps, 128] PIXELS (row-major per strip).  ws is
+    uint32[S,128]: each strip's row width in 128-lane steps (width/128) —
+    strips of DIFFERENT widths batch together.  See
+    rans_decode_pallas_packed for the other operands.
     """
     S = init.shape[0]
     if S % GROUP != 0:
         pad = GROUP - S % GROUP
-        init, tpk, alpha, words, mask, shift = (
+        init, tpk, alpha, words, mask, shift, ws = (
             jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
-            for a in (init, tpk, alpha, words, mask, shift)
+            for a in (init, tpk, alpha, words, mask, shift, ws)
         )
         full = rans_decode_pallas_zzd(
-            init, tpk, alpha, words, mask, shift,
-            steps=steps, n_strips=S + pad, table_log=table_log,
-            asweep=asweep, width_steps=width_steps,
+            init, tpk, alpha, words, mask, shift, ws,
+            steps=steps, n_strips=S + pad, table_log=table_log, asweep=asweep,
         )
         return full[:S]
     grid = S // GROUP
@@ -483,7 +488,7 @@ def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, *, steps, n_str
     return pl.pallas_call(
         partial(
             _kernel_zzd, steps=steps, n_strips=GROUP, table_log=table_log,
-            asweep=asweep, width_steps=width_steps,
+            asweep=asweep,
         ),
         out_shape=jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
         grid=(grid,),
@@ -494,7 +499,8 @@ def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, *, steps, n_str
             pl.BlockSpec((GROUP, words.shape[1], 128), lambda i: (i, 0, 0)),
             pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
             pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
         interpret=not supports_pallas_rans(),
-    )(init, tpk, alpha, words, mask, shift)
+    )(init, tpk, alpha, words, mask, shift, ws)

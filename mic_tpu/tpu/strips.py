@@ -56,6 +56,7 @@ __all__ = [
     "micw_decompress_host",
     "micw_decode_batch",
     "micw_decompress_device_pallas",
+    "micw_decode_many",
     "micw_parse",
     "decode_strip_batch_impl",
     "build_strip_batch",
@@ -514,10 +515,10 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
     if packed is not None and predictor == "zzd" and width % 128 == 0:
         # Fully-fused path: the kernel emits pixels directly.
         init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
+        ws = np.full((S, 128), width // 128, np.uint32)
         pix = rans_decode_pallas_zzd(
-            *[jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift)],
+            *[jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws)],
             steps=steps, n_strips=S, table_log=tl, asweep=asweep,
-            width_steps=width // 128,
         )
         sub = np.asarray(pix).reshape(S, -1)
         out = np.empty(width * height, dtype=np.uint16)
@@ -588,3 +589,79 @@ def _micw_post_batch(
         return zz_delta_inverse_device(vals, is_raw, jnp.int32(0), width, strip_h)
 
     return jax.vmap(post_one)(rle_syms, n_tokens, n_runs, n_same)
+
+
+def micw_decode_many(blobs):
+    """Decode MANY MICW images in ONE fused kernel launch (the decode-
+    service path: a batch of studies lands, every strip of every image
+    rides the same Pallas program; images may have different widths,
+    heights and table statistics).
+
+    Eligibility per image: zzd predictor, 128 lanes, width % 128 == 0,
+    all strips MICT with tableLog <= 11 and alphabet <= 1024.  Ineligible
+    images fall back to micw_decompress_device_pallas individually.
+    Returns a list of (pixels, width, height), blob-order.
+
+    The TPU-first answer to the reference's decode-side thread pools
+    (parallelstrips.go workers, mic_parallel.c pthreads): the batch axis
+    IS the parallelism — no queues, no workers, one launch.
+    """
+    from .pallas_rans import build_packed_tables, rans_decode_pallas_zzd
+
+    metas = []          # per image: (width, height, num_strips, strip_h, strip_keys)
+    buckets = {}        # steps-bucket -> [(key, parsed, width)]
+    results = [None] * len(blobs)
+    for bi, blob in enumerate(blobs):
+        width, height, num_strips, strip_h, _mv, predictor, lanes, strips = micw_parse(blob)
+        if (
+            predictor != "zzd" or lanes != 128 or width % 128 != 0
+            or any(st[5] != STRIP_MODE_MICT for st in strips)
+        ):
+            metas.append(None)
+            continue
+        keys = []
+        for si, st in enumerate(strips):
+            p = mict_parse(st[0])
+            # Bucket strips by padded step count (power of two, min 8):
+            # strips of similar size share a launch, so small images don't
+            # pad to the largest image's scan length and the word-margin
+            # zeros stay small.  Few distinct buckets -> few compiles.
+            need = max(8, -(-p[2] // 128))
+            b = 8
+            while b < need:
+                b *= 2
+            keys.append((b, len(buckets.setdefault(b, []))))
+            buckets[b].append((p, width))
+        metas.append((width, height, num_strips, strip_h, keys))
+
+    decoded = {}  # bucket -> np.ndarray [n, steps*128]
+    for b, entries in buckets.items():
+        parsed = [e[0] for e in entries]
+        tl = max(p[1] for p in parsed)
+        packed = build_packed_tables(parsed, tl, min_steps=b)
+        if packed is None:
+            decoded[b] = None
+            continue
+        init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
+        S = len(parsed)
+        ws = np.zeros((S, 128), np.uint32)
+        for i, (_p, w) in enumerate(entries):
+            ws[i, :] = w // 128
+        pix = rans_decode_pallas_zzd(
+            *[jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws)],
+            steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+        )
+        decoded[b] = np.asarray(pix).reshape(S, -1)
+
+    for bi, m in enumerate(metas):
+        if m is None or any(decoded.get(k[0]) is None for k in m[4]):
+            results[bi] = micw_decompress_device_pallas(blobs[bi])
+            continue
+        width, height, num_strips, strip_h, keys = m
+        out = np.empty(width * height, dtype=np.uint16)
+        for i, (b, idx) in enumerate(keys):
+            y0 = i * strip_h
+            sh = min(strip_h, height - y0)
+            out[y0 * width : (y0 + sh) * width] = decoded[b][idx][: sh * width]
+        results[bi] = (out, width, height)
+    return results

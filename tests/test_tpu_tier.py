@@ -323,3 +323,22 @@ def test_micw_pallas_roundtrip(rng):
     out, w, h = micw_decompress_device_pallas(blob)
     assert (w, h) == (128, 48)
     assert np.array_equal(np.asarray(out, dtype=np.uint16).ravel(), px)
+
+
+def test_micw_decode_many_mixed(rng):
+    """Batch decode of images with DIFFERENT widths/heights in one kernel
+    launch (per-strip row widths + step-count buckets) is bit-exact."""
+    from mic_tpu.tpu.strips import micw_compress, micw_decode_many
+
+    # Sizes chosen to share one step bucket (keeps the interpret-mode
+    # run fast) while mixing row widths 128 and 256 in one launch.
+    imgs = []
+    for h, w in ((16, 128), (8, 256), (12, 128)):
+        img = (rng.standard_normal((h, w)).cumsum(axis=1) * 12 + 700).astype(np.int32)
+        imgs.append((img.clip(0, 4095).astype(np.uint16).ravel(), w, h))
+    blobs = [micw_compress(px, w, h, int(px.max()), num_strips=2, lanes=128)
+             for px, w, h in imgs]
+    outs = micw_decode_many(blobs)
+    for (px, w, h), (got, gw, gh) in zip(imgs, outs):
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(np.asarray(got, np.uint16).ravel(), px)
