@@ -1,0 +1,396 @@
+"""Pallas TPU kernel for wide-lane rANS ENCODE (device-side compression).
+
+The reference encodes on CPU threads (mic_compress_c.c, parallelstrips.go
+workers); here the encode scan itself runs on the TPU: the mirror
+recursion of pallas_rans.py's decode kernel, processed in reverse step
+order.  Output blobs are BYTE-IDENTICAL to the host encoder
+(device_rans.mict_encode), so every decoder tier accepts them.
+
+Design notes (v5e/Mosaic):
+
+* **Division on the VPU**: the encode step needs x//freq and x%freq for
+  data-dependent freq.  Freqs are <= 2^11 (MICW caps tableLog at 11), so
+  each rank's divisor gets a Hacker's-Delight unsigned magic (M, add, sh)
+  computed host-side; the kernel evaluates q = mulhi32(x, M) (four
+  16x16 partial products) + the add/shift fixup — branch-free selects.
+* **Reverse scan**: states evolve from the LAST symbol backwards.  The
+  kernel walks 8-step blocks from the tail (aligned dynamic loads), and
+  within a block unrolls sub-steps in reverse.
+* **No scatter**: renorm words are emitted DENSE ([S, steps, 128] u16 +
+  flag planes); host/XLA compaction (words[flags]) produces the stream.
+  Decoder word order is (step asc, lane asc) — exactly the dense
+  traversal order, so compaction IS the stream assembly.
+* Tables ride per-rank (alphabet <= 1024, asweep tiles): te1 packs
+  freq<<20 | add<<19 | cum<<4 | shift; te2 is the 32-bit magic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .pallas_rans import GROUP, supports_pallas_rans
+
+__all__ = ["rans_encode_pallas", "build_enc_tables", "magicu"]
+
+
+def magicu(d: int):
+    """Unsigned magic number for division by d (Hacker's Delight 10-9):
+    returns (M, add, sh) such that for all x < 2^32:
+        t = mulhi32(x, M)
+        q = (t >> sh)                     if add == 0
+        q = ((t + ((x - t) >> 1)) >> sh)  if add == 1   (sh is post-fixup)
+    equals x // d.  d == 1 is the caller's special case.
+    """
+    assert 2 <= d < 2**31
+    p = 31
+    nc = (2**32 // d) * d - 1
+    while True:
+        p += 1
+        if 2**p > nc * (d - 1 - (2**p - 1) % d):
+            m = (2**p + d - 1 - (2**p - 1) % d) // d
+            break
+    if m < 2**32:
+        return m, 0, p - 32
+    # 33-bit magic: keep the low 32 bits, use the add fixup; the shift
+    # drops by one because the fixup halves.
+    return m - 2**32, 1, p - 32 - 1
+
+
+def _verify_magic(d, M, add, sh):
+    for x in (0, 1, d - 1, d, d + 1, 2 * d - 1, 2**16, 2**31, 2**32 - 1,
+              (2**32 // d) * d - 1, (2**32 // d) * d % 2**32):
+        x &= 0xFFFFFFFF
+        t = (x * M) >> 32
+        q = (t >> sh) if add == 0 else ((t + ((x - t) >> 1)) >> sh)
+        if q != x // d:
+            return False
+    return True
+
+
+_MAGIC_CACHE: dict[int, tuple[int, int, int]] = {}
+
+
+def _magic(d: int):
+    got = _MAGIC_CACHE.get(d)
+    if got is None:
+        got = magicu(d)
+        assert _verify_magic(d, *got), d
+        _MAGIC_CACHE[d] = got
+    return got
+
+
+def build_enc_tables(parsed_norms, table_log: int):
+    """Per-strip encode tables from (norm, tl, count, rank_stream) specs.
+
+    parsed_norms: list of (freqs_by_rank u32[A], cums_by_rank u32[A]).
+    Returns (te1, te2) uint32[S, asweep*128] and asweep.
+    te1 = freq<<20 | add<<19 | is1<<18 | cum<<4 | sh;  te2 = magic M.
+    """
+    S = len(parsed_norms)
+    amax = max(len(f) for f, _c in parsed_norms)
+    asweep = max(1, (amax + 127) // 128)
+    te1 = np.zeros((S, asweep * 128), np.uint32)
+    te2 = np.zeros((S, asweep * 128), np.uint32)
+    for i, (freqs, cums) in enumerate(parsed_norms):
+        for r, (f, c) in enumerate(zip(freqs.tolist(), cums.tolist())):
+            if f <= 0:
+                raise ValueError("encode table: zero freq rank")
+            if f == 1:
+                M, add, sh, is1 = 0, 0, 0, 1
+            else:
+                M, add, sh = _magic(f)
+                is1 = 0
+            te1[i, r] = (f << 20) | (add << 19) | (is1 << 18) | (c << 4) | sh
+            te2[i, r] = M
+    return te1, te2, asweep
+
+
+def _kernel_enc(ranks_ref, te1_ref, te2_ref, count_ref, tl_ref, out_w_ref, out_f_ref, out_x_ref, *, steps, n_strips, asweep):
+    S = n_strips
+
+    def substep(t, x, rk):
+        active = (t * 128 + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)) < count_ref[:].astype(jnp.int32)
+        rk = rk.astype(jnp.int32)
+        e1 = jnp.zeros((S, 128), jnp.uint32)
+        e2 = jnp.zeros((S, 128), jnp.uint32)
+        rhi = rk >> 7
+        rlo = rk & 127
+        for h in range(asweep):
+            m = rhi == h
+            e1 = jnp.where(m, jnp.take_along_axis(te1_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), e1)
+            e2 = jnp.where(m, jnp.take_along_axis(te2_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), e2)
+        f = e1 >> 20
+        add = (e1 >> 19) & jnp.uint32(1)
+        is1 = (e1 >> 18) & jnp.uint32(1)
+        c = (e1 >> 4) & jnp.uint32(0x7FF)
+        sh = e1 & jnp.uint32(0xF)
+        shift_rn = jnp.uint32(32) - tl_ref[:]
+        need = (x >= jax.lax.shift_left(f, shift_rn)) & active
+        w = jnp.where(need, x & jnp.uint32(0xFFFF), jnp.uint32(0))
+        x1 = jnp.where(need, x >> jnp.uint32(16), x)
+        # q = x1 // f via magic multiply (mulhi32 from 16-bit partials).
+        xl = x1 & jnp.uint32(0xFFFF)
+        xh = x1 >> jnp.uint32(16)
+        ml = e2 & jnp.uint32(0xFFFF)
+        mh = e2 >> jnp.uint32(16)
+        lo = xl * ml
+        mid1 = xl * mh
+        mid2 = xh * ml
+        hi = xh * mh
+        carry = ((lo >> jnp.uint32(16)) + (mid1 & jnp.uint32(0xFFFF)) + (mid2 & jnp.uint32(0xFFFF))) >> jnp.uint32(16)
+        t_hi = hi + (mid1 >> jnp.uint32(16)) + (mid2 >> jnp.uint32(16)) + carry
+        q_noadd = jax.lax.shift_right_logical(t_hi, sh)
+        q_add = jax.lax.shift_right_logical(t_hi + ((x1 - t_hi) >> jnp.uint32(1)), sh)
+        q = jnp.where(add == 1, q_add, q_noadd)
+        q = jnp.where(is1 == 1, x1, q)
+        rem = x1 - q * f
+        x2 = jax.lax.shift_left(q, tl_ref[:]) + rem + c
+        x2 = jnp.where(active, x2, x1)
+        return x2, w, need
+
+    def body(i, x):
+        tb = steps // 8 - 1 - i  # tail-first block order
+        blk = ranks_ref[:, pl.ds(tb * 8, 8), :]
+        ws = [None] * 8
+        fs = [None] * 8
+        for u in range(7, -1, -1):
+            rk = blk[:, u, :]
+            x, w, need = substep(tb * 8 + u, x, rk)
+            ws[u] = w.astype(jnp.uint16).reshape(S, 1, 128)
+            fs[u] = need.astype(jnp.uint16).reshape(S, 1, 128)
+        out_w_ref[:, pl.ds(tb * 8, 8), :] = jnp.concatenate(ws, axis=1)
+        out_f_ref[:, pl.ds(tb * 8, 8), :] = jnp.concatenate(fs, axis=1)
+        return x
+
+    x = jax.lax.fori_loop(0, steps // 8, body, jnp.full((S, 128), 1 << 16, jnp.uint32))
+    out_x_ref[:, :] = x
+
+
+@partial(jax.jit, static_argnames=("steps", "n_strips", "asweep"))
+def rans_encode_pallas(ranks, te1, te2, count, tls, *, steps, n_strips, asweep):
+    """Encode rank streams into wide-lane rANS states + dense word planes.
+
+    ranks: uint16[S, steps, 128] (rank per symbol, garbage on pad lanes).
+    te1/te2: uint32[S, asweep*128] encode tables.  count/tls:
+    uint32[S, 128] symbol count and tableLog per strip (mixed tableLogs
+    batch together — the renorm threshold is a per-lane shift).
+    Returns (words u16[S, steps, 128], flags u16[S, steps, 128],
+    states u32[S, 128]); stream words = words[flags == 1] in (step asc,
+    lane asc) order, final states are the decoder's init states.
+    """
+    S = ranks.shape[0]
+    if S % GROUP != 0:
+        pad = GROUP - S % GROUP
+        ranks, te1, te2, count, tls = (
+            jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            for a in (ranks, te1, te2, count, tls)
+        )
+        w, f, x = rans_encode_pallas(
+            ranks, te1, te2, count, tls,
+            steps=steps, n_strips=S + pad, asweep=asweep,
+        )
+        return w[:S], f[:S], x[:S]
+    grid = S // GROUP
+    AW = te1.shape[1]
+    return pl.pallas_call(
+        partial(_kernel_enc, steps=steps, n_strips=GROUP, asweep=asweep),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
+            jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
+            jax.ShapeDtypeStruct((S, 128), jnp.uint32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP, AW), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, AW), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+        ),
+        interpret=not supports_pallas_rans(),
+    )(ranks, te1, te2, count, tls)
+
+
+def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = None, max_table_log: int = 11, on_error: str = "raise"):
+    """Encode many u16 symbol streams into MICT blobs with the Pallas
+    encode kernel (one launch for the whole batch).  Blobs are
+    byte-identical to device_rans.mict_encode(stream, lanes=128,
+    max_table_log=11) — reference semantics: fseu16.go normalization +
+    adaptive tableLog, capped for the packed decode kernel.
+
+    Returns a list of bytes.  Raises the same sentinel errors as the host
+    encoder per stream (caller handles fallback per strip); streams whose
+    alphabet exceeds 1024 raise IncompressibleError.  With
+    on_error="none", failing streams yield None instead (the kernel runs
+    on the encodable subset).
+    """
+    import struct
+
+    from ..ops.fse import (
+        DEFAULT_TABLE_LOG,
+        IncompressibleError,
+        UseRLEError,
+        histogram,
+        normalize_count,
+        optimal_table_log,
+        write_count,
+    )
+    from .device_rans import MICT_MAGIC, device_tables
+
+    if lanes != 128:
+        raise ValueError("device encode requires 128 lanes")
+    tl_hint = DEFAULT_TABLE_LOG if table_log is None else table_log
+
+    specs = []
+    metas = []
+    slot_of = []  # output position per encodable stream
+    failed = [None] * len(streams)
+    for si, symbols in enumerate(streams):
+        try:
+            symbols = np.asarray(symbols, dtype=np.uint16)
+            n = len(symbols)
+            if n == 0:
+                raise IncompressibleError
+            counts, max_count, symbol_len = histogram(symbols)
+            if max_count == n:
+                raise UseRLEError
+            if max_count == 1 or max_count < (n >> 15):
+                raise IncompressibleError
+            tl = optimal_table_log(tl_hint, n, symbol_len)
+            tl = min(tl, max_table_log)
+            try:
+                norm = normalize_count(counts, n, tl, symbol_len)
+                _sym, _fs, _bs, freq, cumul = device_tables(norm, tl)
+            except ValueError as e:
+                raise IncompressibleError(str(e)) from e
+            alphabet = np.nonzero(freq)[0]
+            if len(alphabet) > 1024:
+                raise IncompressibleError("alphabet too wide for device encode")
+        except (IncompressibleError, UseRLEError):
+            if on_error == "raise":
+                raise
+            continue
+        lut = np.zeros(65536, np.uint16)
+        lut[alphabet] = np.arange(len(alphabet), dtype=np.uint16)
+        ranks = lut[symbols]
+        header = write_count(norm, symbol_len, tl)
+        specs.append((freq[alphabet].astype(np.uint32), cumul[alphabet].astype(np.uint32)))
+        metas.append((n, tl, header, ranks))
+        slot_of.append(si)
+    if not specs:
+        return failed
+
+    S = len(specs)
+    tl_max = max(m[1] for m in metas)
+    steps = max(-(-m[0] // 128) for m in metas)
+    steps = (steps + 7) // 8 * 8
+    te1, te2, asweep = build_enc_tables(specs, tl_max)
+    rk = np.zeros((S, steps * 128), np.uint16)
+    cnt = np.zeros((S, 128), np.uint32)
+    tls = np.zeros((S, 128), np.uint32)
+    for i, (n, tl_i, _h, ranks) in enumerate(metas):
+        rk[i, :n] = ranks
+        cnt[i, :] = n
+        tls[i, :] = tl_i
+
+    w, f, x = rans_encode_pallas(
+        jnp.asarray(rk.reshape(S, steps, 128)),
+        jnp.asarray(te1),
+        jnp.asarray(te2),
+        jnp.asarray(cnt),
+        jnp.asarray(tls),
+        steps=steps, n_strips=S, asweep=asweep,
+    )
+    w = np.asarray(w).reshape(S, -1)
+    f = np.asarray(f).reshape(S, -1)
+    x = np.asarray(x)
+
+    blobs = list(failed)
+    for i, (n, tl, header, _ranks) in enumerate(metas):
+        words = w[i][f[i] == 1].astype(np.uint16)
+        out = bytearray()
+        out += MICT_MAGIC
+        out += struct.pack("<BB", 7, tl)
+        out += struct.pack("<II", n, len(words))
+        out += header
+        out += x[i].astype("<u4").tobytes()
+        out += words.astype("<u2").tobytes()
+        if len(out) >= n * 2:
+            if on_error == "raise":
+                raise IncompressibleError
+            continue
+        blobs[slot_of[i]] = bytes(out)
+    return blobs
+
+
+def micw_compress_device(pixels, width: int, height: int, max_value: int, num_strips: int = 0):
+    """MICW compression with the entropy stage on the TPU (zzd predictor).
+
+    Byte-identical to strips.micw_compress(..., predictor="zzd"): the
+    zigzag row-delta transform is a vectorized host pass (negligible),
+    every strip's rANS encode runs in ONE Pallas launch, and strips the
+    entropy coder rejects fall back to raw — same container either way.
+    """
+    import struct as _struct
+
+    from .strips import (
+        FLAG_DIRECT,
+        MICW_MAGIC,
+        STRIP_MODE_MICT,
+        STRIP_MODE_RAW,
+    )
+
+    pixels = np.asarray(pixels, dtype=np.uint16)
+    if len(pixels) != width * height:
+        raise ValueError("micw: pixel count mismatch")
+    if num_strips <= 0:
+        num_strips = max(1, height // 64)
+    num_strips = max(1, min(num_strips, height))
+    strip_h = (height + num_strips - 1) // num_strips
+    actual = (height + strip_h - 1) // strip_h
+
+    streams = []
+    raws = []
+    for s in range(actual):
+        y0 = s * strip_h
+        y1 = min(y0 + strip_h, height)
+        strip_px = pixels[y0 * width : y1 * width]
+        img = strip_px.reshape(y1 - y0, width).astype(np.int64)
+        left = np.zeros_like(img)
+        left[:, 1:] = img[:, :-1]
+        d16 = (img - left).astype(np.uint16).astype(np.int16)
+        syms = (((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF
+                ).astype(np.uint16).ravel()
+        streams.append(syms)
+        raws.append(strip_px)
+
+    encoded = mict_encode_device_batch(streams, on_error="none")
+    blobs = []
+    metas = []
+    for syms, raw, enc in zip(streams, raws, encoded):
+        if enc is None:
+            blobs.append(raw.astype("<u2").tobytes())
+            metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_RAW))
+        else:
+            blobs.append(enc)
+            metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_MICT))
+
+    out = bytearray()
+    out += MICW_MAGIC
+    out += _struct.pack("<IIII", width, height, actual, strip_h)
+    out += _struct.pack("<HBB", max_value, FLAG_DIRECT, 7)
+    offset = 0
+    for blob, (n_soa, n_tok, n_runs, n_same, mode) in zip(blobs, metas):
+        out += _struct.pack("<IIIIIII", offset, len(blob), n_soa, n_tok, n_runs, n_same, mode)
+        offset += len(blob)
+    return bytes(out) + b"".join(blobs)

@@ -342,3 +342,41 @@ def test_micw_decode_many_mixed(rng):
     for (px, w, h), (got, gw, gh) in zip(imgs, outs):
         assert (gw, gh) == (w, h)
         assert np.array_equal(np.asarray(got, np.uint16).ravel(), px)
+
+
+def test_device_encode_byte_identical(rng):
+    """Pallas encode kernel output blobs == host encoder blobs, including
+    mixed tableLogs in one launch (per-lane renorm shifts) and the magic-
+    multiply division path."""
+    from mic_tpu.tpu.device_rans import mict_encode
+    from mic_tpu.tpu.pallas_enc import mict_encode_device_batch
+
+    streams = []
+    for h, w, spread in ((24, 128, 8), (16, 128, 30)):
+        img = (rng.standard_normal((h, w)).cumsum(axis=1) * spread + 1000).astype(np.int32)
+        img = img.clip(0, 4095).astype(np.uint16)
+        d = img.astype(np.int64)
+        left = np.zeros_like(d)
+        left[:, 1:] = d[:, :-1]
+        d16 = (d - left).astype(np.uint16).astype(np.int16)
+        zz = (((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF)
+        streams.append(zz.astype(np.uint16).ravel())
+    host = [mict_encode(s, lanes=128, max_table_log=11) for s in streams]
+    dev = mict_encode_device_batch(streams)
+    assert all(a == b for a, b in zip(host, dev))
+
+
+def test_micw_compress_device_container(rng):
+    """Container-level device encode == host micw_compress bytes, and the
+    raw-strip fallback engages on constant strips."""
+    from mic_tpu.tpu.pallas_enc import micw_compress_device
+    from mic_tpu.tpu.strips import micw_compress, micw_decompress_host
+
+    img = (rng.standard_normal((32, 128)).cumsum(axis=1) * 10 + 800).astype(np.int32)
+    img[16:] = 500  # second strip constant -> encoder rejects -> raw mode
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    a = micw_compress(px, 128, 32, int(px.max()), num_strips=2)
+    b = micw_compress_device(px, 128, 32, int(px.max()), num_strips=2)
+    assert a == b
+    out, w, h = micw_decompress_host(b)
+    assert np.array_equal(out, px)
