@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .strips import decode_strip_batch_impl
 
-__all__ = ["make_strip_mesh", "decode_strips_sharded"]
+__all__ = ["make_strip_mesh", "decode_strips_sharded", "decode_strips_sharded_pallas"]
 
 
 def make_strip_mesh(devices=None, axis: str = "strips") -> Mesh:
@@ -53,3 +53,30 @@ def decode_strips_sharded(mesh: Mesh, *arrays, **static):
         check_vma=False,
     )
     return jax.jit(fn)(*arrays)
+
+
+def decode_strips_sharded_pallas(mesh: Mesh, init, tpk, alpha, words, mask, shift, ws, **static):
+    """Fused Pallas zzd decode with the strip axis sharded over ``mesh``.
+
+    Each chip runs the whole-scan kernel on its local strip shard (strip
+    count per shard must divide GROUP-pad cleanly: pad the batch to
+    mesh_size * k strips).  No collectives — strips are independent; this
+    is the reference's multi-worker parallelism (parallelstrips.go,
+    wsicompress.go pools) expressed as sharding.
+    """
+    from .pallas_rans import rans_decode_pallas_zzd
+
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+
+    def body(*arrs):
+        return rans_decode_pallas_zzd(*arrs, **static)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(spec for _ in range(7)),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)(init, tpk, alpha, words, mask, shift, ws)

@@ -33,3 +33,39 @@ def test_entry_compiles_and_runs():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 4
     assert out.dtype == np.uint16
+
+
+def test_sharded_pallas_decode():
+    """Fused Pallas kernel under shard_map on an 8-device CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from mic_tpu.tpu.mesh import decode_strips_sharded_pallas, make_strip_mesh
+    from mic_tpu.tpu.pallas_rans import build_packed_tables
+    from mic_tpu.tpu.strips import micw_compress, micw_parse
+    from mic_tpu.tpu.device_rans import mict_parse
+
+    devs = jax.devices()[:8]
+    if len(devs) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(5)
+    img = (rng.standard_normal((64, 128)).cumsum(axis=1) * 9 + 700).astype(np.int32)
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    blob = micw_compress(px, 128, 64, int(px.max()), num_strips=8, lanes=128)
+    width, height, ns, sh, *_ , strips = micw_parse(blob)
+    parsed = [mict_parse(st[0]) for st in strips]
+    tl = max(p[1] for p in parsed)
+    packed = build_packed_tables(parsed, tl)
+    assert packed is not None
+    init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
+    ws = np.full((len(parsed), 128), width // 128, np.uint32)
+    mesh = make_strip_mesh(devs)
+    out = decode_strips_sharded_pallas(
+        mesh, *[jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws)],
+        steps=steps, n_strips=1, table_log=tl, asweep=asweep,
+    )
+    got = np.asarray(out).reshape(ns, -1)
+    for i in range(ns):
+        assert np.array_equal(got[i][: sh * width], px[i * sh * width : (i + 1) * sh * width])
