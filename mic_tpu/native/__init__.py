@@ -20,6 +20,8 @@ __all__ = [
     "decompress_frame_native",
     "entropy_compress_native",
     "entropy_decompress_native",
+    "decompress_strips_native",
+    "read_ncount_native",
     "PRED_AVG",
     "PRED_GRAD",
     "PRED_MED",
@@ -62,6 +64,11 @@ def _load():
     lib.mic_read_ncount.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_void_p,
+    ]
+    lib.mic_decompress_strips.restype = ctypes.c_int
+    lib.mic_decompress_strips.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int,
     ]
     _LIB = lib
     return lib
@@ -144,3 +151,21 @@ def read_ncount_native(data: bytes):
         return None
     sl, tl = int(meta[0]), int(meta[1])
     return out[:sl].copy(), sl, tl, int(n)
+
+
+def decompress_strips_native(blob: bytes, kind: int = PRED_AVG, n_threads: int = 0):
+    """Threaded PICS decode (reference mic_parallel.c analog).  Returns
+    (pixels, width, height)."""
+    import struct
+
+    lib = _load()
+    if not lib:
+        raise RuntimeError("libmicfse.so not built")
+    if len(blob) < 20 or blob[:4] != b"PICS":
+        raise ValueError("not a PICS container")
+    width, height = struct.unpack_from("<II", blob, 4)
+    out = np.empty(width * height, dtype=np.uint16)
+    rc = lib.mic_decompress_strips(blob, len(blob), kind, out.ctypes.data, n_threads)
+    if rc != 0:
+        raise ValueError(f"native strips decode failed (code {rc})")
+    return out, width, height

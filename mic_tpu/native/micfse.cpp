@@ -16,6 +16,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <atomic>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -912,5 +914,50 @@ size_t mic_entropy_decompress(const uint8_t* blob, size_t len, uint16_t* out,
 }
 
 int mic_native_version() { return 1; }
+
+
+// Threaded PICS container decode (reference mic_parallel.c pthreads /
+// parallelstrips.go:270 worker pool).  kind selects the predictor
+// inverse (0=avg for the standard PICS frames).  n_threads <= 0 picks
+// hardware_concurrency.  Returns 0 on success, first failing strip's
+// error code otherwise.
+int mic_decompress_strips(const uint8_t* blob, size_t len, int kind,
+                          uint16_t* out_pixels, int n_threads) {
+  if (len < 20 || memcmp(blob, "PICS", 4) != 0) return 10;
+  uint32_t width, height, ns, strip_h;
+  memcpy(&width, blob + 4, 4);
+  memcpy(&height, blob + 8, 4);
+  memcpy(&ns, blob + 12, 4);
+  memcpy(&strip_h, blob + 16, 4);
+  size_t hdr = 20 + (size_t)ns * 8;
+  if (len < hdr || ns == 0 || strip_h == 0) return 11;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+  int workers = (int)ns < n_threads ? (int)ns : n_threads;
+  std::vector<int> rc(ns, 0);
+  std::vector<std::thread> pool;
+  std::atomic<uint32_t> next(0);
+  auto work = [&]() {
+    for (;;) {
+      uint32_t s = next.fetch_add(1);
+      if (s >= ns) return;
+      uint32_t off, sl;
+      memcpy(&off, blob + 20 + (size_t)s * 8, 4);
+      memcpy(&sl, blob + 24 + (size_t)s * 8, 4);
+      size_t base = hdr + off;
+      if (base + sl > len) { rc[s] = 12; continue; }
+      uint32_t y0 = s * strip_h;
+      uint32_t sh = y0 + strip_h <= height ? strip_h : height - y0;
+      rc[s] = mic_decompress_frame(blob + base, sl, (int)width, (int)sh,
+                                   kind, out_pixels + (size_t)y0 * width);
+    }
+  };
+  for (int i = 1; i < workers; i++) pool.emplace_back(work);
+  work();
+  for (auto& t : pool) t.join();
+  for (uint32_t s = 0; s < ns; s++)
+    if (rc[s] != 0) return rc[s];
+  return 0;
+}
 
 }  // extern "C"

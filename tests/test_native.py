@@ -90,3 +90,20 @@ def test_native_corrupt_rejected(ct):
     blob[8] ^= 0xFF  # header corruption
     with pytest.raises(ValueError):
         native.decompress_frame_native(bytes(blob), w, h, native.PRED_AVG)
+
+
+def test_native_strips_decode(rng):
+    """Threaded native PICS decode matches the Python tier and pixels."""
+    from mic_tpu.native import available, decompress_strips_native
+    from mic_tpu.parallel.strips import compress_parallel_strips
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library not built")
+    img = (rng.standard_normal((96, 80)).cumsum(axis=1) * 18 + 1200).astype(np.int32)
+    px = ((img >> 2) << 2).clip(0, 4095).astype(np.uint16).ravel()
+    blob = compress_parallel_strips(px, 80, 96, int(px.max()), num_strips=4)
+    out, w, h = decompress_strips_native(blob, n_threads=4)
+    assert (w, h) == (80, 96)
+    assert np.array_equal(out, px)
