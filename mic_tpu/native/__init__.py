@@ -60,16 +60,24 @@ def _load():
     lib.mic_entropy_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
     ]
-    lib.mic_read_ncount.restype = ctypes.c_size_t
-    lib.mic_read_ncount.argtypes = [
-        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
-        ctypes.c_void_p,
-    ]
-    lib.mic_decompress_strips.restype = ctypes.c_int
-    lib.mic_decompress_strips.argtypes = [
-        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p,
-        ctypes.c_int,
-    ]
+    # Optional symbols (absent if an older build of the library is already
+    # mapped into this process — dlopen caches by path).
+    try:
+        lib.mic_read_ncount.restype = ctypes.c_size_t
+        lib.mic_read_ncount.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
+    except AttributeError:
+        pass
+    try:
+        lib.mic_decompress_strips.restype = ctypes.c_int
+        lib.mic_decompress_strips.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+    except AttributeError:
+        pass
     _LIB = lib
     return lib
 
@@ -140,7 +148,7 @@ def read_ncount_native(data: bytes):
     (norm int32[symbol_len], symbol_len, table_log, consumed) or None if
     the native library is unavailable or the header is invalid."""
     lib = _load()
-    if not lib:
+    if not lib or not hasattr(lib, "mic_read_ncount"):
         return None
     out = np.zeros(65536, dtype=np.int32)
     meta = np.zeros(2, dtype=np.int32)
@@ -159,8 +167,8 @@ def decompress_strips_native(blob: bytes, kind: int = PRED_AVG, n_threads: int =
     import struct
 
     lib = _load()
-    if not lib:
-        raise RuntimeError("libmicfse.so not built")
+    if not lib or not hasattr(lib, "mic_decompress_strips"):
+        raise RuntimeError("libmicfse.so lacks mic_decompress_strips (rebuild)")
     if len(blob) < 20 or blob[:4] != b"PICS":
         raise ValueError("not a PICS container")
     width, height = struct.unpack_from("<II", blob, 4)

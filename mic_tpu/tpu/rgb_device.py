@@ -1,0 +1,80 @@
+"""MICW-RGB (MWR3): the device-format RGB/WSI-tile container.
+
+The host RGB container (models/rgb.py, reference rgbcompress.go) stores
+YCoCg-R planes through the byte-oriented host formats.  MWR3 is its
+device sibling: each plane (Y, zigzag Co, zigzag Cg — all u16, reference
+ycocgr.go lifting) is a MICW blob, so whole batches of RGB images or WSI
+tiles decode through the fused Pallas kernel via micw_decode_many — the
+TPU answer to wsicompress.go's tile worker pool.
+
+Container::
+
+    "MWR3" | width u32 | height u32 | per plane: length u32 | 3 blobs
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..ops.color import ycocgr_forward, ycocgr_inverse
+from .strips import micw_compress, micw_decode_many, micw_decompress_host
+
+__all__ = ["micwr_compress", "micwr_decompress_device", "micwr_decode_many", "micwr_decompress_host"]
+
+MWR3_MAGIC = b"MWR3"
+
+
+def micwr_compress(rgb, width: int, height: int, num_strips: int = 0) -> bytes:
+    """Interleaved RGB bytes -> MWR3 (three MICW plane blobs)."""
+    y, co, cg = ycocgr_forward(rgb, width, height)
+    blobs = [
+        micw_compress(p, width, height, int(p.max()), num_strips=num_strips)
+        for p in (y, co, cg)
+    ]
+    out = bytearray()
+    out += MWR3_MAGIC
+    out += struct.pack("<II", width, height)
+    for b in blobs:
+        out += struct.pack("<I", len(b))
+    return bytes(out) + b"".join(blobs)
+
+
+def _parse(blob: bytes):
+    if len(blob) < 24 or blob[:4] != MWR3_MAGIC:
+        raise ValueError("not an MWR3 container")
+    width, height = struct.unpack_from("<II", blob, 4)
+    lens = struct.unpack_from("<III", blob, 12)
+    off = 24
+    planes = []
+    for ln in lens:
+        planes.append(blob[off : off + ln])
+        off += ln
+    return width, height, planes
+
+
+def micwr_decompress_host(blob: bytes):
+    width, height, planes = _parse(blob)
+    y, co, cg = (micw_decompress_host(p)[0] for p in planes)
+    return ycocgr_inverse(y, co, cg, width, height), width, height
+
+
+def micwr_decode_many(blobs):
+    """Decode MANY RGB images / WSI tiles: all 3*N planes ride the batched
+    fused-kernel launches; the YCoCg-R inverse is a vectorized host pass
+    (or kernels.ycocgr_inverse_tpu for a device-resident pipeline).
+    Returns [(rgb_bytes, width, height), ...] in blob order.
+    """
+    metas = [_parse(b) for b in blobs]
+    flat = [p for _w, _h, planes in metas for p in planes]
+    decoded = micw_decode_many(flat)
+    out = []
+    for i, (width, height, _planes) in enumerate(metas):
+        y, co, cg = (decoded[3 * i + j][0] for j in range(3))
+        out.append((ycocgr_inverse(y, co, cg, width, height), width, height))
+    return out
+
+
+def micwr_decompress_device(blob: bytes):
+    return micwr_decode_many([blob])[0]

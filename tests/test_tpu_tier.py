@@ -380,3 +380,26 @@ def test_micw_compress_device_container(rng):
     assert a == b
     out, w, h = micw_decompress_host(b)
     assert np.array_equal(out, px)
+
+
+def test_micwr_rgb_roundtrip(rng):
+    """MWR3 device RGB container: YCoCg-R planes through MICW, batch
+    decode of several tiles in shared launches, host == device."""
+    from mic_tpu.tpu.rgb_device import (
+        micwr_compress,
+        micwr_decode_many,
+        micwr_decompress_host,
+    )
+
+    tiles = []
+    for _ in range(2):
+        base = rng.integers(0, 200, (16, 128, 1), dtype=np.int32)
+        rgb = np.clip(base + rng.integers(0, 40, (16, 128, 3)), 0, 255).astype(np.uint8)
+        tiles.append(rgb.reshape(-1))
+    blobs = [micwr_compress(t, 128, 16) for t in tiles]
+    outs = micwr_decode_many(blobs)
+    for t, blob, (got, w, h) in zip(tiles, blobs, outs):
+        assert (w, h) == (128, 16)
+        assert np.array_equal(got.ravel(), t)
+        host, _, _ = micwr_decompress_host(blob)
+        assert np.array_equal(host.ravel(), t)
