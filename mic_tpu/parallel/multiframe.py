@@ -161,25 +161,41 @@ def decompress_frame(data: bytes, frame_idx: int):
     return prev, hdr
 
 
-def compress_multi_frame_device(frames, width, height, max_value, lanes: int = 1024) -> bytes:
-    """MIC2 container whose frame payloads are MICW device-format blobs:
-    independent frames, all decodable in one fused device program
-    (the device analog of MIC2's O(1) frame parallel access)."""
+def compress_multi_frame_device(frames, width, height, max_value, lanes: int = 128, temporal: bool = False) -> bytes:
+    """MIC2 container whose frame payloads are MICW device-format blobs.
+
+    Independent mode (default): O(1) random frame access, every frame's
+    strips pool into the fused Pallas launches.  Temporal mode mirrors
+    the host MIC2 (multiframe*.go): frame i>0 stores zigzag residuals vs
+    frame i-1 — the residual planes still batch-decode in one launch,
+    only the final add chains across frames (cheap vector pass)."""
     from ..tpu.strips import micw_compress
 
-    blobs = [
-        micw_compress(np.asarray(f, dtype=np.uint16), width, height, max_value, lanes=lanes)
-        for f in frames
-    ]
-    return write_mic2(MIC2Header(width, height, len(frames), temporal=False), blobs)
+    blobs = []
+    for i, f in enumerate(frames):
+        f = np.asarray(f, dtype=np.uint16)
+        if temporal and i > 0:
+            plane = temporal_delta_encode(f, np.asarray(frames[i - 1], dtype=np.uint16))
+            mv = max(int(plane.max()), 1)
+        else:
+            plane = f
+            mv = max_value
+        blobs.append(micw_compress(plane, width, height, mv, lanes=lanes))
+    return write_mic2(MIC2Header(width, height, len(frames), temporal=temporal), blobs)
 
 
 def decompress_multi_frame_device(data: bytes):
     """Batch-decode a device-format MIC2 on the accelerator: every frame's
-    strips pool into as few fused programs as possible.
-    Returns (frames, header)."""
-    from ..tpu.strips import micw_decode_batch
+    strips (or residual-plane strips in temporal mode) pool into as few
+    fused Pallas launches as possible.  Returns (frames, header)."""
+    from ..tpu.strips import micw_decode_many
 
     hdr, entries, data_offset = read_mic2_header(data)
     blobs = [extract_frame(data, entries, data_offset, i) for i in range(hdr.frame_count)]
-    return micw_decode_batch(blobs), hdr
+    planes = [p for p, _w, _h in micw_decode_many(blobs)]
+    if not hdr.temporal:
+        return planes, hdr
+    frames = [np.asarray(planes[0], dtype=np.uint16)]
+    for i in range(1, hdr.frame_count):
+        frames.append(temporal_delta_decode(np.asarray(planes[i], dtype=np.uint16), frames[-1]))
+    return frames, hdr

@@ -312,3 +312,21 @@ def test_mic2_device_format_frames(rng):
     assert all(np.array_equal(a, b) for a, b in zip(out2, frames))
     one, _ = decompress_frame(blob, 2)
     assert np.array_equal(one, frames[2])
+
+
+def test_mic2_device_temporal(rng):
+    """Temporal device MIC2: residual planes batch through the fused
+    decoder, frame chain reconstructs exactly."""
+    from mic_tpu.parallel.multiframe import (
+        compress_multi_frame_device,
+        decompress_multi_frame_device,
+    )
+
+    base = (rng.standard_normal((16, 128)).cumsum(axis=1) * 10 + 900).astype(np.int32)
+    f0 = base.clip(0, 4095).astype(np.uint16).ravel()
+    f1 = ((base + rng.integers(-3, 4, base.shape) * 4).clip(0, 4095)).astype(np.uint16).ravel()
+    blob = compress_multi_frame_device([f0, f1], 128, 16, int(max(f0.max(), f1.max())), temporal=True)
+    frames, hdr = decompress_multi_frame_device(blob)
+    assert hdr.temporal and hdr.frame_count == 2
+    assert np.array_equal(np.asarray(frames[0], np.uint16).ravel(), f0)
+    assert np.array_equal(np.asarray(frames[1], np.uint16).ravel(), f1)
