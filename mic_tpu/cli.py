@@ -53,7 +53,8 @@ def main(argv=None) -> int:
     ap.add_argument("-grad", action="store_true", help="gradient predictor")
     ap.add_argument("-testdata", action="store_true", help="compress the test corpus")
     ap.add_argument("-outdir", default="testdata_out")
-    ap.add_argument("-device", action="store_true", help="decode MICW on the TPU")
+    ap.add_argument("-device", action="store_true",
+                    help="run MICW/MWR3 codec stages on the TPU (Pallas kernels)")
     args = ap.parse_args(argv)
 
     from .utils.io import read_mic1, write_mic1, write_micr
@@ -88,17 +89,23 @@ def main(argv=None) -> int:
         if w * h * 3 != len(data):
             print("rgb: need -width/-height matching the data", file=sys.stderr)
             return 2
-        out_path = args.output or (args.rgb + (".mic3" if args.wsi else ".micr"))
+        suffix = ".mic3" if args.wsi else (".mwr3" if args.micw else ".micr")
+        out_path = args.output or (args.rgb + suffix)
         if args.wsi:
             from .parallel.wsi import WSIOptions, compress_wsi
 
             blob = compress_wsi(data, w, h, 3, 8, WSIOptions())
+        elif args.micw:
+            from .tpu.rgb_device import micwr_compress
+
+            blob = micwr_compress(data, w, h)
         else:
             from .models.rgb import compress_rgb
 
             blob = write_micr(w, h, compress_rgb(data, w, h))
+        kind = "MIC3" if args.wsi else ("MWR3" if args.micw else "MICR")
         Path(out_path).write_bytes(blob)
-        print(f"{'MIC3' if args.wsi else 'MICR'} {w}x{h} -> {len(blob)} bytes")
+        print(f"{kind} {w}x{h} -> {len(blob)} bytes")
         return 0
 
     if not args.input:
@@ -127,9 +134,14 @@ def main(argv=None) -> int:
 
         blob = compress_parallel_strips_adaptive(px, w, h, mx, args.pica)
     elif args.micw:
-        from .tpu.strips import micw_compress
+        if getattr(args, "device", False):
+            from .tpu.pallas_enc import micw_compress_device
 
-        blob = micw_compress(px, w, h, mx)
+            blob = micw_compress_device(px, w, h, mx)
+        else:
+            from .tpu.strips import micw_compress
+
+            blob = micw_compress(px, w, h, mx)
     elif args.wavelet:
         from .models.wavelet_pipeline import wavelet_v2_rle_fse_compress
 
@@ -175,13 +187,23 @@ def _decode(args) -> int:
         px, w, h = decompress_parallel_strips_adaptive(data)
     elif magic == b"MICW":
         if getattr(args, "device", False):
-            from .tpu.strips import micw_decompress_device
+            from .tpu.strips import micw_decompress_device_pallas
 
-            px, w, h = micw_decompress_device(data)
+            px, w, h = micw_decompress_device_pallas(data)
         else:
             from .tpu.strips import micw_decompress_host
 
             px, w, h = micw_decompress_host(data)
+    elif magic == b"MWR3":
+        from .tpu.rgb_device import micwr_decode_many, micwr_decompress_host
+
+        if getattr(args, "device", False):
+            rgb, w, h = micwr_decode_many([bytes(data)])[0]
+        else:
+            rgb, w, h = micwr_decompress_host(data)
+        Path(out_path).write_bytes(bytes(np.asarray(rgb, np.uint8)))
+        print(f"MWR3 {w}x{h} -> {np.asarray(rgb).size} bytes RGB")
+        return 0
     elif magic == b"MICR":
         from .models.rgb import decompress_rgb
         from .utils.io import read_micr
