@@ -403,3 +403,21 @@ def test_micwr_rgb_roundtrip(rng):
         assert np.array_equal(got.ravel(), t)
         host, _, _ = micwr_decompress_host(blob)
         assert np.array_equal(host.ravel(), t)
+
+
+@pytest.mark.parametrize("predictor", ["zzd", "zz", "avg"])
+def test_micw_property_sweep(predictor, rng):
+    """Property sweep: random shapes x bit depths x predictors — host
+    decode == XLA device decode == original pixels."""
+    from mic_tpu.tpu.strips import micw_decompress_device
+
+    for w, h, depth in ((37, 21, 12), (128, 32, 10), (65, 17, 16), (256, 8, 8)):
+        hi = (1 << depth) - 1
+        img = (rng.standard_normal((h, w)).cumsum(axis=1) * (hi / 80) + hi / 2).astype(np.int64)
+        px = img.clip(0, hi).astype(np.uint16).ravel()
+        blob = micw_compress(px, w, h, int(px.max()), num_strips=2, lanes=64,
+                             predictor=predictor)
+        a, aw, ah = micw_decompress_host(blob)
+        assert (aw, ah) == (w, h) and np.array_equal(a, px), (predictor, w, h, depth)
+        b, *_ = micw_decompress_device(blob)
+        assert np.array_equal(np.asarray(b, np.uint16).ravel(), px), (predictor, w, h, depth)
