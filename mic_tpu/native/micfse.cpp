@@ -70,10 +70,14 @@ struct BitReader {
   inline uint32_t get(unsigned n) {
     if (n == 0) return 0;
     pos -= n;
+    // Exhausted streams park in the 8-byte zero pad in front of the
+    // buffer: reads return zero bits and never refill below the pad.
+    if (pos < -32) pos = -32;
     if (pos < wbase * 8) {
       // Reposition the window so ~32 bits can be consumed before the
       // next refill: window bottom 4 bytes below the current bit.
       wbase = (pos >> 3) - 4;
+      if (wbase < -8) wbase = -8;
       std::memcpy(&win, data + wbase, 8);
     }
     return (uint32_t)((win >> (pos - wbase * 8)) & (((uint64_t)1 << n) - 1));
@@ -451,10 +455,14 @@ static bool fse_encode_bits(const uint16_t* src, size_t n, const Norm& nm,
 }
 
 // Decode `count` symbols with N lanes; count<0 => 1-state implicit end.
+// `limit` bounds the output size (reference DecompressLimit): counted
+// streams whose untrusted count header exceeds it are rejected before
+// any allocation.
 static bool fse_decode_bits(const uint8_t* bits, size_t blen, const DTable& dt,
                             int table_log, int n_states, int64_t count,
-                            std::vector<uint16_t>& out) {
+                            int64_t limit, std::vector<uint16_t>& out) {
   if (blen == 0 || blen > ((size_t)1 << 31)) return false;
+  if (count > limit) return false;
   // Pad both ends so the 8-byte read window is always in-buffer (the
   // window can reach past the last byte near the stream top).
   std::vector<uint8_t> buf(blen + 16, 0);
@@ -491,7 +499,6 @@ static bool fse_decode_bits(const uint8_t* bits, size_t blen, const DTable& dt,
   }
   uint32_t x = br.get(table_log);
   out.clear();
-  const int64_t limit = ((int64_t)2 << 30) - 1;
   while (true) {
     if (br.pos <= 0 && nb[x] > 0) {
       if (x != 0) out.push_back(sym[x]);
@@ -499,7 +506,7 @@ static bool fse_decode_bits(const uint8_t* bits, size_t blen, const DTable& dt,
     }
     out.push_back(sym[x]);
     x = ns[x] + br.get(nb[x]);
-    if ((int64_t)out.size() >= limit) return false;
+    if ((int64_t)out.size() > limit) return false;
   }
   return true;
 }
@@ -596,18 +603,22 @@ struct Rle {
   }
 };
 
-// Expand RLE blocks beginning at in[start]; stops when out_len reached or
-// input exhausted.
+// Expand RLE blocks beginning at in[start]; stops when input exhausts.
+// Truncated trailing blocks (corrupt streams) are clamped/dropped rather
+// than read past the buffer; the caller's token-count check rejects the
+// short expansion, matching the Python tier's error on truncation.
 static void rle_expand(const uint16_t* in, size_t n, size_t start, uint32_t mid,
                        std::vector<uint16_t>& out) {
   size_t i = start;
   while (i < n) {
     uint32_t c = in[i++];
     if (c > mid) {
-      uint32_t k = c - mid;
+      size_t k = c - mid;
+      if (k > n - i) k = n - i;  // truncated literal run: clamp
       out.insert(out.end(), in + i, in + i + k);
       i += k;
     } else {
+      if (i >= n) break;  // truncated same-run: value word missing
       uint16_t v = in[i++];
       out.insert(out.end(), c, v);
     }
@@ -796,7 +807,7 @@ static bool entropy_compress(const uint16_t* syms, size_t n, int n_states,
   return true;
 }
 
-static bool entropy_decompress(const uint8_t* blob, size_t len,
+static bool entropy_decompress(const uint8_t* blob, size_t len, int64_t limit,
                                std::vector<uint16_t>& out) {
   int n_states = 1;
   int64_t count = -1;
@@ -823,7 +834,7 @@ static bool entropy_decompress(const uint8_t* blob, size_t len,
   DTable dt;
   if (rans ? !build_rans_dtable(nm, dt) : !build_dtable(nm, dt)) return false;
   return fse_decode_bits(blob + off + consumed, len - off - consumed, dt,
-                         nm.table_log, n_states, count, out);
+                         nm.table_log, n_states, count, limit, out);
 }
 
 }  // namespace
@@ -853,8 +864,13 @@ size_t mic_read_ncount(const uint8_t* data, size_t len, int32_t* out_norm,
 // kind: 0=avg, 1=grad, 2=med, 3=zz.  Returns 0 on success.
 int mic_decompress_frame(const uint8_t* blob, size_t len, int width, int height,
                          int kind, uint16_t* out_pixels) {
+  if (width <= 0 || height <= 0) return 4;
   std::vector<uint16_t> rle;
-  if (!entropy_decompress(blob, len, rle)) return 1;
+  // A valid RLE stream for w*h pixels is bounded by 2*tokens + 2 words
+  // (tokens <= 2*w*h + 1 with escapes); reject counts past that before
+  // allocating (DecompressLimit analog, fse_codec.py:64).
+  int64_t limit = (int64_t)4 * width * height + 16;
+  if (!entropy_decompress(blob, len, limit, rle)) return 1;
   if (rle.size() < 2) return 2;
   uint16_t rle_max = rle[0];
   int depth = rle_max ? high_bit(rle_max) + 1 : 1;
@@ -907,7 +923,7 @@ size_t mic_entropy_compress(const uint16_t* syms, size_t n, int n_states,
 size_t mic_entropy_decompress(const uint8_t* blob, size_t len, uint16_t* out,
                               size_t out_cap) {
   std::vector<uint16_t> o;
-  if (!entropy_decompress(blob, len, o)) return 0;
+  if (!entropy_decompress(blob, len, (int64_t)out_cap, o)) return 0;
   if (o.size() > out_cap) return 0;
   std::memcpy(out, o.data(), o.size() * 2);
   return o.size();
@@ -931,6 +947,11 @@ int mic_decompress_strips(const uint8_t* blob, size_t len, int kind,
   memcpy(&strip_h, blob + 16, 4);
   size_t hdr = 20 + (size_t)ns * 8;
   if (len < hdr || ns == 0 || strip_h == 0) return 11;
+  // Geometry must tile the image exactly: strips [0, ns) at strip_h rows
+  // each, last strip possibly short.  Computed in 64-bit so corrupt
+  // headers cannot overflow y0 or underflow the last strip's height.
+  if ((uint64_t)(ns - 1) * strip_h >= height || (uint64_t)ns * strip_h < height)
+    return 11;
   int hw = (int)std::thread::hardware_concurrency();
   if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
   int workers = (int)ns < n_threads ? (int)ns : n_threads;
@@ -946,8 +967,8 @@ int mic_decompress_strips(const uint8_t* blob, size_t len, int kind,
       memcpy(&sl, blob + 24 + (size_t)s * 8, 4);
       size_t base = hdr + off;
       if (base + sl > len) { rc[s] = 12; continue; }
-      uint32_t y0 = s * strip_h;
-      uint32_t sh = y0 + strip_h <= height ? strip_h : height - y0;
+      uint64_t y0 = (uint64_t)s * strip_h;
+      uint32_t sh = (uint32_t)(y0 + strip_h <= height ? strip_h : height - y0);
       rc[s] = mic_decompress_frame(blob + base, sl, (int)width, (int)sh,
                                    kind, out_pixels + (size_t)y0 * width);
     }

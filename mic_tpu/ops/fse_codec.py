@@ -152,6 +152,10 @@ def _decode_bitstream(
     get = r.get_bits
 
     if count is not None:
+        if count > limit:
+            raise ValueError(
+                f"declared count ({count}) > DecompressLimit ({limit})"
+            )
         states = []
         for _ in range(n_states):
             states.append(get(table_log))

@@ -213,10 +213,20 @@ def can_huffman_compress(data) -> bytes:
     return w.flush_align()
 
 
-def can_huffman_decompress(blob: bytes) -> np.ndarray:
-    """Reference CanHuffmanDecompressU16 (ReadTable + Decompress)."""
+def can_huffman_decompress(blob: bytes, limit: int | None = None) -> np.ndarray:
+    """Reference CanHuffmanDecompressU16 (ReadTable + Decompress).
+
+    ``limit`` bounds the declared output count (DecompressLimit analog,
+    fse_codec.py) so a corrupt 32-bit header can't drive allocation.
+    """
+    if limit is None:
+        from .fse_codec import DECOMPRESS_LIMIT_DEFAULT
+
+        limit = DECOMPRESS_LIMIT_DEFAULT
     r = ForwardBitReader(blob)
     n_out = r.get_bits(32)
+    if n_out > limit:
+        raise ValueError(f"declared count ({n_out}) > DecompressLimit ({limit})")
     max_value = r.get_bits(16)
     pixel_depth = max(int(max_value).bit_length(), 1)
     delimiter = (1 << pixel_depth) - 1

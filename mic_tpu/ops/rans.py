@@ -194,6 +194,8 @@ def rans_decompress_8state(
     if len(data) < 6 or data[:2] != MAGIC_8STATE_RANS:
         raise ValueError("rans8state: missing magic bytes")
     count = int.from_bytes(data[2:6], "little")
+    if count > limit:
+        raise ValueError(f"declared count ({count}) > DecompressLimit ({limit})")
     body = data[6:]
     norm, symbol_len, table_log, consumed = read_ncount(body)
     new_state, symbol, nb_bits = build_rans_dec_table(norm, symbol_len, table_log)
