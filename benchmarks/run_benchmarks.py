@@ -46,6 +46,110 @@ REFERENCE_MIC_RATIOS = {
     "MR1": 2.09, "MR2": 3.28, "MR3": 3.92, "MR4": 4.12, "NM1": 5.15,
 }
 
+RGB_CORPUS = ["US1", "VL1", "VL2", "VL3", "VL6"]
+# Published RGB ratios (reference README.md:205-216, rgbbench_test.go).
+REFERENCE_RGB_RATIOS = {
+    "US1": 6.24, "VL1": 3.41, "VL2": 3.23, "VL3": 3.46, "VL6": 1.93,
+}
+
+
+def load_rgb_corpus():
+    from mic_tpu.utils.dicom import read_dicom
+
+    out = []
+    for name in RGB_CORPUS:
+        p = REF / f"compsamples_refanddir/IMAGES/REF/{name}_UNC"
+        if not p.exists():
+            continue
+        img = read_dicom(str(p))
+        if img.samples_per_pixel != 3:
+            continue
+        h, w = img.rows, img.cols
+        rgb = img.pixels.reshape(h, w, 3).astype(np.uint8)
+        out.append((name, rgb, w, h))
+    return out
+
+
+def rgb_tables(results: dict) -> None:
+    """Compress the NEMA RGB corpus through the RGB pipelines — the
+    analog of the reference's rgbbench_test.go:44-184 suite."""
+    from mic_tpu.models.rgb import compress_rgb, decompress_rgb
+    from mic_tpu.parallel.wsi import (
+        WSIOptions,
+        compress_wsi,
+        decompress_wsi_region,
+    )
+    from mic_tpu.tpu.rgb_device import micwr_compress, micwr_decompress_host
+    from mic_tpu.utils import charls
+
+    corpus = load_rgb_corpus()
+    if not corpus:
+        print("\n(no RGB corpus images available)")
+        return
+    variants = {
+        "MICR": (
+            lambda rgb, w, h: compress_rgb(rgb, w, h),
+            lambda b, w, h: np.asarray(decompress_rgb(b, w, h)).reshape(h, w, 3),
+        ),
+        "MWR3": (
+            lambda rgb, w, h: micwr_compress(rgb, w, h),
+            lambda b, w, h: np.asarray(micwr_decompress_host(b)[0]).reshape(h, w, 3),
+        ),
+        "MIC3": (
+            lambda rgb, w, h: compress_wsi(
+                rgb.ravel(), w, h, 3, 8, WSIOptions(pyramid_levels=1)
+            ),
+            lambda b, w, h: np.frombuffer(
+                decompress_wsi_region(b, 0, 0, 0, w, h), dtype=np.uint8
+            ).reshape(h, w, 3),
+        ),
+    }
+    if charls.available():
+        variants["JPEG-LS"] = (
+            lambda rgb, w, h: charls.encode(rgb),
+            lambda b, w, h: charls.decode(b),
+        )
+    print("\nTable 3 — RGB corpus (NEMA compsamples), lossless ratios")
+    vnames = list(variants)
+    print(f"{'Image':6} " + " ".join(f"{v:>14}" for v in vnames) + "   ref-MICR")
+    geo: dict[str, list[float]] = {v: [] for v in vnames}
+    for name, rgb, w, h in corpus:
+        results.setdefault(name, {})
+        row = [name.ljust(6)]
+        for v, (cf, df) in variants.items():
+            try:
+                t0 = time.time()
+                blob = cf(rgb, w, h)
+                enc_t = time.time() - t0
+                t0 = time.time()
+                out = df(blob, w, h)
+                dec_t = time.time() - t0
+                exact = np.array_equal(np.asarray(out), rgb)
+                r = {
+                    "ratio": rgb.nbytes / len(blob),
+                    "enc_MBps": rgb.nbytes / enc_t / 1e6,
+                    "dec_MBps": rgb.nbytes / dec_t / 1e6,
+                    "exact": bool(exact),
+                    "bytes": len(blob),
+                }
+            except Exception as e:  # noqa: BLE001
+                r = {"error": str(e)[:80]}
+            results[name][v] = r
+            if "ratio" in r and r["exact"]:
+                row.append(f"{r['ratio']:>13.3f}x")
+                geo[v].append(r["ratio"])
+            else:
+                row.append(f"{'ERR':>14}")
+        row.append(f"   {REFERENCE_RGB_RATIOS.get(name, 0):.2f}")
+        print(" ".join(row))
+    print(
+        f"{'geomean':6} "
+        + " ".join(
+            f"{math.exp(sum(map(math.log, g)) / len(g)):>13.3f}x" if g else f"{'-':>14}"
+            for g in (geo[v] for v in vnames)
+        )
+    )
+
 
 def load_corpus(fast: bool):
     from mic_tpu.utils.dicom import read_dicom
@@ -215,6 +319,9 @@ def main() -> int:
             r = results[name][v]
             row.append(f"{r.get('dec_MBps', 0):>14.1f}")
         print(" ".join(row))
+
+    if not args.fast:
+        rgb_tables(results)
 
     if args.out:
         Path(args.out).write_text(json.dumps(results, indent=1, default=str))
