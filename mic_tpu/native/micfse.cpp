@@ -454,6 +454,49 @@ static bool fse_encode_bits(const uint16_t* src, size_t n, const Norm& nm,
   return true;
 }
 
+// Counted decode hot loop, templated per lane count so every lane state
+// lives in a register.  Bit reads are BRANCHLESS: an unconditional
+// 8-byte window load at the absolute bit position (the buffer is padded
+// 8 bytes on both sides), so there is no refill branch to mispredict —
+// this loop sets the native tier's throughput.
+template <int NS>
+static void fse_counted_loop(const uint64_t* pkd, const uint8_t* base,
+                             int64_t pos, uint32_t* st_in, uint16_t* op,
+                             int64_t count) {
+  uint32_t st[NS];
+  for (int l = 0; l < NS; l++) st[l] = st_in[l];
+  int64_t i = 0;
+  int64_t full = count - count % NS;
+  for (; i < full; i += NS) {
+#pragma GCC unroll 8
+    for (int l = 0; l < NS; l++) {
+      uint64_t e = pkd[st[l]];
+      unsigned nbits = (unsigned)(e & 0xFF);
+      op[i + l] = (uint16_t)(e >> 16);
+      pos -= nbits;
+      pos = pos < -32 ? -32 : pos;  // corrupt/exhausted: park in the
+      //                               front pad (cmov, stays branchless)
+      int64_t wbyte = (pos >> 3) - 3;
+      uint64_t win;
+      std::memcpy(&win, base + wbyte, 8);
+      uint32_t val = (uint32_t)(win >> (pos - wbyte * 8)) & ((1u << nbits) - 1);
+      st[l] = (uint32_t)(e >> 32) + val;
+    }
+  }
+  for (int l = 0; i < count; i++, l++) {
+    uint64_t e = pkd[st[l]];
+    unsigned nbits = (unsigned)(e & 0xFF);
+    op[i] = (uint16_t)(e >> 16);
+    pos -= nbits;
+    pos = pos < -32 ? -32 : pos;
+    int64_t wbyte = (pos >> 3) - 3;
+    uint64_t win;
+    std::memcpy(&win, base + wbyte, 8);
+    uint32_t val = (uint32_t)(win >> (pos - wbyte * 8)) & ((1u << nbits) - 1);
+    st[l] = (uint32_t)(e >> 32) + val;
+  }
+}
+
 // Decode `count` symbols with N lanes; count<0 => 1-state implicit end.
 // `limit` bounds the output size (reference DecompressLimit): counted
 // streams whose untrusted count header exceeds it are rejected before
@@ -479,21 +522,21 @@ static bool fse_decode_bits(const uint8_t* bits, size_t blen, const DTable& dt,
     for (int l = 0; l < n_states; l++) st[l] = br.get(table_log);
     out.resize((size_t)count);
     uint16_t* op = out.data();
-    // Main loop: N symbols per iteration, one per lane — the independent
-    // chains let the compiler keep all lane states in registers.
-    int64_t i = 0;
-    int64_t full = count - count % n_states;
-    for (; i < full; i += n_states) {
-      for (int l = 0; l < n_states; l++) {
-        uint32_t x = st[l];
-        op[i + l] = sym[x];
-        st[l] = ns[x] + br.get(nb[x]);
-      }
-    }
-    for (int l = 0; i < count; i++, l++) {
-      uint32_t x = st[l];
-      op[i] = sym[x];
-      st[l] = ns[x] + br.get(nb[x]);
+    // Pack the decode table into one u64 per slot (new_state<<32 |
+    // symbol<<16 | nb_bits): the hot loop touches ONE cache line per
+    // symbol instead of three.
+    const size_t ts = dt.new_state.size();
+    std::vector<uint64_t> pk(ts);
+    for (size_t u = 0; u < ts; u++)
+      pk[u] = ((uint64_t)dt.new_state[u] << 32) | ((uint64_t)dt.symbol[u] << 16) |
+              dt.nb_bits[u];
+    int64_t pos = br.pos;
+    switch (n_states) {
+      case 1: fse_counted_loop<1>(pk.data(), br.data, pos, st, op, count); break;
+      case 2: fse_counted_loop<2>(pk.data(), br.data, pos, st, op, count); break;
+      case 4: fse_counted_loop<4>(pk.data(), br.data, pos, st, op, count); break;
+      case 8: fse_counted_loop<8>(pk.data(), br.data, pos, st, op, count); break;
+      default: return false;
     }
     return true;
   }

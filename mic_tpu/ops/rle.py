@@ -226,6 +226,100 @@ def rle_to_soa(stream, start: int, mid_count: int):
     return soa, len(counts), len(same_vals)
 
 
+def soa_encode(tokens, mid_count: int):
+    """Vectorized token stream -> structure-of-arrays RLE.
+
+    Produces ``(soa_symbols, n_runs, n_same)`` with the same block
+    semantics as :func:`rle_to_soa` output (count <= mid = same-run of
+    that length, count > mid = literal run of count - mid symbols), but
+    built directly from maximal equal-value runs with numpy — no
+    per-symbol Python state machine (the host grammar's RleEncoder).
+    Same-run blocks are used for runs of >= 3 (the host's min-run), split
+    into <= mid chunks; everything between becomes literal blocks split
+    into <= (mid - 1) chunks — capping literal headers at 2*mid - 1 keeps
+    header symbols in a small reusable range below the escape delimiter
+    (one-off giant header values would widen the entropy alphabet and
+    wreck the normalized-count header, the same reason the host grammar
+    flushes blocks near midCount).
+    """
+    t = np.asarray(tokens, dtype=np.uint16)
+    n = len(t)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint16), 0, 0
+    mid = int(mid_count)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(t[1:], t[:-1], out=change[1:])
+    starts = np.nonzero(change)[0]
+    lens = np.diff(np.append(starts, n))
+    vals = t[starts]
+    is_same = lens >= 3
+
+    # Group consecutive non-same runs into literal stretches.
+    grp = np.cumsum(is_same)  # same id for runs inside one literal stretch
+    lit_mask = ~is_same
+    lit_grp = grp[lit_mask]
+    lit_lens_runs = lens[lit_mask]
+    lit_starts_runs = starts[lit_mask]
+    # stretch boundaries: first run of each group
+    if len(lit_grp):
+        first = np.empty(len(lit_grp), dtype=bool)
+        first[0] = True
+        np.not_equal(lit_grp[1:], lit_grp[:-1], out=first[1:])
+        stretch_first = np.nonzero(first)[0]
+        stretch_start = lit_starts_runs[stretch_first]
+        stretch_len = np.add.reduceat(lit_lens_runs, stretch_first)
+        stretch_grp = lit_grp[stretch_first]
+    else:
+        stretch_start = np.zeros(0, dtype=np.int64)
+        stretch_len = np.zeros(0, dtype=np.int64)
+        stretch_grp = np.zeros(0, dtype=np.int64)
+
+    # Interleave blocks in stream order: same-runs at grp-position, each
+    # literal stretch between them.  Build an ordered block list.
+    same_idx = np.nonzero(is_same)[0]
+    same_start = starts[same_idx]
+    same_len = lens[same_idx]
+    same_val = vals[same_idx]
+
+    # Order key = original start position of the block.
+    lit_cap = max(1, mid - 1)
+    blocks = []  # (start_pos, kind, a, b) kind0 same (len, val), kind1 lit (lo, hi)
+    for s0, ln, v in zip(same_start.tolist(), same_len.tolist(), same_val.tolist()):
+        while ln > 0:
+            c = min(ln, mid)
+            blocks.append((s0, 0, c, v))
+            s0 += c
+            ln -= c
+    for s0, ln in zip(stretch_start.tolist(), stretch_len.tolist()):
+        while ln > 0:
+            c = min(ln, lit_cap)
+            blocks.append((s0, 1, s0, s0 + c))
+            s0 += c
+            ln -= c
+    blocks.sort(key=lambda b: b[0])
+
+    counts = np.empty(len(blocks), dtype=np.uint16)
+    same_vals = []
+    lit_spans = []
+    for i, (_s0, kind, a, b) in enumerate(blocks):
+        if kind == 0:
+            counts[i] = a
+            same_vals.append(b)
+        else:
+            counts[i] = mid + (b - a)
+            lit_spans.append((a, b))
+    lits = (
+        np.concatenate([t[a:b] for a, b in lit_spans])
+        if lit_spans
+        else np.zeros(0, dtype=np.uint16)
+    )
+    soa = np.concatenate(
+        [counts, np.array(same_vals, dtype=np.uint16), lits.astype(np.uint16)]
+    )
+    return soa, len(counts), len(same_vals)
+
+
 def soa_expand(soa, n_runs: int, n_same: int, mid_count: int) -> np.ndarray:
     """Host mirror of the device SoA-RLE expansion (for cross-tier tests)."""
     s = np.asarray(soa, dtype=np.int64)

@@ -118,8 +118,9 @@ def mict_encode(
     tl = optimal_table_log(table_log, n, symbol_len)
     if max_table_log is not None and tl > max_table_log:
         # Hard cap (the adaptive rule bumps tl up by symbol density): the
-        # packed Pallas decode kernel needs tl <= 11 so a whole table
-        # entry fits one u32 gather.  ~0.5% ratio cost on dense strips.
+        # packed Pallas decode kernel needs tl <= 12 so the per-slot
+        # (bias, rank) entry fits one u32 gather.  tl=13 measured ~0 gain
+        # on the corpus (see results/).
         tl = max_table_log
     norm = normalize_count(counts, n, tl, symbol_len)
     try:

@@ -9,7 +9,7 @@ order.  Output blobs are BYTE-IDENTICAL to the host encoder
 Design notes (v5e/Mosaic):
 
 * **Division on the VPU**: the encode step needs x//freq and x%freq for
-  data-dependent freq.  Freqs are <= 2^11 (MICW caps tableLog at 11), so
+  data-dependent freq.  Freqs are <= 2^12 (MICW caps tableLog at 12), so
   each rank's divisor gets a Hacker's-Delight unsigned magic (M, add, sh)
   computed host-side; the kernel evaluates q = mulhi32(x, M) (four
   16x16 partial products) + the add/shift fixup — branch-free selects.
@@ -20,8 +20,9 @@ Design notes (v5e/Mosaic):
   flag planes); host/XLA compaction (words[flags]) produces the stream.
   Decoder word order is (step asc, lane asc) — exactly the dense
   traversal order, so compaction IS the stream assembly.
-* Tables ride per-rank (alphabet <= 1024, asweep tiles): te1 packs
-  freq<<20 | add<<19 | cum<<4 | shift; te2 is the 32-bit magic.
+* Tables ride per-rank (alphabet <= 4096, asweep tiles): te1 packs
+  (freq-1)<<18 | add<<17 | is1<<16 | cum<<4 | shift; te2 is the 32-bit
+  magic.
 """
 
 from __future__ import annotations
@@ -89,7 +90,8 @@ def build_enc_tables(parsed_norms, table_log: int):
 
     parsed_norms: list of (freqs_by_rank u32[A], cums_by_rank u32[A]).
     Returns (te1, te2) uint32[S, asweep*128] and asweep.
-    te1 = freq<<20 | add<<19 | is1<<18 | cum<<4 | sh;  te2 = magic M.
+    te1 = (freq-1)<<18 | add<<17 | is1<<16 | cum<<4 | sh;  te2 = magic M.
+    (freq-1 and cum both need 12 bits at tableLog 12.)
     """
     S = len(parsed_norms)
     amax = max(len(f) for f, _c in parsed_norms)
@@ -105,7 +107,7 @@ def build_enc_tables(parsed_norms, table_log: int):
             else:
                 M, add, sh = _magic(f)
                 is1 = 0
-            te1[i, r] = (f << 20) | (add << 19) | (is1 << 18) | (c << 4) | sh
+            te1[i, r] = ((f - 1) << 18) | (add << 17) | (is1 << 16) | (c << 4) | sh
             te2[i, r] = M
     return te1, te2, asweep
 
@@ -124,10 +126,10 @@ def _kernel_enc(ranks_ref, te1_ref, te2_ref, count_ref, tl_ref, out_w_ref, out_f
             m = rhi == h
             e1 = jnp.where(m, jnp.take_along_axis(te1_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), e1)
             e2 = jnp.where(m, jnp.take_along_axis(te2_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), e2)
-        f = e1 >> 20
-        add = (e1 >> 19) & jnp.uint32(1)
-        is1 = (e1 >> 18) & jnp.uint32(1)
-        c = (e1 >> 4) & jnp.uint32(0x7FF)
+        f = (e1 >> 18) + jnp.uint32(1)
+        add = (e1 >> 17) & jnp.uint32(1)
+        is1 = (e1 >> 16) & jnp.uint32(1)
+        c = (e1 >> 4) & jnp.uint32(0xFFF)
         sh = e1 & jnp.uint32(0xF)
         shift_rn = jnp.uint32(32) - tl_ref[:]
         need = (x >= jax.lax.shift_left(f, shift_rn)) & active
@@ -221,16 +223,16 @@ def rans_encode_pallas(ranks, te1, te2, count, tls, *, steps, n_strips, asweep):
     )(ranks, te1, te2, count, tls)
 
 
-def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = None, max_table_log: int = 11, on_error: str = "raise"):
+def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = None, max_table_log: int = 12, on_error: str = "raise"):
     """Encode many u16 symbol streams into MICT blobs with the Pallas
     encode kernel (one launch for the whole batch).  Blobs are
     byte-identical to device_rans.mict_encode(stream, lanes=128,
-    max_table_log=11) — reference semantics: fseu16.go normalization +
+    max_table_log=12) — reference semantics: fseu16.go normalization +
     adaptive tableLog, capped for the packed decode kernel.
 
     Returns a list of bytes.  Raises the same sentinel errors as the host
     encoder per stream (caller handles fallback per strip); streams whose
-    alphabet exceeds 1024 raise IncompressibleError.  With
+    alphabet exceeds 4096 raise IncompressibleError.  With
     on_error="none", failing streams yield None instead (the kernel runs
     on the encodable subset).
     """
@@ -274,7 +276,7 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
             except ValueError as e:
                 raise IncompressibleError(str(e)) from e
             alphabet = np.nonzero(freq)[0]
-            if len(alphabet) > 1024:
+            if len(alphabet) > 4096:
                 raise IncompressibleError("alphabet too wide for device encode")
         except (IncompressibleError, UseRLEError):
             if on_error == "raise":
@@ -344,10 +346,12 @@ def micw_compress_device(pixels, width: int, height: int, max_value: int, num_st
     import struct as _struct
 
     from .strips import (
+        FLAG_ADAPTIVE,
         FLAG_DIRECT,
         MICW_MAGIC,
-        STRIP_MODE_MICT,
+        STRIP_MODE_CONST,
         STRIP_MODE_RAW,
+        STRIP_MODE_ZZD,
     )
 
     pixels = np.asarray(pixels, dtype=np.uint16)
@@ -361,10 +365,19 @@ def micw_compress_device(pixels, width: int, height: int, max_value: int, num_st
 
     streams = []
     raws = []
+    consts = []
     for s in range(actual):
         y0 = s * strip_h
         y1 = min(y0 + strip_h, height)
         strip_px = pixels[y0 * width : y1 * width]
+        if strip_px[0] == strip_px.max() and strip_px[0] == strip_px.min():
+            # Constant strip: 2-byte payload, no kernel work (matches the
+            # host encoder's STRIP_MODE_CONST byte-for-byte).
+            consts.append(True)
+            streams.append(np.zeros(0, np.uint16))
+            raws.append(strip_px)
+            continue
+        consts.append(False)
         img = strip_px.reshape(y1 - y0, width).astype(np.int64)
         left = np.zeros_like(img)
         left[:, 1:] = img[:, :-1]
@@ -374,21 +387,29 @@ def micw_compress_device(pixels, width: int, height: int, max_value: int, num_st
         streams.append(syms)
         raws.append(strip_px)
 
-    encoded = mict_encode_device_batch(streams, on_error="none")
+    encoded = mict_encode_device_batch(
+        [s for s, c in zip(streams, consts) if not c], on_error="none"
+    )
+    enc_iter = iter(encoded)
     blobs = []
     metas = []
-    for syms, raw, enc in zip(streams, raws, encoded):
-        if enc is None:
+    for syms, raw, is_const in zip(streams, raws, consts):
+        if is_const:
+            blobs.append(raw[:1].astype("<u2").tobytes())
+            metas.append((0, 0, 0, 0, STRIP_MODE_CONST))
+            continue
+        enc = next(enc_iter)
+        if enc is None or len(enc) >= raw.nbytes:
             blobs.append(raw.astype("<u2").tobytes())
             metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_RAW))
         else:
             blobs.append(enc)
-            metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_MICT))
+            metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_ZZD))
 
     out = bytearray()
     out += MICW_MAGIC
     out += _struct.pack("<IIII", width, height, actual, strip_h)
-    out += _struct.pack("<HBB", max_value, FLAG_DIRECT, 7)
+    out += _struct.pack("<HBB", max_value, FLAG_ADAPTIVE | FLAG_DIRECT, 7)
     offset = 0
     for blob, (n_soa, n_tok, n_runs, n_same, mode) in zip(blobs, metas):
         out += _struct.pack("<IIIIIII", offset, len(blob), n_soa, n_tok, n_runs, n_same, mode)

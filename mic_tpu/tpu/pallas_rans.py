@@ -209,13 +209,16 @@ def build_pallas_tables(parsed, table_log: int):
     return init, tsym, tfb, words, mask, shift, counts, steps
 
 # ---------------------------------------------------------------------------
-# Packed variant: at tableLog <= 11 the whole decode-table entry fits one
-# u32 — (freq-1)<<21 | bias<<10 | rank, with rank indexing a per-strip
-# alphabet table (alphabet size <= 1024 <=> 10-bit rank; guaranteed when
-# sum(freq) = 2^10, and true in practice at 2^11 for medical residuals).
-# The per-step sweep then needs ONE gather per 128-slot tile instead of
-# two, plus a short alphabet sweep: 16+ceil(A/128) gathers/step vs 64 at
-# tableLog 12 — the sweep is the kernel's dominant cost (measured 52%).
+# Packed variant: per-SLOT data (bias, rank) packs into one u32 —
+# bias<<12 | rank — and the per-SYMBOL data (freq, symbol) rides the
+# rank-indexed alphabet table as (freq-1)<<16 | sym.  The per-step sweep
+# needs ONE gather per 128-slot tile plus a short alphabet sweep:
+# 2^tl/128 + ceil(A/128) gathers/step vs 2 * 2^tl/128 for the two-table
+# kernel — the sweep is the kernel's dominant cost (measured 52%).
+# Supports tableLog <= 12 (bias needs tl bits) and alphabets <= 4096
+# (12-bit rank); round 1 packed freq into the slot word, capping tl at 11
+# — splitting per-slot/per-symbol data buys tl=12 (+1.4% corpus ratio)
+# with the same gather count at tl<=11.
 # ---------------------------------------------------------------------------
 
 
@@ -235,16 +238,17 @@ def _kernel_packed(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref,
         for h in range(SWEEP):
             m = hi == h
             pk = jnp.where(m, jnp.take_along_axis(tpk_ref[:, pl.ds(h * 128, 128)], lo, axis=1), pk)
-        f = (pk >> 21) + 1
-        b = (pk >> 10) & jnp.uint32(0x7FF)
-        rank = (pk & jnp.uint32(0x3FF)).astype(jnp.int32)
-        xn = f * jax.lax.shift_right_logical(x, shift_ref[:]) + b
-        sym = jnp.zeros((S, 128), jnp.uint32)
+        b = pk >> 12
+        rank = (pk & jnp.uint32(0xFFF)).astype(jnp.int32)
+        av = jnp.zeros((S, 128), jnp.uint32)
         rhi = rank >> 7
         rlo = rank & 127
         for h in range(asweep):
             m = rhi == h
-            sym = jnp.where(m, jnp.take_along_axis(alpha_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), sym)
+            av = jnp.where(m, jnp.take_along_axis(alpha_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), av)
+        f = (av >> 16) + 1
+        sym = av & jnp.uint32(0xFFFF)
+        xn = f * jax.lax.shift_right_logical(x, shift_ref[:]) + b
         need = xn < jnp.uint32(1 << 16)
         nee = need.astype(jnp.int32)
         # MXU exclusive prefix sum — see _kernel.
@@ -283,11 +287,11 @@ def _kernel_packed(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref,
 
 @partial(jax.jit, static_argnames=("steps", "n_strips", "table_log", "asweep"))
 def rans_decode_pallas_packed(init, tpk, alpha, words, mask, shift, *, steps, n_strips, table_log, asweep):
-    """Packed-table variant of rans_decode_pallas (tableLog <= 11).
+    """Packed-table variant of rans_decode_pallas (tableLog <= 12).
 
-    tpk: uint32[S, 2^tl] packed entries (freq-1)<<21 | bias<<10 | rank.
-    alpha: uint32[S, 128*asweep] rank -> symbol tables.  Other operands
-    and the output layout match rans_decode_pallas.
+    tpk: uint32[S, 2^tl] per-slot entries bias<<12 | rank.
+    alpha: uint32[S, 128*asweep] per-rank entries (freq-1)<<16 | sym.
+    Other operands and the output layout match rans_decode_pallas.
     """
     S = init.shape[0]
     if S % GROUP != 0:
@@ -322,15 +326,16 @@ def rans_decode_pallas_packed(init, tpk, alpha, words, mask, shift, *, steps, n_
 
 def build_packed_tables(parsed, table_log: int, min_steps: int = 0):
     """Packed-kernel table build; returns None if any strip's tableLog
-    exceeds 11 or alphabet exceeds 1024 symbols (caller falls back to the
+    exceeds 12 or alphabet exceeds 4096 symbols (caller falls back to the
     two-table kernel).  Otherwise returns
-    (init, tpk, alpha, words, mask, shift, counts, steps, asweep).
+    (init, tpk, alpha, words, mask, shift, counts, steps, asweep)
+    with tpk[slot] = bias<<12 | rank and alpha[rank] = (freq-1)<<16 | sym.
     ``min_steps`` pads the scan length (and the word-stream margins that
     depend on it) up to a caller-chosen bucket size."""
     from .device_rans import device_tables
 
     S = len(parsed)
-    if table_log > 11:
+    if table_log > 12:
         return None
     TS = 1 << table_log
     init = np.zeros((S, 128), np.uint32)
@@ -352,11 +357,11 @@ def build_packed_tables(parsed, table_log: int, min_steps: int = 0):
             raise ValueError("pallas rANS kernel requires 128 lanes per strip")
         norm = np.asarray(norm)
         alpha_syms = np.nonzero(norm)[0].astype(np.uint32)
-        if len(alpha_syms) > 1024:
+        if len(alpha_syms) > 4096:
             return None
         sym, fs, bs, _, _ = device_tables(norm, tl)
         rank = np.searchsorted(alpha_syms, sym).astype(np.uint32)
-        packed = ((fs.astype(np.uint32) - 1) << 21) | (bs.astype(np.uint32) << 10) | rank
+        packed = (bs.astype(np.uint32) << 12) | rank
         reps = TS // (1 << tl)
         tpk[i] = np.tile(packed, reps)
         init[i] = states
@@ -364,7 +369,11 @@ def build_packed_tables(parsed, table_log: int, min_steps: int = 0):
         mask[i, :] = (1 << tl) - 1
         shift[i, :] = tl
         counts.append(count)
-        alphas.append(alpha_syms)
+        # Per-rank (freq-1)<<16 | sym — freq is per-symbol, so it rides
+        # the alphabet table, freeing slot-word bits for tl=12 biases.
+        fr = norm[alpha_syms].copy()
+        fr[fr < 0] = 1  # low-prob (-1) symbols decode with freq 1
+        alphas.append(((fr.astype(np.uint32) - 1) << 16) | alpha_syms)
     asweep = max(1, (max(len(a) for a in alphas) + 127) // 128)
     alpha = np.zeros((S, asweep * 128), np.uint32)
     for i, a in enumerate(alphas):
@@ -401,16 +410,17 @@ def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ws
         for h in range(SWEEP):
             m = hi == h
             pk = jnp.where(m, jnp.take_along_axis(tpk_ref[:, pl.ds(h * 128, 128)], lo, axis=1), pk)
-        f = (pk >> 21) + 1
-        b = (pk >> 10) & jnp.uint32(0x7FF)
-        rank = (pk & jnp.uint32(0x3FF)).astype(jnp.int32)
-        xn = f * jax.lax.shift_right_logical(x, shift_ref[:]) + b
-        sym = jnp.zeros((S, 128), jnp.uint32)
+        b = pk >> 12
+        rank = (pk & jnp.uint32(0xFFF)).astype(jnp.int32)
+        av = jnp.zeros((S, 128), jnp.uint32)
         rhi = rank >> 7
         rlo = rank & 127
         for h in range(asweep):
             m = rhi == h
-            sym = jnp.where(m, jnp.take_along_axis(alpha_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), sym)
+            av = jnp.where(m, jnp.take_along_axis(alpha_ref[:, pl.ds(h * 128, 128)], rlo, axis=1), av)
+        f = (av >> 16) + 1
+        sym = av & jnp.uint32(0xFFFF)
+        xn = f * jax.lax.shift_right_logical(x, shift_ref[:]) + b
         need = xn < jnp.uint32(1 << 16)
         nee = need.astype(jnp.int32)
         kf = jax.lax.dot_general(

@@ -42,6 +42,7 @@ __all__ = [
     "zz_delta_inverse_device",
     "avg_delta_inverse_device",
     "zzd_inverse_device",
+    "vdd_inverse_device",
 ]
 
 
@@ -280,4 +281,16 @@ def zzd_inverse_device(syms: jax.Array, width: int, height: int):
     v = syms[: width * height].astype(jnp.uint32)
     dz = ((v >> 1) ^ (-(v & 1))).astype(jnp.int32)
     img = jnp.cumsum(dz.reshape(height, width), axis=1)
+    return (img & 0xFFFF).astype(jnp.uint16).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def vdd_inverse_device(syms: jax.Array, width: int, height: int):
+    """Invert the vertical-direct predictor: unzigzag then per-COLUMN
+    prefix sum modulo 2^16 — columns are the parallel axis, so this is
+    as cheap as the zzd inverse.  (vdd wins on modalities with vertical
+    structure, e.g. CT2/MR2 in the corpus.)"""
+    v = syms[: width * height].astype(jnp.uint32)
+    dz = ((v >> 1) ^ (-(v & 1))).astype(jnp.int32)
+    img = jnp.cumsum(dz.reshape(height, width), axis=0)
     return (img & 0xFFFF).astype(jnp.uint16).reshape(-1)

@@ -1,13 +1,13 @@
-"""MICW — the TPU-native parallel-strip container (v2, SoA-RLE).
+"""MICW — the TPU-native parallel-strip container (v4, per-strip adaptive).
 
-The device-format sibling of PICS (parallelstrips.go): images go through
-the ZZ (left-neighbour ZigZag) predictor + 16-bit RLE (same grammar as
-the host formats) and the **wide-lane rANS** device entropy coder
+The device-format sibling of PICS/PICA (parallelstrips.go,
+parallelstripsadaptive.go): images go through a per-strip choice of
+predictor pipelines and the **wide-lane rANS** device entropy coder
 (mic_tpu.tpu.device_rans) instead of byte-oriented tANS.  A whole batch
 of strips/images decodes in ONE jitted device program; the strip axis
 shards over a chip mesh with shard_map (mic_tpu.tpu.mesh).
 
-Two TPU-first re-shapings relative to the host formats:
+TPU-first re-shapings relative to the host formats:
 
 * **Wide-lane rANS** replaces bit-granular tANS (SURVEY.md §7's "wider-N
   stream variants"): 128×K vector lanes instead of 2/4/8 ILP states.
@@ -16,16 +16,26 @@ Two TPU-first re-shapings relative to the host formats:
   Identical symbol multiset (same entropy cost), but run boundaries fall
   out of cumsums over the counts section — no header discovery, no
   pointer chasing on device.
+* **Per-strip adaptive modes** (v4): the encoder tries zz-direct (no
+  RLE — cheapest device inverse, fused into the Pallas kernel), zz+RLE
+  and avg+RLE per strip and keeps the smallest — PICA's
+  try-both-keep-smaller (parallelstripsadaptive.go:90-103) generalized
+  to three pipelines.  Flat-background modalities (NM, US) take the RLE
+  modes; smooth gradients take zz-direct.
 
 Container layout::
 
     "MICW" | width u32 | height u32 | numStrips u32 | stripH u32
-    maxValue u16 | flags u8 (bit0: 1 = avg predictor, 0 = zz) | lanes_log2 u8
-    per strip: offset u32 | length u32 | nSoa u32 | nTokens u32 | nRuns u32 | nSame u32
+    maxValue u16 | flags u8 | lanes_log2 u8
+    per strip: offset u32 | length u32 | nSoa u32 | nTokens u32 | nRuns u32 | nSame u32 | mode u32
     concatenated MICT entropy blobs (one per strip)
 
-Default geometry: one strip per image and 1024 lanes — the lanes carry
-the parallelism; strips exist to shard very large images across chips.
+flags: bit0 avg, bit1 zzd (legacy global predictors for mode-0 strips),
+bit2 adaptive (v4: strips carry their own mode).  Strip modes: 0 legacy
+(global flags), 1 raw u16 pixels, 2 zzd, 3 zz+RLE, 4 avg+RLE.
+
+Default geometry: ~64-row strips × 128 lanes — the lanes carry the
+parallelism; strips exist to batch and to shard very large images.
 """
 
 from __future__ import annotations
@@ -37,13 +47,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.deltarle import delta_rle_compress, zz_delta_rle_compress
 from ..ops.fse import IncompressibleError, UseRLEError
 from ..ops.predictors import delta_params
-from ..ops.rle import rle_to_soa, soa_expand
+from ..ops.rle import soa_encode, soa_expand
 from .device_rans import device_tables, mict_encode, mict_parse
 from .pipeline import (
     avg_delta_inverse_device,
+    vdd_inverse_device,
     zzd_inverse_device,
     parse_escaped_device,
     soa_rle_expand_device,
@@ -60,6 +70,7 @@ __all__ = [
     "micw_parse",
     "decode_strip_batch_impl",
     "build_strip_batch",
+    "strip_predictor",
     "MICW_MAGIC",
 ]
 
@@ -68,8 +79,35 @@ MICW_HEADER = 24
 MICW_ENTRY = 28
 FLAG_AVG_PREDICTOR = 0x01
 FLAG_DIRECT = 0x02  # zz-direct: no RLE, no escapes (mod-2^16 ZigZag diffs)
-STRIP_MODE_MICT = 0
+FLAG_ADAPTIVE = 0x04  # v4: per-strip predictor modes (PICA's trick,
+#                       reference parallelstripsadaptive.go:90-103)
+STRIP_MODE_MICT = 0  # legacy: predictor from the global flags
 STRIP_MODE_RAW = 1  # raw u16 pixels (entropy stage rejected the strip)
+STRIP_MODE_ZZD = 2  # per-strip: zz-direct (no RLE)
+STRIP_MODE_ZZ = 3  # per-strip: zz + SoA-RLE + escapes
+STRIP_MODE_AVG = 4  # per-strip: avg + SoA-RLE + escapes
+STRIP_MODE_CONST = 5  # constant strip: payload is ONE u16 value (the WSI
+#                       constant-tile trick, wsiformat.go planeConstant)
+STRIP_MODE_VDD = 6  # per-strip: vertical-direct (up-delta, no RLE)
+MAX_TABLE_LOG = 12  # packed-kernel cap (bias<<12|rank per slot)
+MAX_ALPHABET = 4096  # packed-kernel cap (12-bit rank)
+
+_MODE_PRED = {
+    STRIP_MODE_ZZD: "zzd",
+    STRIP_MODE_ZZ: "zz",
+    STRIP_MODE_AVG: "avg",
+    STRIP_MODE_VDD: "vdd",
+}
+_PRED_MODE = {v: k for k, v in _MODE_PRED.items()}
+
+
+def strip_predictor(global_pred: str, mode: int) -> str | None:
+    """Effective predictor of one strip (None = raw or constant)."""
+    if mode in (STRIP_MODE_RAW, STRIP_MODE_CONST):
+        return None
+    if mode == STRIP_MODE_MICT:
+        return global_pred
+    return _MODE_PRED[mode]
 
 
 def _rle_mid(max_value: int) -> int:
@@ -81,35 +119,59 @@ def _rle_mid(max_value: int) -> int:
     return (1 << (delim.bit_length() - 1)) - 1
 
 
+def _zzd_syms(strip_px: np.ndarray, width: int, sh: int) -> np.ndarray:
+    """zz-direct symbols: per-row mod-2^16 ZigZag left-deltas (bijective,
+    so no escapes and no RLE are needed)."""
+    img = strip_px.reshape(sh, width).astype(np.int64)
+    left = np.zeros_like(img)
+    left[:, 1:] = img[:, :-1]
+    d16 = (img - left).astype(np.uint16).astype(np.int16)
+    return (
+        ((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF
+    ).astype(np.uint16).ravel()
 
 
-def _fused_rle(strip_px, width, sh, max_value, predictor, mid):
-    """Predictor + RLE with MICW's floored midCount (see _rle_mid)."""
-    from ..ops.predictors import predictor_encode, zigzag
-    from ..ops.rle import RleEncoder
+def _vdd_syms(strip_px: np.ndarray, width: int, sh: int) -> np.ndarray:
+    """Vertical-direct symbols: per-column mod-2^16 ZigZag up-deltas."""
+    img = strip_px.reshape(sh, width).astype(np.int64)
+    up = np.zeros_like(img)
+    up[1:, :] = img[:-1, :]
+    d16 = (img - up).astype(np.uint16).astype(np.int16)
+    return (
+        ((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF
+    ).astype(np.uint16).ravel()
+
+
+def _escaped_tokens(strip_px, width, sh, max_value, pred) -> np.ndarray:
+    """Escaped residual token stream INCLUDING the leading maxValue word
+    (the fused Delta+RLE layout, deltarlecompressu16.go:24-67)."""
+    from ..ops.predictors import _interleave_escapes, predictor_encode, zigzag
 
     thr, delim = delta_params(max_value)
-    if predictor == "zz":
+    if pred == "zz":
         img = np.asarray(strip_px, dtype=np.uint16).reshape(sh, width)
         p = img.astype(np.int64)
         left = np.zeros_like(p)
         left[:, 1:] = p[:, :-1]
         diff = p - left
         escape = np.abs(diff) >= thr
-        from ..ops.predictors import _interleave_escapes
-
         stream = _interleave_escapes(
             zigzag(diff.astype(np.int16)).ravel(), img.ravel(), escape.ravel(), delim
         )
     else:
         stream = predictor_encode(strip_px, width, sh, max_value, "avg")
-    rle_max = (mid << 1) | 1  # maxValue whose midCount is exactly `mid`
-    enc = RleEncoder(width, sh, rle_max)
-    enc.encode(int(max_value))
-    for v in stream.tolist():
-        enc.encode(v)
-    enc.flush()
-    return np.array(enc.out, dtype=np.uint16)
+    return np.concatenate(
+        [np.array([max_value], dtype=np.uint16), stream.astype(np.uint16)]
+    )
+
+
+def _encode_candidate(syms: np.ndarray, lanes: int):
+    """mict_encode with the packed-kernel eligibility guard; returns None
+    when the strip should fall through to other candidates / raw."""
+    try:
+        return mict_encode(syms, lanes=lanes, max_table_log=MAX_TABLE_LOG)
+    except (IncompressibleError, UseRLEError, ValueError):
+        return None
 
 
 def micw_compress(
@@ -119,16 +181,14 @@ def micw_compress(
     max_value: int,
     num_strips: int = 0,
     lanes: int = 128,
-    predictor: str = "zzd",
+    predictor: str = "auto",
 ) -> bytes:
-    """Compress into MICW.  Encoding is host-side (vectorized numpy).
+    """Compress into MICW.  Encoding is host-side (vectorized numpy; the
+    TPU encode path is tpu.pallas_enc.micw_compress_device).
 
-    Predictors: "zzd" (default) — zz-direct: per-row mod-2^16 ZigZag
-    deltas entropy-coded with NO RLE and NO escapes (the mapping is
-    bijective, so escapes are unnecessary); measured better ratio than
-    the RLE modes on the corpus AND the cheapest possible device
-    inversion (unzigzag + row cumsum).  "zz"/"avg" — the escaped
-    RLE pipelines shared with the host formats.
+    predictor "auto" (default, v4): per strip, try zzd / zz+RLE /
+    avg+RLE, keep the smallest (corpus geomean 3.20 vs 2.83 for fixed
+    zzd).  Fixed "zzd"/"zz"/"avg" force one pipeline for every strip.
     """
     pixels = np.asarray(pixels, dtype=np.uint16)
     if len(pixels) != width * height:
@@ -141,6 +201,12 @@ def micw_compress(
     strip_h = (height + num_strips - 1) // num_strips
     actual = (height + strip_h - 1) // strip_h
     mid = _rle_mid(max_value)
+    if predictor == "auto":
+        trials = ["zzd", "vdd", "zz", "avg"]
+    elif predictor in ("zzd", "vdd", "zz", "avg"):
+        trials = [predictor]
+    else:
+        raise ValueError(f"micw: unknown predictor {predictor!r}")
 
     blobs = []
     metas = []
@@ -149,42 +215,45 @@ def micw_compress(
         y1 = min(y0 + strip_h, height)
         sh = y1 - y0
         strip_px = pixels[y0 * width : y1 * width]
-        if predictor == "zzd":
-            img = strip_px.reshape(sh, width).astype(np.int64)
-            left = np.zeros_like(img)
-            left[:, 1:] = img[:, :-1]
-            d16 = (img - left).astype(np.uint16).astype(np.int16)
-            syms = (((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF
-                    ).astype(np.uint16).ravel()
-            n_runs = n_same = 0
-            n_tokens = len(syms)
-        else:
-            rle_stream = _fused_rle(strip_px, width, sh, max_value, predictor, mid)
-            syms, n_runs, n_same = rle_to_soa(rle_stream, 1, mid)
-            n_tokens = int(
-                np.sum(
-                    np.where(
-                        syms[:n_runs] <= mid,
-                        syms[:n_runs].astype(np.int64),
-                        syms[:n_runs].astype(np.int64) - mid,
-                    )
-                )
-            )
-        try:
-            blob = mict_encode(syms, lanes=lanes, max_table_log=11)
-            mode = STRIP_MODE_MICT
-        except (IncompressibleError, UseRLEError, ValueError):
+        if strip_px[0] == strip_px.max() and strip_px[0] == strip_px.min():
+            # Constant strip: 2-byte payload (WSI planeConstant trick) —
+            # far below any entropy stream's fixed init-state overhead.
+            blobs.append(strip_px[:1].astype("<u2").tobytes())
+            metas.append((0, 0, 0, 0, STRIP_MODE_CONST))
+            continue
+        best = None  # (len, blob, meta, mode)
+        for pred in trials:
+            if pred == "zzd":
+                syms = _zzd_syms(strip_px, width, sh)
+                meta = (len(syms), len(syms), 0, 0)
+            elif pred == "vdd":
+                syms = _vdd_syms(strip_px, width, sh)
+                meta = (len(syms), len(syms), 0, 0)
+            else:
+                tokens = _escaped_tokens(strip_px, width, sh, max_value, pred)
+                syms, n_runs, n_same = soa_encode(tokens, mid)
+                meta = (len(syms), len(tokens), n_runs, n_same)
+            if len(np.unique(syms)) > MAX_ALPHABET:
+                continue  # keep the strip packed-kernel eligible
+            blob = _encode_candidate(syms, lanes)
+            if blob is not None and (best is None or len(blob) < best[0]):
+                best = (len(blob), blob, meta, _PRED_MODE[pred])
+        raw = strip_px.astype("<u2").tobytes()
+        if best is None or best[0] >= len(raw):
             # Raw fallback — the MICW analog of the WSI planeRaw path
             # (constant or incompressible strips).
-            blob = strip_px.astype("<u2").tobytes()
-            mode = STRIP_MODE_RAW
-        blobs.append(blob)
-        metas.append((len(syms), n_tokens, n_runs, n_same, mode))
+            blobs.append(raw)
+            metas.append((sh * width, sh * width, 0, 0, STRIP_MODE_RAW))
+        else:
+            blobs.append(best[1])
+            metas.append((*best[2], best[3]))
 
     out = bytearray()
     out += MICW_MAGIC
     out += struct.pack("<IIII", width, height, actual, strip_h)
-    flags = {"avg": FLAG_AVG_PREDICTOR, "zzd": FLAG_DIRECT}.get(predictor, 0)
+    flags = FLAG_ADAPTIVE | {"avg": FLAG_AVG_PREDICTOR, "zzd": FLAG_DIRECT}.get(
+        predictor, 0
+    )
     out += struct.pack("<HBB", max_value, flags, int(np.log2(lanes)))
     offset = 0
     for blob, (n_soa, n_tok, n_runs, n_same, mode) in zip(blobs, metas):
@@ -281,6 +350,8 @@ def decode_strip_batch_impl(
     def post_one(soa, n_tok, nr, nsm):
         if predictor == "zzd":
             return zzd_inverse_device(soa, width, strip_h)
+        if predictor == "vdd":
+            return vdd_inverse_device(soa, width, strip_h)
         tokens, _nt = soa_rle_expand_device(
             soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
         )
@@ -351,27 +422,31 @@ def build_strip_batch(parsed, strips, table_log, pad_strips_to: int = 0):
 
 
 def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode a MICW container in one fused device program (strips grouped
-    by tableLog).  Returns (pixels, width, height)."""
-    width, height, num_strips, strip_h, max_value, predictor, _lanes, strips = micw_parse(blob)
+    """Decode a MICW container in fused device programs, strips grouped by
+    (tableLog, predictor mode).  Returns (pixels, width, height)."""
+    width, height, num_strips, strip_h, max_value, gpred, _lanes, strips = micw_parse(blob)
     _thr, delim = delta_params(max_value)
     mid = _rle_mid(max_value)
 
     out = np.empty(width * height, dtype=np.uint16)
     parsed = {}
-    groups: dict[int, list[int]] = {}
+    groups: dict[tuple, list[int]] = {}
     for i, st in enumerate(strips):
-        if st[5] == STRIP_MODE_RAW:
+        pred = strip_predictor(gpred, st[5])
+        if pred is None:
             y0 = i * strip_h
             sh = min(strip_h, height - y0)
-            out[y0 * width : (y0 + sh) * width] = np.frombuffer(
-                st[0], dtype="<u2", count=width * sh
-            )
+            if st[5] == STRIP_MODE_CONST:
+                out[y0 * width : (y0 + sh) * width] = np.frombuffer(st[0], dtype="<u2", count=1)[0]
+            else:
+                out[y0 * width : (y0 + sh) * width] = np.frombuffer(
+                    st[0], dtype="<u2", count=width * sh
+                )
             continue
         p = mict_parse(st[0])
         parsed[i] = p
-        groups.setdefault(p[1], []).append(i)
-    for g_tl, idxs in groups.items():
+        groups.setdefault((p[1], pred), []).append(i)
+    for (g_tl, pred), idxs in groups.items():
         arrays, meta = build_strip_batch(
             [parsed[i] for i in idxs], [strips[i] for i in idxs], g_tl
         )
@@ -385,7 +460,7 @@ def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
             max_tokens=meta["max_tokens"],
             mid_count=mid,
             delim=delim,
-            predictor=predictor,
+            predictor=pred,
         )
         sub = np.asarray(sub)
         for j, i in enumerate(idxs):
@@ -400,22 +475,26 @@ def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
     from ..ops.predictors import parse_escaped, predictor_decode
     from .device_rans import mict_decode_numpy
 
-    width, height, num_strips, strip_h, max_value, predictor, _lanes, strips = micw_parse(blob)
+    width, height, num_strips, strip_h, max_value, gpred, _lanes, strips = micw_parse(blob)
     _thr, delim = delta_params(max_value)
     mid = _rle_mid(max_value)
-    kind = "zz" if predictor == "zz" else "avg"
     out = np.empty(width * height, dtype=np.uint16)
     for i, (b, _n_soa, n_tok, n_runs, n_same, mode) in enumerate(strips):
         y0 = i * strip_h
         sh = min(strip_h, height - y0)
-        if mode == STRIP_MODE_RAW:
-            out[y0 * width : (y0 + sh) * width] = np.frombuffer(b, dtype="<u2", count=width * sh)
+        pred = strip_predictor(gpred, mode)
+        if pred is None:
+            if mode == STRIP_MODE_CONST:
+                out[y0 * width : (y0 + sh) * width] = np.frombuffer(b, dtype="<u2", count=1)[0]
+            else:
+                out[y0 * width : (y0 + sh) * width] = np.frombuffer(b, dtype="<u2", count=width * sh)
             continue
-        if predictor == "zzd":
+        if pred in ("zzd", "vdd"):
             syms = mict_decode_numpy(b)[: width * sh].astype(np.uint16)
             u = syms.astype(np.uint32)
             dz = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)).astype(np.uint16).astype(np.int64)
-            img = np.cumsum(dz.reshape(sh, width), axis=1) & 0xFFFF
+            axis = 1 if pred == "zzd" else 0
+            img = np.cumsum(dz.reshape(sh, width), axis=axis) & 0xFFFF
             out[y0 * width : (y0 + sh) * width] = img.astype(np.uint16).ravel()
             continue
         soa = mict_decode_numpy(b)
@@ -424,7 +503,7 @@ def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError("micw: token count mismatch")
         values, is_raw = parse_escaped(tokens[1:], delim, width * sh)
         out[y0 * width : (y0 + sh) * width] = predictor_decode(
-            values, is_raw, width, sh, int(tokens[0]), kind
+            values, is_raw, width, sh, int(tokens[0]), "zz" if pred == "zz" else "avg"
         ).ravel()
     return out, width, height
 
@@ -432,8 +511,8 @@ def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
 def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
     """Decode many MICW containers in as few fused device programs as
     possible — the serving path.  Strips from all images are pooled and
-    grouped by (tableLog, width, strip_h); each group runs as one batched
-    device call.  Returns the pixel array for each input blob.
+    grouped by (tableLog, predictor, width, strip_h); each group runs as
+    one batched device call.  Returns the pixel array for each input blob.
 
     This is the TPU analog of a multi-core decode farm: the batch axis
     does what the reference's goroutine/pthread pools do
@@ -442,16 +521,17 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
     metas = []
     pool: dict[tuple, list] = {}
     for bi, blob in enumerate(blobs):
-        width, height, num_strips, strip_h, max_value, predictor, _lanes, strips = micw_parse(blob)
+        width, height, num_strips, strip_h, max_value, gpred, _lanes, strips = micw_parse(blob)
         mid = _rle_mid(max_value)
         _thr, delim = delta_params(max_value)
         metas.append((width, height, num_strips, strip_h))
         for si, strip in enumerate(strips):
-            if strip[5] == STRIP_MODE_RAW:
+            pred = strip_predictor(gpred, strip[5])
+            if pred is None:
                 pool.setdefault("raw", []).append((bi, si, None, strip))
                 continue
             p = mict_parse(strip[0])
-            key = (p[1], width, strip_h, mid, delim, predictor)
+            key = (p[1], width, strip_h, mid, delim, pred)
             pool.setdefault(key, []).append((bi, si, p, strip))
 
     outs = [np.empty(m[0] * m[1], dtype=np.uint16) for m in metas]
@@ -465,7 +545,7 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
                     st[0], dtype="<u2", count=w * rows
                 )
             continue
-        tl, width, strip_h, mid, delim, predictor = key
+        tl, width, strip_h, mid, delim, pred = key
         parsed = [it[2] for it in items]
         strips = [it[3] for it in items]
         arrays, meta = build_strip_batch(parsed, strips, tl)
@@ -479,7 +559,7 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
             max_tokens=meta["max_tokens"],
             mid_count=mid,
             delim=delim,
-            predictor=predictor,
+            predictor=pred,
         )
         sub = np.asarray(sub)
         for j, (bi, si, _p, _s) in enumerate(items):
@@ -490,11 +570,12 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
     return outs
 
 
-def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
-    """MICW decode with the Pallas rANS kernel for the entropy stage
-    (requires 128 lanes/strip; falls back to the lax.scan path otherwise).
-    The post stages (SoA expand, escape parse, predictor inverse) run as
-    the jitted XLA program."""
+def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim):
+    """Stage one homogeneous group of MICT strips for device decode,
+    choosing the fastest eligible path: fully-fused zzd kernel → packed
+    kernel + post program → two-table kernel + post program.  Returns a
+    closure that runs only the device programs and yields
+    uint16[S, strip_h*width] (padded rows included)."""
     from .pallas_rans import (
         build_packed_tables,
         build_pallas_tables,
@@ -503,67 +584,115 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
         rans_decode_pallas_zzd,
     )
 
-    width, height, num_strips, strip_h, max_value, predictor, lanes, strips = micw_parse(blob)
-    if lanes != 128 or any(st[5] != STRIP_MODE_MICT for st in strips):
+    S = len(parsed)
+    tl = max(p[1] for p in parsed)
+    packed = build_packed_tables(parsed, tl)
+    if packed is not None and pred == "zzd" and width % 128 == 0:
+        init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
+        ws = np.full((S, 128), width // 128, np.uint32)
+        args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws))
+
+        def run_fused():
+            pix = rans_decode_pallas_zzd(
+                *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+            )
+            return pix.reshape(S, -1)[:, : strip_h * width]
+
+        return run_fused
+    if packed is not None:
+        init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
+        args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift))
+
+        def entropy():
+            return rans_decode_pallas_packed(
+                *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+            )
+    else:
+        init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(parsed, tl)
+        args = tuple(jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift))
+
+        def entropy():
+            return rans_decode_pallas(
+                *args, steps=steps, n_strips=S, table_log=tl,
+            )
+
+    if pred in ("zzd", "vdd"):
+        pad_to = strip_h * width
+
+        def run_zzd_post():
+            rle_flat = entropy().reshape(S, -1)
+            if rle_flat.shape[1] < pad_to:
+                # A group of only short (last) strips can decode fewer
+                # than strip_h*width symbols; the zzd inverse slices that.
+                rle_flat = jnp.pad(rle_flat, ((0, 0), (0, pad_to - rle_flat.shape[1])))
+            return _micw_post_batch(
+                rle_flat,
+                jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.int32),
+                width=width, strip_h=strip_h, max_runs=128, max_tokens=128,
+                mid_count=mid, delim=delim, predictor=pred,
+            )
+
+        return run_zzd_post
+    n_tokens = jnp.asarray(np.array([st[2] for st in strips], dtype=np.int32))
+    n_runs_np = np.array([st[3] for st in strips], dtype=np.int32)
+    n_same = jnp.asarray(np.array([st[4] for st in strips], dtype=np.int32))
+    n_runs = jnp.asarray(n_runs_np)
+    max_runs = int(_round_up(int(n_runs_np.max()) + 1, 128))
+    max_tokens = int(_round_up(int(np.array([st[2] for st in strips]).max()) + 1, 128))
+
+    def run_rle_post():
+        return _micw_post_batch(
+            entropy().reshape(S, -1),
+            n_tokens, n_runs, n_same,
+            width=width, strip_h=strip_h,
+            max_runs=max_runs, max_tokens=max_tokens,
+            mid_count=mid, delim=delim, predictor=pred,
+        )
+
+    return run_rle_post
+
+
+def _decode_mict_group(parsed, strips, pred, width, strip_h, mid, delim, as_numpy=True):
+    out = _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim)()
+    return np.asarray(out) if as_numpy else out
+
+
+def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
+    """MICW decode with the Pallas rANS kernels for the entropy stage
+    (requires 128 lanes/strip; falls back to the lax.scan path otherwise).
+    Strips are grouped by predictor mode; zzd groups ride the fully-fused
+    kernel, RLE groups ride the packed kernel + the jitted post program."""
+    width, height, num_strips, strip_h, max_value, gpred, lanes, strips = micw_parse(blob)
+    if lanes != 128:
         return micw_decompress_device(blob)
     _thr, delim = delta_params(max_value)
     mid = _rle_mid(max_value)
-    parsed = [mict_parse(st[0]) for st in strips]
-    tl = max(p[1] for p in parsed)
-    S = len(parsed)
-    packed = build_packed_tables(parsed, tl)
-    if packed is not None and predictor == "zzd" and width % 128 == 0:
-        # Fully-fused path: the kernel emits pixels directly.
-        init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
-        ws = np.full((S, 128), width // 128, np.uint32)
-        pix = rans_decode_pallas_zzd(
-            *[jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws)],
-            steps=steps, n_strips=S, table_log=tl, asweep=asweep,
-        )
-        sub = np.asarray(pix).reshape(S, -1)
-        out = np.empty(width * height, dtype=np.uint16)
-        for i in range(num_strips):
+    out = np.empty(width * height, dtype=np.uint16)
+    groups: dict[str, list[int]] = {}
+    parsed = {}
+    for i, st in enumerate(strips):
+        pred = strip_predictor(gpred, st[5])
+        if pred is None:
             y0 = i * strip_h
             sh = min(strip_h, height - y0)
-            out[y0 * width : (y0 + sh) * width] = sub[i][: sh * width]
-        return out, width, height
-    if packed is not None:
-        init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
-        rle_syms = rans_decode_pallas_packed(
-            *[jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift)],
-            steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+            if st[5] == STRIP_MODE_CONST:
+                out[y0 * width : (y0 + sh) * width] = np.frombuffer(st[0], dtype="<u2", count=1)[0]
+            else:
+                out[y0 * width : (y0 + sh) * width] = np.frombuffer(
+                    st[0], dtype="<u2", count=width * sh
+                )
+            continue
+        parsed[i] = mict_parse(st[0])
+        groups.setdefault(pred, []).append(i)
+    for pred, idxs in groups.items():
+        sub = _decode_mict_group(
+            [parsed[i] for i in idxs], [strips[i] for i in idxs],
+            pred, width, strip_h, mid, delim,
         )
-    else:
-        init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(parsed, tl)
-        rle_syms = rans_decode_pallas(
-            *[jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift)],
-            steps=steps, n_strips=S, table_log=tl,
-        )
-    rle_flat = rle_syms.reshape(S, -1)  # kernel emits [S, steps, 128]
-    n_tokens = np.array([st[2] for st in strips], dtype=np.int32)
-    n_runs = np.array([st[3] for st in strips], dtype=np.int32)
-    n_same = np.array([st[4] for st in strips], dtype=np.int32)
-    max_runs = int(_round_up(int(n_runs.max()) + 1, 128))
-    max_tokens = int(_round_up(int(n_tokens.max()) + 1, 128))
-    out_dev = _micw_post_batch(
-        rle_flat,
-        jnp.asarray(n_tokens),
-        jnp.asarray(n_runs),
-        jnp.asarray(n_same),
-        width=width,
-        strip_h=strip_h,
-        max_runs=max_runs,
-        max_tokens=max_tokens,
-        mid_count=mid,
-        delim=delim,
-        predictor=predictor,
-    )
-    sub = np.asarray(out_dev)
-    out = np.empty(width * height, dtype=np.uint16)
-    for i in range(num_strips):
-        y0 = i * strip_h
-        sh = min(strip_h, height - y0)
-        out[y0 * width : (y0 + sh) * width] = sub[i][: sh * width]
+        for j, i in enumerate(idxs):
+            y0 = i * strip_h
+            sh = min(strip_h, height - y0)
+            out[y0 * width : (y0 + sh) * width] = sub[j][: sh * width]
     return out, width, height
 
 
@@ -578,6 +707,8 @@ def _micw_post_batch(
     def post_one(soa, n_tok, nr, nsm):
         if predictor == "zzd":
             return zzd_inverse_device(soa, width, strip_h)
+        if predictor == "vdd":
+            return vdd_inverse_device(soa, width, strip_h)
         tokens, _nt = soa_rle_expand_device(
             soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
         )
@@ -591,77 +722,144 @@ def _micw_post_batch(
     return jax.vmap(post_one)(rle_syms, n_tokens, n_runs, n_same)
 
 
-def micw_decode_many(blobs):
-    """Decode MANY MICW images in ONE fused kernel launch (the decode-
-    service path: a batch of studies lands, every strip of every image
-    rides the same Pallas program; images may have different widths,
-    heights and table statistics).
+class MicwDecodePlan:
+    """A staged decode of a fixed batch of MICW blobs.
 
-    Eligibility per image: zzd predictor, 128 lanes, width % 128 == 0,
-    all strips MICT with tableLog <= 11 and alphabet <= 1024.  Ineligible
-    images fall back to micw_decompress_device_pallas individually.
+    Host-side work (parsing, table building, padding, jit closure setup)
+    runs once at stage time; :meth:`run` executes only the device
+    programs and returns device-resident outputs — the serving/benchmark
+    steady state where compressed payloads stay pinned while pixels feed
+    a downstream device pipeline.  :meth:`assemble` copies a run's
+    outputs back to per-image host arrays.
+    """
+
+    def __init__(self, blobs):
+        from .pallas_rans import build_packed_tables
+
+        self.blobs = blobs
+        n = len(blobs)
+        self.metas = [None] * n  # (width, height, num_strips, strip_h)
+        self.keys_per_blob = [None] * n
+        self.fallback = set()
+        self.raw_strips = []
+        zzd_buckets: dict[int, list] = {}
+        rle_groups: dict[tuple, list] = {}
+        for bi, blob in enumerate(blobs):
+            width, height, num_strips, strip_h, mv, gpred, lanes, strips = micw_parse(blob)
+            self.metas[bi] = (width, height, num_strips, strip_h)
+            mid = _rle_mid(mv)
+            _thr, delim = delta_params(mv)
+            if lanes != 128:
+                self.fallback.add(bi)
+                continue
+            keys = []
+            for si, st in enumerate(strips):
+                pred = strip_predictor(gpred, st[5])
+                if pred is None:
+                    self.raw_strips.append(st)
+                    keys.append(("raw", len(self.raw_strips) - 1))
+                    continue
+                p = mict_parse(st[0])
+                if pred == "zzd" and width % 128 == 0:
+                    # Bucket by padded step count (power of two, min 8):
+                    # strips of similar size share a launch, so small
+                    # images don't pad to the largest image's scan length.
+                    need = max(8, -(-p[2] // 128))
+                    b = 8
+                    while b < need:
+                        b *= 2
+                    keys.append((("zzd", b), len(zzd_buckets.setdefault(b, []))))
+                    zzd_buckets[b].append((p, width))
+                else:
+                    gk = (pred, width, strip_h, mid, delim)
+                    keys.append((("rle", gk), len(rle_groups.setdefault(gk, []))))
+                    rle_groups[gk].append((p, st))
+            self.keys_per_blob[bi] = keys
+
+        # Stage device operands per bucket.
+        self.launches = {}  # key -> closure returning device array [S, cols]
+        for b, entries in zzd_buckets.items():
+            parsed = [e[0] for e in entries]
+            tl = max(p[1] for p in parsed)
+            packed = build_packed_tables(parsed, tl, min_steps=b)
+            if packed is None:
+                self.launches[("zzd", b)] = None
+                continue
+            init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
+            S = len(parsed)
+            ws = np.zeros((S, 128), np.uint32)
+            for i, (_p, w) in enumerate(entries):
+                ws[i, :] = w // 128
+            args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws))
+            self.launches[("zzd", b)] = partial(
+                self._run_zzd, args, steps, S, tl, asweep
+            )
+        for gk, entries in rle_groups.items():
+            pred, width, strip_h, mid, delim = gk
+            parsed = [e[0] for e in entries]
+            strips_g = [e[1] for e in entries]
+            self.launches[("rle", gk)] = _stage_mict_group(
+                parsed, strips_g, pred, width, strip_h, mid, delim
+            )
+
+    @staticmethod
+    def _run_zzd(args, steps, S, tl, asweep):
+        from .pallas_rans import rans_decode_pallas_zzd
+
+        pix = rans_decode_pallas_zzd(
+            *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+        )
+        return pix.reshape(S, -1)
+
+    def run(self):
+        """Execute all device programs; returns {bucket_key: device array}."""
+        return {k: (fn() if fn is not None else None) for k, fn in self.launches.items()}
+
+    def assemble(self, decoded):
+        """Copy one run's outputs to host pixel arrays, blob order."""
+        host = {k: (np.asarray(v) if v is not None else None) for k, v in decoded.items()}
+        results = [None] * len(self.blobs)
+        for bi, keys in enumerate(self.keys_per_blob):
+            if bi in self.fallback or keys is None or any(
+                k != "raw" and host.get(k) is None for k, _ in keys
+            ):
+                results[bi] = micw_decompress_device_pallas(self.blobs[bi])
+                continue
+            width, height, num_strips, strip_h = self.metas[bi]
+            out = np.empty(width * height, dtype=np.uint16)
+            for i, (k, idx) in enumerate(keys):
+                y0 = i * strip_h
+                sh = min(strip_h, height - y0)
+                if k == "raw":
+                    st = self.raw_strips[idx]
+                    if st[5] == STRIP_MODE_CONST:
+                        out[y0 * width : (y0 + sh) * width] = np.frombuffer(
+                            st[0], dtype="<u2", count=1
+                        )[0]
+                    else:
+                        out[y0 * width : (y0 + sh) * width] = np.frombuffer(
+                            st[0], dtype="<u2", count=width * sh
+                        )
+                else:
+                    out[y0 * width : (y0 + sh) * width] = host[k][idx][: sh * width]
+            results[bi] = (out, width, height)
+        return results
+
+
+def micw_decode_many(blobs):
+    """Decode MANY MICW images in as few kernel launches as possible (the
+    decode-service path: a batch of studies lands; strips of every image
+    are pooled across the batch, zzd strips ride the fully-fused Pallas
+    kernel in steps-bucketed launches, RLE strips ride the packed kernel
+    + one post program per (predictor, geometry) group, raw strips copy).
+    Images may have different widths, heights and table statistics.
     Returns a list of (pixels, width, height), blob-order.
 
     The TPU-first answer to the reference's decode-side thread pools
     (parallelstrips.go workers, mic_parallel.c pthreads): the batch axis
-    IS the parallelism — no queues, no workers, one launch.
+    IS the parallelism — no queues, no workers, one launch per bucket.
+    Repeated decodes of a pinned batch can stage once via
+    :class:`MicwDecodePlan`.
     """
-    from .pallas_rans import build_packed_tables, rans_decode_pallas_zzd
-
-    metas = []          # per image: (width, height, num_strips, strip_h, strip_keys)
-    buckets = {}        # steps-bucket -> [(key, parsed, width)]
-    results = [None] * len(blobs)
-    for bi, blob in enumerate(blobs):
-        width, height, num_strips, strip_h, _mv, predictor, lanes, strips = micw_parse(blob)
-        if (
-            predictor != "zzd" or lanes != 128 or width % 128 != 0
-            or any(st[5] != STRIP_MODE_MICT for st in strips)
-        ):
-            metas.append(None)
-            continue
-        keys = []
-        for si, st in enumerate(strips):
-            p = mict_parse(st[0])
-            # Bucket strips by padded step count (power of two, min 8):
-            # strips of similar size share a launch, so small images don't
-            # pad to the largest image's scan length and the word-margin
-            # zeros stay small.  Few distinct buckets -> few compiles.
-            need = max(8, -(-p[2] // 128))
-            b = 8
-            while b < need:
-                b *= 2
-            keys.append((b, len(buckets.setdefault(b, []))))
-            buckets[b].append((p, width))
-        metas.append((width, height, num_strips, strip_h, keys))
-
-    decoded = {}  # bucket -> np.ndarray [n, steps*128]
-    for b, entries in buckets.items():
-        parsed = [e[0] for e in entries]
-        tl = max(p[1] for p in parsed)
-        packed = build_packed_tables(parsed, tl, min_steps=b)
-        if packed is None:
-            decoded[b] = None
-            continue
-        init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
-        S = len(parsed)
-        ws = np.zeros((S, 128), np.uint32)
-        for i, (_p, w) in enumerate(entries):
-            ws[i, :] = w // 128
-        pix = rans_decode_pallas_zzd(
-            *[jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws)],
-            steps=steps, n_strips=S, table_log=tl, asweep=asweep,
-        )
-        decoded[b] = np.asarray(pix).reshape(S, -1)
-
-    for bi, m in enumerate(metas):
-        if m is None or any(decoded.get(k[0]) is None for k in m[4]):
-            results[bi] = micw_decompress_device_pallas(blobs[bi])
-            continue
-        width, height, num_strips, strip_h, keys = m
-        out = np.empty(width * height, dtype=np.uint16)
-        for i, (b, idx) in enumerate(keys):
-            y0 = i * strip_h
-            sh = min(strip_h, height - y0)
-            out[y0 * width : (y0 + sh) * width] = decoded[b][idx][: sh * width]
-        results[bi] = (out, width, height)
-    return results
+    plan = MicwDecodePlan(blobs)
+    return plan.assemble(plan.run())

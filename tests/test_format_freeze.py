@@ -26,9 +26,11 @@ GOLDEN = {
     "mic2": "7750a9305c897a16",
     "micr": "2737e26f318b2358",
     "mic3": "8e1b39ca2eb157f6",
-    # micw regenerated 2026-08-16: default predictor changed to zzd
-    # (direct zigzag row-delta, no RLE) — deliberate format-v3 bump.
-    "micw": "b664817d2f98f0a3",
+    # micw regenerated 2026-08-16 (round 2): v4 bump — per-strip adaptive
+    # predictor modes (auto default), tableLog cap 11 -> 12.
+    "micw": "ce9ea8e836118647",
+    # the fixed-zzd pipeline stays pinned separately (device encode path)
+    "micw_zzd": "566abbaa0d28efa7",
 }
 
 
@@ -79,6 +81,8 @@ def _encode(name, fixture_data):
             wsi.WSIOptions(tile_width=16, tile_height=16, pyramid_levels=1, workers=1),
         ),
         "micw": lambda: micw.micw_compress(px, 64, 48, mx, lanes=64),
+        "micw_zzd": lambda: micw.micw_compress(px, 64, 48, mx, lanes=64,
+                                               predictor="zzd"),
     }[name]()
 
 

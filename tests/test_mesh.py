@@ -53,7 +53,8 @@ def test_sharded_pallas_decode():
     rng = np.random.default_rng(5)
     img = (rng.standard_normal((64, 128)).cumsum(axis=1) * 9 + 700).astype(np.int32)
     px = img.clip(0, 4095).astype(np.uint16).ravel()
-    blob = micw_compress(px, 128, 64, int(px.max()), num_strips=8, lanes=128)
+    blob = micw_compress(px, 128, 64, int(px.max()), num_strips=8, lanes=128,
+                         predictor="zzd")
     width, height, ns, sh, *_ , strips = micw_parse(blob)
     parsed = [mict_parse(st[0]) for st in strips]
     tl = max(p[1] for p in parsed)

@@ -161,8 +161,18 @@ def test_micw_parse_fields(mr_image):
     blob = micw_compress(px, w, h, mx, num_strips=4, lanes=128)
     width, height, n, strip_h, max_value, predictor, lanes, strips = micw_parse(blob)
     assert (width, height, n) == (w, h, 4)
-    assert max_value == mx and predictor == "zzd" and lanes == 128
+    assert max_value == mx and lanes == 128
     assert len(strips) == 4
+    from mic_tpu.tpu.strips import strip_predictor
+
+    # v4: every strip carries its own mode (auto default).
+    assert all(strip_predictor(predictor, st[5]) in ("zzd", "zz", "avg", None)
+               for st in strips)
+    # Fixed-predictor compat: zzd request pins every strip to zzd/raw.
+    blob_z = micw_compress(px, w, h, mx, num_strips=4, lanes=128, predictor="zzd")
+    _, _, _, _, _, gp, _, strips_z = micw_parse(blob_z)
+    assert gp == "zzd"
+    assert all(strip_predictor(gp, st[5]) in ("zzd", None) for st in strips_z)
 
 
 def test_soa_rle_roundtrip(rng):
@@ -375,7 +385,7 @@ def test_micw_compress_device_container(rng):
     img = (rng.standard_normal((32, 128)).cumsum(axis=1) * 10 + 800).astype(np.int32)
     img[16:] = 500  # second strip constant -> encoder rejects -> raw mode
     px = img.clip(0, 4095).astype(np.uint16).ravel()
-    a = micw_compress(px, 128, 32, int(px.max()), num_strips=2)
+    a = micw_compress(px, 128, 32, int(px.max()), num_strips=2, predictor="zzd")
     b = micw_compress_device(px, 128, 32, int(px.max()), num_strips=2)
     assert a == b
     out, w, h = micw_decompress_host(b)
