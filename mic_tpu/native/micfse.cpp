@@ -282,7 +282,10 @@ static bool read_ncount(const uint8_t* data, size_t len, Norm& nm, size_t* consu
   int64_t got_total = 0;
   nb_bits++;
 
-  nm.norm.assign(kMaxSymbol + 1, 0);
+  // Every entry below the final charnum is written during the parse
+  // (zero runs included), so a capacity-preserving resize suffices — the
+  // 256KB zero-fill of assign() costs more than the whole header parse.
+  if (nm.norm.size() < (size_t)kMaxSymbol + 1) nm.norm.resize(kMaxSymbol + 1);
   int charnum = 0;
   bool previous0 = false;
   while (remaining > 1) {
@@ -342,11 +345,28 @@ static bool read_ncount(const uint8_t* data, size_t len, Norm& nm, size_t* consu
 
 static uint32_t table_step(uint32_t ts) { return (ts >> 1) + (ts >> 3) + 3; }
 
-struct DTable {
-  std::vector<uint32_t> new_state;
-  std::vector<uint16_t> symbol;
-  std::vector<uint8_t> nb_bits;
+// Packed decode table: one u64 per slot, new_state<<32 | symbol<<16 |
+// nb_bits — the hot loop touches one cache line per symbol.
+using DTable = std::vector<uint64_t>;
+static inline uint64_t dt_pack(uint32_t ns, uint16_t sym, uint8_t nb) {
+  return ((uint64_t)ns << 32) | ((uint64_t)sym << 16) | nb;
+}
+
+// Per-thread scratch: decode buffers are reused across calls so the hot
+// path never hits malloc/mmap (fresh multi-100KB allocations cost ~0.7ms
+// per frame in page faults on this class of VM — measured).
+struct DecScratch {
+  std::vector<uint8_t> buf;      // padded bitstream copy
+  std::vector<uint16_t> spread_tbl;
+  DTable dt;
+  std::vector<uint16_t> rle;     // entropy output (RLE/SoA symbols)
+  std::vector<uint16_t> tokens;  // expanded tokens
+  Norm nm;                       // parsed normalized counts
 };
+static DecScratch& scratch() {
+  thread_local DecScratch s;
+  return s;
+}
 
 static bool spread(const Norm& nm, std::vector<uint16_t>& tbl) {
   uint32_t ts = 1u << nm.table_log;
@@ -365,25 +385,21 @@ static bool spread(const Norm& nm, std::vector<uint16_t>& tbl) {
   return position == 0;
 }
 
-static bool build_dtable(const Norm& nm, DTable& dt) {
+static bool build_dtable(const Norm& nm, DTable& dt,
+                         std::vector<uint16_t>& tbl) {
   uint32_t ts = 1u << nm.table_log;
-  std::vector<uint16_t> tbl;
   if (!spread(nm, tbl)) return false;
   std::vector<uint32_t> nxt(nm.symbol_len);
   for (int i = 0; i < nm.symbol_len; i++)
     nxt[i] = nm.norm[i] == -1 ? 1 : (nm.norm[i] > 0 ? (uint32_t)nm.norm[i] : 0);
-  dt.new_state.resize(ts);
-  dt.symbol.resize(ts);
-  dt.nb_bits.resize(ts);
+  dt.resize(ts);
   for (uint32_t u = 0; u < ts; u++) {
     uint16_t s = tbl[u];
     uint32_t x = nxt[s]++;
     int nb = nm.table_log - high_bit(x);
     uint32_t ns = (x << nb) - ts;
     if (ns >= ts) return false;
-    dt.symbol[u] = s;
-    dt.nb_bits[u] = (uint8_t)nb;
-    dt.new_state[u] = ns;
+    dt[u] = dt_pack(ns, s, (uint8_t)nb);
   }
   return true;
 }
@@ -507,35 +523,29 @@ static bool fse_decode_bits(const uint8_t* bits, size_t blen, const DTable& dt,
   if (blen == 0 || blen > ((size_t)1 << 31)) return false;
   if (count > limit) return false;
   // Pad both ends so the 8-byte read window is always in-buffer (the
-  // window can reach past the last byte near the stream top).
-  std::vector<uint8_t> buf(blen + 16, 0);
+  // window can reach past the last byte near the stream top).  The
+  // padded copy lives in per-thread scratch (no allocation per call).
+  std::vector<uint8_t>& buf = scratch().buf;
+  if (buf.size() < blen + 16) buf.resize(blen + 16);
+  std::memset(buf.data(), 0, 8);
   std::memcpy(buf.data() + 8, bits, blen);
+  std::memset(buf.data() + 8 + blen, 0, 8);
   BitReader br;
   if (!br.init(buf.data() + 8, blen)) return false;
 
-  const uint32_t* ns = dt.new_state.data();
-  const uint16_t* sym = dt.symbol.data();
-  const uint8_t* nb = dt.nb_bits.data();
+  const uint64_t* pk = dt.data();
 
   if (count >= 0) {
     uint32_t st[8];
     for (int l = 0; l < n_states; l++) st[l] = br.get(table_log);
     out.resize((size_t)count);
     uint16_t* op = out.data();
-    // Pack the decode table into one u64 per slot (new_state<<32 |
-    // symbol<<16 | nb_bits): the hot loop touches ONE cache line per
-    // symbol instead of three.
-    const size_t ts = dt.new_state.size();
-    std::vector<uint64_t> pk(ts);
-    for (size_t u = 0; u < ts; u++)
-      pk[u] = ((uint64_t)dt.new_state[u] << 32) | ((uint64_t)dt.symbol[u] << 16) |
-              dt.nb_bits[u];
     int64_t pos = br.pos;
     switch (n_states) {
-      case 1: fse_counted_loop<1>(pk.data(), br.data, pos, st, op, count); break;
-      case 2: fse_counted_loop<2>(pk.data(), br.data, pos, st, op, count); break;
-      case 4: fse_counted_loop<4>(pk.data(), br.data, pos, st, op, count); break;
-      case 8: fse_counted_loop<8>(pk.data(), br.data, pos, st, op, count); break;
+      case 1: fse_counted_loop<1>(pk, br.data, pos, st, op, count); break;
+      case 2: fse_counted_loop<2>(pk, br.data, pos, st, op, count); break;
+      case 4: fse_counted_loop<4>(pk, br.data, pos, st, op, count); break;
+      case 8: fse_counted_loop<8>(pk, br.data, pos, st, op, count); break;
       default: return false;
     }
     return true;
@@ -543,12 +553,15 @@ static bool fse_decode_bits(const uint8_t* bits, size_t blen, const DTable& dt,
   uint32_t x = br.get(table_log);
   out.clear();
   while (true) {
-    if (br.pos <= 0 && nb[x] > 0) {
-      if (x != 0) out.push_back(sym[x]);
+    uint64_t e = pk[x];
+    uint8_t nb = (uint8_t)(e & 0xFF);
+    uint16_t sym = (uint16_t)(e >> 16);
+    if (br.pos <= 0 && nb > 0) {
+      if (x != 0) out.push_back(sym);
       break;
     }
-    out.push_back(sym[x]);
-    x = ns[x] + br.get(nb[x]);
+    out.push_back(sym);
+    x = (uint32_t)(e >> 32) + br.get(nb);
     if ((int64_t)out.size() > limit) return false;
   }
   return true;
@@ -557,9 +570,7 @@ static bool fse_decode_bits(const uint8_t* bits, size_t blen, const DTable& dt,
 // rANS decode table: linear slot-sequential fill.
 static bool build_rans_dtable(const Norm& nm, DTable& dt) {
   uint32_t ts = 1u << nm.table_log;
-  dt.new_state.resize(ts);
-  dt.symbol.resize(ts);
-  dt.nb_bits.resize(ts);
+  dt.resize(ts);
   uint32_t slot = 0;
   for (int s = 0; s < nm.symbol_len; s++) {
     int32_t v = nm.norm[s];
@@ -569,18 +580,14 @@ static bool build_rans_dtable(const Norm& nm, DTable& dt) {
       int nbb = nm.table_log - high_bit(x);
       uint32_t base = (x << nbb) - ts;
       if (base >= ts || slot >= ts) return false;
-      dt.symbol[slot] = (uint16_t)s;
-      dt.nb_bits[slot] = (uint8_t)nbb;
-      dt.new_state[slot] = base;
+      dt[slot] = dt_pack(base, (uint16_t)s, (uint8_t)nbb);
       slot++;
     }
   }
   for (int s = 0; s < nm.symbol_len; s++) {
     if (nm.norm[s] != -1) continue;
     if (slot >= ts) return false;
-    dt.symbol[slot] = (uint16_t)s;
-    dt.nb_bits[slot] = (uint8_t)nm.table_log;
-    dt.new_state[slot] = 0;
+    dt[slot] = dt_pack(0, (uint16_t)s, (uint8_t)nm.table_log);
     slot++;
   }
   return slot == ts;
@@ -870,12 +877,14 @@ static bool entropy_decompress(const uint8_t* blob, size_t len, int64_t limit,
     }
   }
   if (off >= len) return false;
-  Norm nm;
+  Norm& nm = scratch().nm;
   size_t consumed = 0;
   if (!read_ncount(blob + off, len - off, nm, &consumed)) return false;
   if (off + consumed >= len) return false;
-  DTable dt;
-  if (rans ? !build_rans_dtable(nm, dt) : !build_dtable(nm, dt)) return false;
+  DTable& dt = scratch().dt;
+  if (rans ? !build_rans_dtable(nm, dt)
+           : !build_dtable(nm, dt, scratch().spread_tbl))
+    return false;
   return fse_decode_bits(blob + off + consumed, len - off - consumed, dt,
                          nm.table_log, n_states, count, limit, out);
 }
@@ -908,7 +917,7 @@ size_t mic_read_ncount(const uint8_t* data, size_t len, int32_t* out_norm,
 int mic_decompress_frame(const uint8_t* blob, size_t len, int width, int height,
                          int kind, uint16_t* out_pixels) {
   if (width <= 0 || height <= 0) return 4;
-  std::vector<uint16_t> rle;
+  std::vector<uint16_t>& rle = scratch().rle;
   // A valid RLE stream for w*h pixels is bounded by 2*tokens + 2 words
   // (tokens <= 2*w*h + 1 with escapes); reject counts past that before
   // allocating (DecompressLimit analog, fse_codec.py:64).
@@ -918,7 +927,8 @@ int mic_decompress_frame(const uint8_t* blob, size_t len, int width, int height,
   uint16_t rle_max = rle[0];
   int depth = rle_max ? high_bit(rle_max) + 1 : 1;
   uint32_t mid = (1u << (depth - 1)) - 1;
-  std::vector<uint16_t> tokens;
+  std::vector<uint16_t>& tokens = scratch().tokens;
+  tokens.clear();
   tokens.reserve((size_t)width * height * 2 + 2);
   rle_expand(rle.data(), rle.size(), 1, mid, tokens);
   size_t n_tok = tokens.size();
