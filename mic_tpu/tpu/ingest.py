@@ -1,0 +1,108 @@
+"""Reference-format ingest: host blobs (MIC1/PICS) → device-format pixels.
+
+The byte-compatible reference formats are bit-serial tANS (fse4state.go,
+parallelstrips.go): every symbol's bit count depends on the previous
+symbol's decoded state within ONE reversed bitstream, so they cannot
+ride the TPU's 128-wide vector lanes — a device port would execute one
+table gather per 2/4/8 symbols per *core*, thousands of times below the
+wide-lane format's throughput.  The TPU-native serving design is
+**transcode-on-ingest**:
+
+1. the native tier decodes the reference blob (branchless C++ hot loop,
+   ~400 MB/s per 2.1GHz core, threaded across strips/frames),
+2. the pixels are re-packed as MICW (host vectorized encoder, or the
+   Pallas device encoder for the zzd pipeline),
+3. every subsequent decode rides the fused Pallas kernels at GB/s
+   (tpu.strips.MicwDecodePlan) — the shape of a PACS/archive migration
+   or a model-training data path, where each image is ingested once and
+   decoded many times.
+
+This is the device answer for the reference's own formats (SURVEY §2.5
+inventory): a MIC1/PICS blob decodes bit-exact through a device-involved
+path, with the ingest cost measured by benchmarks/ingest_bench.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import native
+from .strips import MicwDecodePlan, micw_compress
+
+__all__ = [
+    "transcode_frame",
+    "transcode_pics",
+    "transcode_auto",
+    "ingest_plan",
+]
+
+
+def _decode_reference(blob: bytes, width: int, height: int, kind: int):
+    """Decode a reference-format blob to pixels with the native tier
+    (falls back to the Python tier when libmicfse isn't built)."""
+    if native.available():
+        if blob[:4] == b"PICS":
+            px, w, h = native.decompress_strips_native(blob)
+            return px, w, h
+        return (
+            native.decompress_frame_native(blob, width, height, kind),
+            width,
+            height,
+        )
+    from ..models.single_frame import decompress_single_frame
+    from ..parallel.strips import decompress_parallel_strips
+
+    if blob[:4] == b"PICS":
+        px, w, h = decompress_parallel_strips(blob)
+        return np.asarray(px), w, h
+    return np.asarray(decompress_single_frame(blob, width, height)), width, height
+
+
+def transcode_frame(
+    blob: bytes, width: int, height: int, kind: int = 0, device_encode: bool = False
+) -> bytes:
+    """Reference single-frame blob (Delta+RLE+FSE/rANS, any state count)
+    → MICW.  ``kind`` is the predictor the frame was encoded with
+    (0=avg, 1=grad, 2=med, 3=zz — native.PRED_*)."""
+    px, w, h = _decode_reference(blob, width, height, kind)
+    px = np.asarray(px, dtype=np.uint16)
+    mx = int(px.max())
+    if device_encode:
+        from .pallas_enc import micw_compress_device
+
+        return micw_compress_device(px, w, h, mx)
+    return micw_compress(px, w, h, mx)
+
+
+def transcode_pics(blob: bytes, device_encode: bool = False) -> bytes:
+    """Reference PICS container → MICW (threaded native strip decode)."""
+    if blob[:4] != b"PICS":
+        raise ValueError("not a PICS container")
+    return transcode_frame(blob, 0, 0, 0, device_encode=device_encode)
+
+
+def transcode_auto(
+    blob: bytes, width: int = 0, height: int = 0, kind: int = 0,
+    device_encode: bool = False,
+) -> bytes:
+    """Magic-sniffing transcode: PICS containers self-describe; bare
+    frame blobs need (width, height)."""
+    if blob[:4] == b"PICS":
+        return transcode_pics(blob, device_encode=device_encode)
+    return transcode_frame(blob, width, height, kind, device_encode=device_encode)
+
+
+def ingest_plan(ref_blobs, dims=None, kind: int = 0, device_encode: bool = False):
+    """Transcode a batch of reference blobs and stage them for repeated
+    device decode.  ``dims`` supplies (width, height) per bare frame blob
+    (ignored for PICS).  Returns a :class:`MicwDecodePlan`."""
+    micw_blobs = []
+    for i, blob in enumerate(ref_blobs):
+        if blob[:4] == b"PICS":
+            micw_blobs.append(transcode_pics(blob, device_encode=device_encode))
+        else:
+            w, h = dims[i]
+            micw_blobs.append(
+                transcode_frame(blob, w, h, kind, device_encode=device_encode)
+            )
+    return MicwDecodePlan(micw_blobs)
