@@ -186,8 +186,8 @@ def rans_encode_pallas(ranks, te1, te2, count, tls, *, steps, n_strips, asweep):
     lane asc) order, final states are the decoder's init states.
     """
     S = ranks.shape[0]
-    if S % GROUP != 0:
-        pad = GROUP - S % GROUP
+    if S % GROUP() != 0:
+        pad = GROUP() - S % GROUP()
         ranks, te1, te2, count, tls = (
             jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
             for a in (ranks, te1, te2, count, tls)
@@ -197,10 +197,10 @@ def rans_encode_pallas(ranks, te1, te2, count, tls, *, steps, n_strips, asweep):
             steps=steps, n_strips=S + pad, asweep=asweep,
         )
         return w[:S], f[:S], x[:S]
-    grid = S // GROUP
+    grid = S // GROUP()
     AW = te1.shape[1]
     return pl.pallas_call(
-        partial(_kernel_enc, steps=steps, n_strips=GROUP, asweep=asweep),
+        partial(_kernel_enc, steps=steps, n_strips=GROUP(), asweep=asweep),
         out_shape=(
             jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
             jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
@@ -208,16 +208,16 @@ def rans_encode_pallas(ranks, te1, te2, count, tls, *, steps, n_strips, asweep):
         ),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((GROUP, AW), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, AW), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), AW), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), AW), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
         ),
         interpret=not supports_pallas_rans(),
     )(ranks, te1, te2, count, tls)

@@ -117,7 +117,11 @@ def _kernel(init_ref, tsym_ref, tfb_ref, words_ref, mask_ref, shift_ref, out_ref
     jax.lax.fori_loop(0, steps // 8, body, (init_ref[:], jnp.zeros((S, 1), jnp.int32)))
 
 
-GROUP = 32  # strips per grid program (bounds VMEM; sweep empirically: 32 > 16 > 8)
+def GROUP() -> int:
+    """Strips per grid program (bounds VMEM; swept empirically on v5e:
+    32 > 16 > 8).  Interpret mode (no TPU) pays per-padded-strip python
+    cost, so the CPU test path uses small groups."""
+    return 32 if supports_pallas_rans() else 8
 
 
 @partial(jax.jit, static_argnames=("steps", "n_strips", "table_log"))
@@ -133,11 +137,11 @@ def rans_decode_pallas(init, tsym, tfb, words, mask, shift, *, steps, n_strips, 
     strip's stream in order with no transpose.
     """
     S = init.shape[0]
-    if S % GROUP != 0:
+    if S % GROUP() != 0:
         # Pad the strip axis with copies of strip 0 so every grid program
         # sees a full group; padded rows decode real (discarded) data, so
         # no out-of-bounds word reads can occur.
-        pad = GROUP - S % GROUP
+        pad = GROUP() - S % GROUP()
         init, tsym, tfb, words, mask, shift = (
             jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
             for a in (init, tsym, tfb, words, mask, shift)
@@ -147,22 +151,22 @@ def rans_decode_pallas(init, tsym, tfb, words, mask, shift, *, steps, n_strips, 
             steps=steps, n_strips=S + pad, table_log=table_log,
         )
         return full[:S]
-    grid = S // GROUP
+    grid = S // GROUP()
     TS = 1 << table_log
     W = words.shape[1] * words.shape[2]
     return pl.pallas_call(
-        partial(_kernel, steps=steps, n_strips=GROUP, table_log=table_log),
+        partial(_kernel, steps=steps, n_strips=GROUP(), table_log=table_log),
         out_shape=jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, TS), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, TS), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, words.shape[1], 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), TS), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), TS), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), words.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
         interpret=not supports_pallas_rans(),
     )(init, tsym, tfb, words, mask, shift)
 
@@ -294,8 +298,8 @@ def rans_decode_pallas_packed(init, tpk, alpha, words, mask, shift, *, steps, n_
     Other operands and the output layout match rans_decode_pallas.
     """
     S = init.shape[0]
-    if S % GROUP != 0:
-        pad = GROUP - S % GROUP
+    if S % GROUP() != 0:
+        pad = GROUP() - S % GROUP()
         init, tpk, alpha, words, mask, shift = (
             jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
             for a in (init, tpk, alpha, words, mask, shift)
@@ -305,21 +309,21 @@ def rans_decode_pallas_packed(init, tpk, alpha, words, mask, shift, *, steps, n_
             steps=steps, n_strips=S + pad, table_log=table_log, asweep=asweep,
         )
         return full[:S]
-    grid = S // GROUP
+    grid = S // GROUP()
     TS = 1 << table_log
     return pl.pallas_call(
-        partial(_kernel_packed, steps=steps, n_strips=GROUP, table_log=table_log, asweep=asweep),
+        partial(_kernel_packed, steps=steps, n_strips=GROUP(), table_log=table_log, asweep=asweep),
         out_shape=jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, TS), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, alpha.shape[1]), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, words.shape[1], 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), TS), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), alpha.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), words.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
         interpret=not supports_pallas_rans(),
     )(init, tpk, alpha, words, mask, shift)
 
@@ -482,8 +486,8 @@ def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, ws, *, steps, n
     rans_decode_pallas_packed for the other operands.
     """
     S = init.shape[0]
-    if S % GROUP != 0:
-        pad = GROUP - S % GROUP
+    if S % GROUP() != 0:
+        pad = GROUP() - S % GROUP()
         init, tpk, alpha, words, mask, shift, ws = (
             jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
             for a in (init, tpk, alpha, words, mask, shift, ws)
@@ -493,24 +497,24 @@ def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, ws, *, steps, n
             steps=steps, n_strips=S + pad, table_log=table_log, asweep=asweep,
         )
         return full[:S]
-    grid = S // GROUP
+    grid = S // GROUP()
     TS = 1 << table_log
     return pl.pallas_call(
         partial(
-            _kernel_zzd, steps=steps, n_strips=GROUP, table_log=table_log,
+            _kernel_zzd, steps=steps, n_strips=GROUP(), table_log=table_log,
             asweep=asweep,
         ),
         out_shape=jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, TS), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, alpha.shape[1]), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, words.shape[1], 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
-            pl.BlockSpec((GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), TS), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), alpha.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), words.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((GROUP, steps, 128), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
         interpret=not supports_pallas_rans(),
     )(init, tpk, alpha, words, mask, shift, ws)

@@ -20,7 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# MIC_TPU_TEST_TPU=1 keeps the real TPU backend so the compiled-kernel
+# gate (-m device_compiled, run from benchmarks/tpu_session.py) can
+# exercise Mosaic-compiled kernels; everything else runs on the virtual
+# CPU mesh.
+if os.environ.get("MIC_TPU_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
@@ -62,7 +67,8 @@ def dicom_images():
     if not ref.exists():
         pytest.skip("missing compsamples")
     out = {}
-    for name in ["CT1_UNC", "CT2_UNC", "MR1_UNC", "MR2_UNC", "MR3_UNC", "MR4_UNC", "NM1_UNC"]:
+    for name in ["CT1_UNC", "CT2_UNC", "MR1_UNC", "MR2_UNC", "MR3_UNC",
+                 "MR4_UNC", "NM1_UNC", "XA1_UNC"]:
         p = ref / name
         if p.exists():
             try:
@@ -84,6 +90,20 @@ def rgb_tissue():
         pytest.skip("missing wsi tissue data")
     data = np.fromfile(p, dtype=np.uint8)
     return data, 512, 384
+
+
+@pytest.fixture(scope="session")
+def rgb_dicom():
+    """US1 RGB ultrasound DICOM (NEMA compsamples)."""
+    from mic_tpu.utils.dicom import read_dicom
+
+    p = REFERENCE_TESTDATA / "compsamples_refanddir" / "IMAGES" / "REF" / "US1_UNC"
+    if not p.exists():
+        pytest.skip("missing US1 DICOM")
+    img = read_dicom(str(p))
+    if img.samples_per_pixel != 3:
+        pytest.skip("US1 not RGB?")
+    return img
 
 
 @pytest.fixture()

@@ -323,6 +323,7 @@ def test_pallas_rans_kernel_interpret(rng):
         assert np.array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_micw_pallas_roundtrip(rng):
     """Full MICW decode through the Pallas entropy kernel is bit-exact."""
     from mic_tpu.tpu.strips import micw_compress, micw_decompress_device_pallas
@@ -335,6 +336,7 @@ def test_micw_pallas_roundtrip(rng):
     assert np.array_equal(np.asarray(out, dtype=np.uint16).ravel(), px)
 
 
+@pytest.mark.slow
 def test_micw_decode_many_mixed(rng):
     """Batch decode of images with DIFFERENT widths/heights in one kernel
     launch (per-strip row widths + step-count buckets) is bit-exact."""
@@ -392,6 +394,7 @@ def test_micw_compress_device_container(rng):
     assert np.array_equal(out, px)
 
 
+@pytest.mark.slow
 def test_micwr_rgb_roundtrip(rng):
     """MWR3 device RGB container: YCoCg-R planes through MICW, batch
     decode of several tiles in shared launches, host == device."""
@@ -433,6 +436,7 @@ def test_micw_property_sweep(predictor, rng):
         assert np.array_equal(np.asarray(b, np.uint16).ravel(), px), (predictor, w, h, depth)
 
 
+@pytest.mark.slow
 def test_w3d_wsi_device(rng):
     """W3D1 device WSI: pyramid levels, constant-tile collapse, region
     decode — all tiles through the batched MWR3 path."""
