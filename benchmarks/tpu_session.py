@@ -1,46 +1,117 @@
 """One-shot TPU measurement session: runs everything that needs the real
 chip in a single process (the tunneled TPU serializes clients, so batch
-all device measurements into one claim).
+all device measurements into one claim; NEVER kill a process that
+touched the TPU — it wedges the claim for up to an hour).
 
-Order matters: the headline bench JSON prints first so a truncated
-session still yields the metric.
+Order matters: the compiled-kernel correctness gate runs first (a
+Mosaic-vs-interpret drift would invalidate everything after), then the
+headline bench JSON, then the secondary numbers.  A truncated session
+still yields the gate verdict + metric.
+
+Usage:  python benchmarks/tpu_session.py [--skip-gate]
 """
 
 from __future__ import annotations
 
+import argparse
+import json
+import subprocess
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
 
 import numpy as np
 
 
+def run_gate() -> bool:
+    """Compiled-kernel bit-exactness gate in a subprocess (pytest owns its
+    own jax backend via MIC_TPU_TEST_TPU=1)."""
+    import os
+
+    env = dict(os.environ)
+    env["MIC_TPU_TEST_TPU"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests", "-m", "device_compiled",
+         "-q", "--no-header"],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    tail = "\n".join(r.stdout.strip().splitlines()[-3:])
+    print(f"[gate] device_compiled: rc={r.returncode}\n{tail}")
+    return r.returncode == 0
+
+
 def main() -> None:
-    # 1. Headline bench (prints the JSON line).
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-gate", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_gate:
+        ok = run_gate()
+        sys.stdout.flush()
+        if not ok:
+            print("[gate] FAILED — numbers below are suspect")
+
+    # 1. Headline bench (prints the JSON line, writes results/bench_detail.json).
     import bench
 
     bench.main()
     sys.stdout.flush()
 
-    import jax
     import jax.numpy as jnp
 
-    # 2. MICW device decode exactness on real CT (full container path).
-    from mic_tpu.tpu.strips import micw_compress, micw_decompress_device
+    # 2. Reference-format ingest: MIC1/PICS blob -> device pixels.
+    from benchmarks.ingest_bench import main as ingest_main
+
+    sys.argv = ["ingest_bench", "--reps", "10"]
+    print("[ingest]", end=" ")
+    ingest_main()
+    sys.stdout.flush()
+
+    # 3. Device ENCODE throughput (zzd pipeline, staged batch).
+    from mic_tpu.tpu.pallas_enc import micw_compress_device
+    from mic_tpu.tpu.strips import micw_compress, micw_decompress_host
 
     px = np.fromfile("/root/reference/testdata/CT_512_512_image.bin", dtype="<u2")
     mx = int(px.max())
-    blob = micw_compress(px, 512, 512, mx)
+    dev_blob = micw_compress_device(px, 512, 512, mx)
+    host_blob = micw_compress(px, 512, 512, mx, predictor="zzd")
+    print("[encode] device == host(zzd) bytes:", dev_blob == host_blob)
     t0 = time.time()
-    out, w, h = micw_decompress_device(blob)
-    t1 = time.time()
-    print(f"MICW CT device decode exact={np.array_equal(out, px)} "
-          f"(first call {t1 - t0:.1f}s, ratio {px.nbytes / len(blob):.3f})")
+    for _ in range(10):
+        micw_compress_device(px, 512, 512, mx)
+    dt = (time.time() - t0) / 10
+    print(f"[encode] device encode: {px.nbytes / dt / 1e9:.2f} GB/s "
+          "(incl host transform + container assembly)")
     sys.stdout.flush()
 
-    # 3. Pallas kernels compiled on the real chip.
+    # 4. MWR3 RGB batch decode on device (US1 + tissue tiles).
+    try:
+        from mic_tpu.utils.dicom import read_dicom
+        from mic_tpu.tpu.rgb_device import micwr_compress, micwr_decode_many
+
+        d = read_dicom(
+            "/root/reference/testdata/compsamples_refanddir/IMAGES/REF/US1_UNC"
+        )
+        rgb = d.pixels.reshape(d.rows, d.cols, 3).astype(np.uint8)
+        blob = micwr_compress(rgb.reshape(-1), d.cols, d.rows)
+        blobs = [blob] * 16
+        outs = micwr_decode_many(blobs)
+        ok = np.array_equal(np.asarray(outs[0][0]).ravel(), rgb.ravel())
+        t0 = time.time()
+        for _ in range(5):
+            micwr_decode_many(blobs)
+        dt = (time.time() - t0) / 5
+        print(f"[rgb] US1 x16 MWR3 decode: exact={ok} "
+              f"{16 * rgb.nbytes / dt / 1e9:.2f} GB/s "
+              f"(ratio {rgb.nbytes / len(blob):.3f})")
+    except Exception as e:  # noqa: BLE001
+        print("[rgb] skipped:", e)
+    sys.stdout.flush()
+
+    # 5. Pallas wavelet + YCoCg kernels (compiled).
     from mic_tpu.tpu.kernels import (
         wavelet_forward_2d_separated_tpu,
         wavelet_inverse_2d_separated_tpu,
@@ -48,54 +119,26 @@ def main() -> None:
         ycocgr_inverse_tpu,
     )
 
-    rng = np.random.default_rng(0)
     img = px.reshape(512, 512).astype(np.int32)
     fwd = wavelet_forward_2d_separated_tpu(jnp.asarray(img), rows=512, cols=512, levels=5)
     back = wavelet_inverse_2d_separated_tpu(fwd, rows=512, cols=512, levels=5)
-    print("pallas wavelet 2D roundtrip exact:", bool((np.asarray(back) == img).all()))
+    print("[wavelet] pallas 2D roundtrip exact:", bool((np.asarray(back) == img).all()))
     N = 50
     fwd.block_until_ready()
     t0 = time.time()
     for _ in range(N):
         back = wavelet_inverse_2d_separated_tpu(fwd, rows=512, cols=512, levels=5)
     back.block_until_ready()
-    wps = px.nbytes * N / (time.time() - t0) / 1e9
-    print(f"pallas wavelet inverse (5 levels): {wps:.2f} GB/s")
+    print(f"[wavelet] inverse (5 levels): {px.nbytes * N / (time.time() - t0) / 1e9:.2f} GB/s")
 
+    rng = np.random.default_rng(0)
     r = rng.integers(0, 256, (512, 512)).astype(np.uint16)
     g = rng.integers(0, 256, (512, 512)).astype(np.uint16)
     b = rng.integers(0, 256, (512, 512)).astype(np.uint16)
     y, co, cg = ycocgr_forward_tpu(jnp.asarray(r), jnp.asarray(g), jnp.asarray(b))
     r2, g2, b2 = ycocgr_inverse_tpu(y, co, cg)
     ok = (np.asarray(r2) == r).all() and (np.asarray(g2) == g).all() and (np.asarray(b2) == b).all()
-    print("pallas ycocgr roundtrip exact:", bool(ok))
-    y.block_until_ready()
-    t0 = time.time()
-    for _ in range(N):
-        y, co, cg = ycocgr_forward_tpu(jnp.asarray(r), jnp.asarray(g), jnp.asarray(b))
-    y.block_until_ready()
-    print(f"pallas ycocgr forward: {r.nbytes * 3 * N / (time.time() - t0) / 1e9:.2f} GB/s")
-
-    # 4. Entropy-stage-only throughput (the 19 GB/s number, re-verified).
-    from mic_tpu.tpu.device_rans import mict_encode
-    from mic_tpu.tpu.decode import make_plan, rans_decode_jax
-    from mic_tpu.ops.deltarle import zz_delta_rle_compress
-    from mic_tpu.ops.rle import rle_to_soa
-
-    rle = zz_delta_rle_compress(px, 512, 512, mx)
-    soa, _nr, _ns = rle_to_soa(rle, 1, (1 << (int(mx).bit_length() - 1)) - 1)
-    eblob = mict_encode(soa, lanes=1024)
-    p = make_plan(eblob)
-    args = [jnp.asarray(x) for x in (p.init_states, p.words, p.tab_sym, p.tab_freq, p.tab_bias)]
-    kw = dict(table_log=p.table_log, n_steps=p.n_steps, count=p.count)
-    out = rans_decode_jax(*args, **kw)
-    out.block_until_ready()
-    t0 = time.time()
-    for _ in range(N):
-        out = rans_decode_jax(*args, **kw)
-    out.block_until_ready()
-    dt = (time.time() - t0) / N
-    print(f"entropy stage: {p.count / dt / 1e6:.0f} Msym/s = {p.count * 2 / dt / 1e9:.2f} GB/s")
+    print("[ycocgr] pallas roundtrip exact:", bool(ok))
 
 
 if __name__ == "__main__":
