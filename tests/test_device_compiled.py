@@ -78,18 +78,23 @@ def test_encode_kernel_compiled(rng):
     assert host == dev
 
 
-def test_two_table_kernel_compiled(rng):
-    """Wide-alphabet strip (packed-ineligible) through the two-table
-    kernel, compiled."""
+def test_two_table_kernel_compiled():
+    """tl=13 strip (packed-ineligible: the packed kernel caps at tl=12)
+    through the two-table kernel, compiled.
+
+    tl=13 needs >=2^15 source symbols (optimalTableLog's maxBitsSrc cap,
+    fsecompressu16.go:480-518) and a dense >512-wide alphabet to trigger
+    the density bump — hence the 64Ki sample size."""
     import jax.numpy as jnp
 
     from mic_tpu.tpu.device_rans import mict_decode_numpy, mict_encode, mict_parse
-    from mic_tpu.tpu.pallas_rans import build_pallas_tables, rans_decode_pallas
+    from mic_tpu.tpu.pallas_rans import build_pallas_tables, build_packed_tables, rans_decode_pallas
 
-    syms = (rng.standard_normal(4096) * 900 + 8000).clip(0, 60000).astype(np.uint16)
-    syms = (syms >> 3 << 3)  # keep some structure so it compresses
+    lrng = np.random.default_rng(20240814)
+    syms = (lrng.standard_normal(65536) * 600 + 2000).clip(0, 4095).astype(np.uint16)
     blob = mict_encode(syms, lanes=128)
     p = mict_parse(blob)
+    assert p[1] == 13 and build_packed_tables([p], p[1]) is None
     init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables([p], p[1])
     out = rans_decode_pallas(
         *[jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift)],
