@@ -20,6 +20,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__BMI2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ───────────────────────── bit I/O ─────────────────────────
@@ -483,6 +487,34 @@ static void fse_counted_loop(const uint64_t* pkd, const uint8_t* base,
   for (int l = 0; l < NS; l++) st[l] = st_in[l];
   int64_t i = 0;
   int64_t full = count - count % NS;
+  // Fast chunks: one bits-remaining check per CHUNK symbols, then
+  // unchecked window loads.  A symbol consumes at most maxTableLog=16
+  // bits (nbBits in the dtable is <= tableLog), so pos >= CHUNK*16
+  // guarantees the whole chunk stays inside the padded buffer; the
+  // serial pos chain in the body is then a bare `pos -= nbits`.
+  constexpr int64_t CHUNK = 32;
+  static_assert(CHUNK % NS == 0);
+  while (i + CHUNK <= full && pos >= CHUNK * 16) {
+    for (int64_t k = 0; k < CHUNK; k += NS) {
+#pragma GCC unroll 8
+      for (int l = 0; l < NS; l++) {
+        uint64_t e = pkd[st[l]];
+        unsigned nbits = (unsigned)(e & 0xFF);
+        op[i + k + l] = (uint16_t)(e >> 16);
+        pos -= nbits;
+        int64_t wbyte = (pos >> 3) - 3;
+        uint64_t win;
+        std::memcpy(&win, base + wbyte, 8);
+#if defined(__BMI2__)
+        uint32_t val = _bzhi_u32((uint32_t)(win >> (pos - wbyte * 8)), nbits);
+#else
+        uint32_t val = (uint32_t)(win >> (pos - wbyte * 8)) & ((1u << nbits) - 1);
+#endif
+        st[l] = (uint32_t)(e >> 32) + val;
+      }
+    }
+    i += CHUNK;
+  }
   for (; i < full; i += NS) {
 #pragma GCC unroll 8
     for (int l = 0; l < NS; l++) {
