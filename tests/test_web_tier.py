@@ -107,3 +107,14 @@ def test_serve_and_harness_files_present():
     html = (WEB / "test-decoder.html").read_text()
     assert "__MIC_TEST_RESULTS__" in html
     assert "mic-decoder.js" in html
+
+
+def test_parallel_and_demo_files():
+    for f in ("mic-decoder-parallel.js", "mic-worker.js", "index.html"):
+        assert (WEB / f).exists(), f
+    par = (WEB / "mic-decoder-parallel.js").read_text()
+    assert "SharedArrayBuffer" in par and "crossOriginIsolated" in par
+    wrk = (WEB / "mic-worker.js").read_text()
+    assert "importScripts" in wrk and "worker_threads" in wrk
+    demo = (WEB / "index.html").read_text()
+    assert "decodeMicFile" in demo and "MICParallelDecoder" in demo
