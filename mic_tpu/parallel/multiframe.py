@@ -124,7 +124,15 @@ def decompress_multi_frame(data: bytes):
     for i in range(hdr.frame_count):
         blob = extract_frame(data, entries, data_offset, i)
         if hdr.temporal and i > 0:
-            residuals = decompress_residual_frame(blob)
+            # Device-format containers store the residual plane as a MICW
+            # blob of raw ZigZag diffs (compress_multi_frame_device);
+            # host containers as an RLE+FSE residual stream.
+            if blob[:4] == b"MICW":
+                from ..tpu.strips import micw_decompress_host
+
+                residuals = micw_decompress_host(blob)[0]
+            else:
+                residuals = decompress_residual_frame(blob)
             pixels = temporal_delta_decode(residuals, prev)
         elif blob[:4] == b"MICW":
             from ..tpu.strips import micw_decompress_host

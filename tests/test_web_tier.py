@@ -52,7 +52,7 @@ def test_testdata_decodes_bitexact_python_tier(manifest):
         blob = (WEB / "testdata" / c["file"]).read_bytes()
         raw = (WEB / "testdata" / c["expected"]).read_bytes()
         kind = c["kind"]
-        if kind in ("micr",) or (kind == "mic3" and c.get("channels") == 3):
+        if kind in ("micr", "mwr3") or (kind == "mic3" and c.get("channels") == 3):
             exp = np.frombuffer(raw, dtype=np.uint8)
         else:
             exp = np.frombuffer(raw, dtype="<u2")
@@ -73,6 +73,14 @@ def test_testdata_decodes_bitexact_python_tier(manifest):
             hdr = read_wsi_header(blob)
             got_b = decompress_wsi_region(blob, 0, 0, 0, hdr.width, hdr.height)
             got = np.frombuffer(got_b, dtype=np.uint8 if c.get("channels") == 3 else "<u2")
+        elif kind == "micw":
+            from mic_tpu.tpu.strips import micw_decompress_host
+
+            got = micw_decompress_host(blob)[0]
+        elif kind == "mwr3":
+            from mic_tpu.tpu.rgb_device import micwr_decompress_host
+
+            got = micwr_decompress_host(blob)[0]
         else:
             pytest.fail(f"unknown kind {kind}")
         assert np.array_equal(np.asarray(got).ravel(), exp), c["file"]

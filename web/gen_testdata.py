@@ -100,6 +100,32 @@ def main() -> int:
         add("grey.mic3", compress_wsi(grey_bytes, w, h, 1, 16, WSIOptions()),
             "mic3", px.astype("<u2"), width=w, height=h, channels=1)
 
+    # Device formats: MICW, MWR3, device MIC2 (independent + temporal) —
+    # the JS decoder covers the TPU tier's containers too.
+    from mic_tpu.parallel.multiframe import compress_multi_frame_device
+    from mic_tpu.tpu.strips import micw_compress
+
+    for nm, px, w, h, mx in images:
+        add(f"{nm}_dev.micw", micw_compress(px, w, h, mx), "micw",
+            px.astype("<u2"), width=w, height=h)
+    if images:
+        nm, px, w, h, mx = images[-1]
+        img = px.reshape(h, w)
+        frames = [img.ravel(), np.roll(img, 1, 0).ravel(), np.roll(img, 2, 1).ravel()]
+        exp = np.concatenate(frames).astype("<u2")
+        add("series_dev_ind.mic2", compress_multi_frame_device(frames, w, h, mx),
+            "mic2", exp, width=w, height=h, frames=3)
+        add("series_dev_tmp.mic2",
+            compress_multi_frame_device(frames, w, h, mx, temporal=True),
+            "mic2", exp, width=w, height=h, frames=3)
+    tis2 = REF / "wsi_tissue_512x384.rgb"
+    if tis2.exists():
+        from mic_tpu.tpu.rgb_device import micwr_compress
+
+        rgb = np.fromfile(tis2, dtype=np.uint8)
+        add("tissue_dev.mwr3", micwr_compress(rgb, 512, 384), "mwr3",
+            rgb, width=512, height=384, channels=3)
+
     (OUT / "manifest.json").write_text(json.dumps(manifest, indent=1))
     print(f"wrote {len(manifest)} cases to {OUT}")
     return 0

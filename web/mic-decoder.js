@@ -685,8 +685,22 @@ function decodeMIC2(bytes) {
   for (let i = 0; i < hdr.frameCount; i++) {
     const blob = extractMIC2Frame(bytes, hdr, i);
     let px;
+    const isMicw = magic(blob) === 'MICW';
     if (hdr.temporal && i > 0) {
-      px = temporalDecode(blob, prev);
+      if (isMicw) {
+        // Device temporal mode: the residual plane is a MICW blob of raw
+        // ZigZag diffs (multiframe.py compress_multi_frame_device).
+        const res = decodeMICW(blob).pixels;
+        px = new Uint16Array(res.length);
+        for (let k = 0; k < res.length; k++) {
+          const v = res[k];
+          px[k] = (prev[k] + ((v >>> 1) ^ -(v & 1))) & 0xFFFF;
+        }
+      } else {
+        px = temporalDecode(blob, prev);
+      }
+    } else if (isMicw) {
+      px = decodeMICW(blob).pixels;
     } else {
       px = decodeFrame(blob, hdr.width, hdr.height, 'avg');
     }
@@ -846,6 +860,220 @@ function decodeMIC3Region(bytes, hdr, level, x, y, w, h) {
   return { pixels: out, width: w, height: h, channels: ch };
 }
 
+// ─────────────────── device formats (MICT/MICW/MWR3) ───────────────────
+
+/**
+ * Parse a MICT wide-lane rANS stream (docs/formats.md "MICT entropy
+ * stream"): FF 57 | log2lanes u8 | tableLog u8 | count u32 | nWords u32
+ * | normalized-count header | initStates L*u32 | words nWords*u16.
+ */
+function mictParse(bytes) {
+  if (bytes.length < 12 || bytes[0] !== 0xFF || bytes[1] !== 0x57) {
+    throw new Error('MICT: missing magic');
+  }
+  const lanes = 1 << bytes[2];
+  const tlHdr = bytes[3];
+  const count = readU32(bytes, 4);
+  const nWords = readU32(bytes, 8);
+  const h = readNCount(bytes.subarray(12));
+  if (h.tableLog !== tlHdr) throw new Error('MICT: tableLog mismatch');
+  let pos = 12 + h.consumed;
+  const states = new Float64Array(lanes); // u32 values; Number math below
+  for (let l = 0; l < lanes; l++) { states[l] = readU32(bytes, pos); pos += 4; }
+  const words = new Uint16Array(nWords);
+  for (let w = 0; w < nWords; w++) { words[w] = readU16(bytes, pos); pos += 2; }
+  return { lanes, tableLog: h.tableLog, count, states, words,
+           norm: h.norm, symbolLen: h.symbolLen };
+}
+
+/**
+ * Decode a MICT stream (device_rans.py mict_decode_numpy): per lane
+ * slot = x & mask; x' = freq[slot]*(x>>tl) + bias[slot]; renormalize
+ * from the shared word cursor while x' < 2^16.  Lane of symbol i is
+ * i % L.  Every lane must land on state 2^16 exactly.
+ */
+function mictDecode(bytes) {
+  const p = mictParse(bytes);
+  const tsize = 1 << p.tableLog;
+  const mask = tsize - 1;
+  // Slot tables from norm: freqs in symbol order, low-prob (-1) = 1.
+  const sym = new Uint16Array(tsize);
+  const freq = new Uint32Array(tsize);
+  const bias = new Uint32Array(tsize);
+  let slot = 0;
+  for (let s = 0; s < p.symbolLen; s++) {
+    const f = p.norm[s] === -1 ? 1 : p.norm[s];
+    for (let j = 0; j < f; j++) {
+      sym[slot] = s; freq[slot] = f; bias[slot] = j; slot++;
+    }
+  }
+  if (slot !== tsize) throw new Error('MICT: freqs do not sum to table size');
+
+  const L = p.lanes;
+  const x = p.states; // Float64Array of u32 values (exact Number math)
+  const out = new Uint16Array(p.count);
+  let cursor = 0;
+  const steps = Math.ceil(p.count / L);
+  for (let t = 0; t < steps; t++) {
+    const base = t * L;
+    const active = Math.min(L, p.count - base);
+    for (let l = 0; l < active; l++) {
+      const xi = x[l];
+      const sl = (xi >>> 0) & mask;          // exact: xi < 2^32
+      out[base + l] = sym[sl];
+      let xn = freq[sl] * (xi >>> p.tableLog) + bias[sl]; // < 2^32, exact
+      while (xn < 65536) {
+        xn = xn * 65536 + (cursor < p.words.length ? p.words[cursor] : 0);
+        cursor++;
+      }
+      x[l] = xn;
+    }
+  }
+  for (let l = 0; l < L; l++) {
+    if (x[l] !== 65536) throw new Error('MICT: final state mismatch');
+  }
+  if (cursor !== p.words.length) throw new Error('MICT: word count mismatch');
+  return out;
+}
+
+/** SoA-RLE expansion (ops/rle.py soa_expand): soa = [counts][same
+ * values][literals]; count <= mid = same-run, else literal run of
+ * count-mid. */
+function soaExpand(soa, nRuns, nSame, mid) {
+  let total = 0;
+  for (let r = 0; r < nRuns; r++) {
+    const c = soa[r];
+    total += c <= mid ? c : c - mid;
+  }
+  const out = new Uint16Array(total);
+  let o = 0, si = nRuns, li = nRuns + nSame;
+  for (let r = 0; r < nRuns; r++) {
+    const c = soa[r];
+    if (c <= mid) {
+      out.fill(soa[si++], o, o + c);
+      o += c;
+    } else {
+      const k = c - mid;
+      out.set(soa.subarray(li, li + k), o);
+      o += k; li += k;
+    }
+  }
+  return out;
+}
+
+const MICW_HEADER = 24;
+const MICW_ENTRY = 28;
+
+/** Parse a MICW container (docs/formats.md "MICW container (v4)"). */
+function micwParse(bytes) {
+  const width = readU32(bytes, 4);
+  const height = readU32(bytes, 8);
+  const numStrips = readU32(bytes, 12);
+  const stripHeight = readU32(bytes, 16);
+  const maxValue = readU16(bytes, 20);
+  const flags = bytes[22];
+  const lanes = 1 << bytes[23];
+  const globalPred = (flags & 2) ? 'zzd' : (flags & 1) ? 'avg' : 'zz';
+  const data0 = MICW_HEADER + numStrips * MICW_ENTRY;
+  const strips = [];
+  for (let s = 0; s < numStrips; s++) {
+    const e = MICW_HEADER + s * MICW_ENTRY;
+    strips.push({
+      off: readU32(bytes, e), len: readU32(bytes, e + 4),
+      nSoa: readU32(bytes, e + 8), nTokens: readU32(bytes, e + 12),
+      nRuns: readU32(bytes, e + 16), nSame: readU32(bytes, e + 20),
+      mode: readU32(bytes, e + 24),
+    });
+  }
+  return { width, height, numStrips, stripHeight, maxValue, globalPred,
+           lanes, strips, dataOffset: data0 };
+}
+
+/** MICW's RLE midCount: delimiter-derived, floored at 255
+ * (tpu/strips.py _rle_mid). */
+function micwMid(maxValue) {
+  const depth = maxValue === 0 ? 0 : highBit(maxValue) + 1;
+  let delim = (1 << depth) - 1;
+  if (delim < 255) delim = 255;
+  return (1 << highBit(delim)) - 1;
+}
+
+/** Decode a MICW container to pixels (tpu/strips.py
+ * micw_decompress_host).  Strip modes: 0 legacy-global, 1 raw, 2 zzd,
+ * 3 zz+SoA-RLE, 4 avg+SoA-RLE, 5 constant, 6 vdd. */
+function decodeMICW(bytes) {
+  const h = micwParse(bytes);
+  const mid = micwMid(h.maxValue);
+  const out = new Uint16Array(h.width * h.height);
+  for (let s = 0; s < h.numStrips; s++) {
+    const e = h.strips[s];
+    const y0 = s * h.stripHeight;
+    const sh = Math.min(h.stripHeight, h.height - y0);
+    const blob = bytes.subarray(h.dataOffset + e.off, h.dataOffset + e.off + e.len);
+    const base = y0 * h.width;
+    let pred = null;
+    if (e.mode === 1) {        // raw
+      for (let i = 0; i < sh * h.width; i++) out[base + i] = readU16(blob, i * 2);
+      continue;
+    } else if (e.mode === 5) { // constant
+      out.fill(readU16(blob, 0), base, base + sh * h.width);
+      continue;
+    } else if (e.mode === 0) {
+      pred = h.globalPred;
+    } else {
+      pred = { 2: 'zzd', 3: 'zz', 4: 'avg', 6: 'vdd' }[e.mode];
+      if (!pred) throw new Error('MICW: unknown strip mode ' + e.mode);
+    }
+    const syms = mictDecode(blob);
+    if (pred === 'zzd' || pred === 'vdd') {
+      // Direct mod-2^16 ZigZag deltas: rows (zzd) or columns (vdd).
+      if (pred === 'zzd') {
+        for (let y = 0; y < sh; y++) {
+          let acc = 0;
+          for (let xx = 0; xx < h.width; xx++) {
+            const v = syms[y * h.width + xx];
+            acc = (acc + ((v >>> 1) ^ -(v & 1))) & 0xFFFF;
+            out[base + y * h.width + xx] = acc;
+          }
+        }
+      } else {
+        for (let xx = 0; xx < h.width; xx++) {
+          let acc = 0;
+          for (let y = 0; y < sh; y++) {
+            const v = syms[y * h.width + xx];
+            acc = (acc + ((v >>> 1) ^ -(v & 1))) & 0xFFFF;
+            out[base + y * h.width + xx] = acc;
+          }
+        }
+      }
+      continue;
+    }
+    // SoA-RLE modes: expand, then escaped-residual inversion.  tokens[0]
+    // is the strip maxValue (== container maxValue by construction).
+    const tokens = soaExpand(syms, e.nRuns, e.nSame, mid);
+    if (tokens.length !== e.nTokens) throw new Error('MICW: token count mismatch');
+    out.set(predictorInverse(tokens, h.width, sh, pred), base);
+  }
+  return { pixels: out, width: h.width, height: h.height, format: 'MICW' };
+}
+
+/** MWR3 device RGB: magic | w | h | 3 x len u32 | 3 MICW plane blobs
+ * (Y, ZigZag Co, ZigZag Cg). */
+function decodeMWR3(bytes) {
+  const width = readU32(bytes, 4);
+  const height = readU32(bytes, 8);
+  const lens = [readU32(bytes, 12), readU32(bytes, 16), readU32(bytes, 20)];
+  let off = 24;
+  const planes = lens.map((len) => {
+    const p = decodeMICW(bytes.subarray(off, off + len));
+    off += len;
+    return p.pixels;
+  });
+  const n = width * height;
+  return { rgb: ycocgrInverse(planes[0], planes[1], planes[2], n),
+           width, height, channels: 3, format: 'MWR3' };
+}
+
 // ─────────────────────── top-level dispatch ───────────────────────
 
 /**
@@ -867,6 +1095,8 @@ function decodeMicFile(bytes) {
       return Object.assign({ header: hdr, format: 'MIC3' }, lv0);
     }
     case 'MICR': return decodeMICR(bytes);
+    case 'MICW': return decodeMICW(bytes);
+    case 'MWR3': return decodeMWR3(bytes);
     default: throw new Error('not a MIC file (magic ' + m + ')');
   }
 }
@@ -885,6 +1115,8 @@ return {
   decodeMIC2, decodeMIC2Frame, parseMIC2Header, extractMIC2Frame,
   decodeMICR, decodeRGBBlob, decodePlane,
   parseMIC3Header, decodeMIC3Tile, decodeMIC3Level, decodeMIC3Region,
+  // device formats
+  mictParse, mictDecode, micwParse, decodeMICW, decodeMWR3, soaExpand,
   version: '2.0.0',
 };
 
