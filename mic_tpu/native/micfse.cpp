@@ -19,6 +19,7 @@
 #include <atomic>
 #include <thread>
 #include <vector>
+#include <memory>
 
 #if defined(__BMI2__)
 #include <immintrin.h>
@@ -34,23 +35,32 @@ struct BitWriter {
   std::vector<uint8_t> out;
   uint64_t acc = 0;
   unsigned nbits = 0;
+  size_t pos = 0;  // bytes committed into out
 
+  // Size the buffer once so the hot path is a plain 8-byte store; the
+  // stream can never exceed ~(maxTableLog+1)/8 bytes per value plus the
+  // 8-byte spill slack.
+  inline void reserve_values(size_t n_values) {
+    out.resize(n_values * 3 + 64);
+  }
   inline void add(uint32_t v, unsigned n) {
     acc |= (uint64_t)(v & ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1))) << nbits;
     nbits += n;
-    while (nbits >= 8) {
-      out.push_back((uint8_t)acc);
-      acc >>= 8;
-      nbits -= 8;
+    if (nbits >= 32) {
+      std::memcpy(out.data() + pos, &acc, 8);  // low 4 valid, 4 slack
+      pos += 4;
+      acc >>= 32;
+      nbits -= 32;
     }
   }
   inline void close() {
     add(1, 1);  // end mark
-    if (nbits) {
-      out.push_back((uint8_t)acc);
-      acc = 0;
-      nbits = 0;
+    while (nbits) {
+      out[pos++] = (uint8_t)acc;
+      acc >>= 8;
+      nbits = nbits >= 8 ? nbits - 8 : 0;
     }
+    out.resize(pos);
   }
 };
 
@@ -365,6 +375,7 @@ struct DecScratch {
   DTable dt;
   std::vector<uint16_t> rle;     // entropy output (RLE/SoA symbols)
   std::vector<uint16_t> tokens;  // expanded tokens
+  std::vector<uint16_t> enc_tokens;  // encoder residual tokens
   Norm nm;                       // parsed normalized counts
 };
 static DecScratch& scratch() {
@@ -460,9 +471,12 @@ static bool fse_encode_bits(const uint16_t* src, size_t n, const Norm& nm,
   uint32_t states[8];
   for (int i = 0; i < 8; i++) states[i] = table_size;
   BitWriter bw;
+  bw.reserve_values(n + 8);
+  // i % n_states without a division: n_states is 1/2/4/8.
+  const int lane_mask = n_states - 1;
   for (int64_t i = (int64_t)n - 1; i >= 0; i--) {
     uint16_t s = src[i];
-    int lane = (int)(i % n_states);
+    int lane = (int)(i & lane_mask);
     uint32_t x = states[lane];
     uint32_t nb = (x + ct.delta_nb[s]) >> 16;
     bw.add(x, nb);
@@ -627,61 +641,84 @@ static bool build_rans_dtable(const Norm& nm, DTable& dt) {
 
 // ───────────────────── RLE + predictors ─────────────────────
 
+// Buffered RLE state machine — semantics frozen by the stream format
+// (byte-identical to the host tier's RleEncoder; see format-freeze
+// tests).  Buffer and output are flat arrays with a write pointer: the
+// hot path is branch + store, no container bookkeeping.  Worst case
+// output: one literal header per (mid-2) symbols plus the flush block,
+// covered by size_for().
 struct Rle {
-  std::vector<uint16_t> out;
-  std::vector<uint16_t> b;
+  // Uninitialized flat output (resize would zero-fill 2n words per
+  // frame); data() + size() after flush().
+  std::unique_ptr<uint16_t[]> out;
+  std::vector<uint16_t> bv;
+  uint16_t* op = nullptr;
+  size_t out_len = 0;
+  size_t bn = 0;
   uint32_t mid;
   bool same = false;
 
-  void init(uint16_t max_value) {
+  // 2n covers even degenerate mids (mid<=1 emits a header per symbol).
+  static size_t size_for(size_t n_tokens) { return 2 * n_tokens + 64; }
+
+  const uint16_t* data() const { return out.get(); }
+  size_t size() const { return out_len; }
+
+  void init(uint16_t max_value, size_t n_tokens) {
     int depth = max_value ? high_bit(max_value) + 1 : 1;
     mid = (1u << (depth - 1)) - 1;
-    out.clear();
-    out.push_back(max_value);
-    b.clear();
+    out.reset(new uint16_t[size_for(n_tokens)]);
+    op = out.get();
+    *op++ = max_value;
+    bv.resize((size_t)mid + 4 < 64 ? 64 : (size_t)mid + 4);
+    bn = 0;
+    same = false;
   }
   inline void encode(uint16_t s) {
-    size_t bc = b.size();
-    if (bc < 2) { b.push_back(s); return; }
-    uint16_t p1 = b[bc - 2], p = b[bc - 1];
+    if (bn < 2) { bv[bn++] = s; return; }
+    uint16_t p1 = bv[bn - 2], p = bv[bn - 1];
     if (p1 == p && p == s) {
-      if (!same && bc > 2) {
-        out.push_back((uint16_t)(mid + bc - 2));
-        out.insert(out.end(), b.begin(), b.end() - 2);
-        b.erase(b.begin(), b.end() - 2);
+      if (!same && bn > 2) {
+        *op++ = (uint16_t)(mid + bn - 2);
+        std::memcpy(op, bv.data(), (bn - 2) * 2);
+        op += bn - 2;
+        bv[0] = p1; bv[1] = p; bn = 2;
       }
       same = true;
     } else {
-      if (same && bc > 2) {
-        out.push_back((uint16_t)bc);
-        out.push_back(b[0]);
-        b.clear();
+      if (same && bn > 2) {
+        *op++ = (uint16_t)bn;
+        *op++ = bv[0];
+        bn = 0;
       }
       same = false;
     }
-    bc = b.size();
-    if (bc >= (size_t)(mid - 1)) {
+    if (bn >= (size_t)(mid - 1)) {
       if (same) {
-        out.push_back((uint16_t)(bc - 2));
-        out.push_back(b[0]);
+        *op++ = (uint16_t)(bn - 2);
+        *op++ = bv[0];
       } else {
-        out.push_back((uint16_t)(mid + bc - 2));
-        out.insert(out.end(), b.begin(), b.end() - 2);
+        *op++ = (uint16_t)(mid + bn - 2);
+        std::memcpy(op, bv.data(), (bn - 2) * 2);
+        op += bn - 2;
       }
-      b.erase(b.begin(), b.end() - 2);
+      bv[0] = bv[bn - 2]; bv[1] = bv[bn - 1]; bn = 2;
     }
-    b.push_back(s);
+    if (bn + 1 >= bv.size()) bv.resize(bv.size() * 2);  // mid==0: no flush
+    bv[bn++] = s;
   }
   void flush() {
-    size_t bc = b.size();
-    if (!bc) return;
-    if (same) {
-      out.push_back((uint16_t)bc);
-      out.push_back(b[0]);
-    } else {
-      out.push_back((uint16_t)(mid + bc));
-      out.insert(out.end(), b.begin(), b.end());
+    if (bn) {
+      if (same) {
+        *op++ = (uint16_t)bn;
+        *op++ = bv[0];
+      } else {
+        *op++ = (uint16_t)(mid + bn);
+        std::memcpy(op, bv.data(), bn * 2);
+        op += bn;
+      }
     }
+    out_len = (size_t)(op - out.get());
   }
 };
 
@@ -813,43 +850,74 @@ static bool predictor_inverse(const uint16_t* tokens, size_t n_tokens, int width
 }
 
 // Forward predictor: pixels -> escaped residual tokens (incl leading maxValue).
+// Forward predictor, templated per kind with boundary rows/cols peeled
+// (the encode mirror of predictor_inverse_t).  Emission goes through a
+// raw pointer — worst case is 2 tokens per pixel, sized up front.
+template <int KIND>
+static void predictor_forward_t(const uint16_t* px, int width, int height,
+                                uint16_t max_value, std::vector<uint16_t>& tokens) {
+  int depth = max_value ? high_bit(max_value) + 1 : 1;
+  const int32_t thr = (1 << (depth - 1)) - 1;
+  const uint16_t delim = (uint16_t)((1u << depth) - 1);
+  tokens.resize((size_t)width * height * 2 + 2);
+  uint16_t* tp = tokens.data();
+  *tp++ = max_value;
+
+  auto emit = [&](int32_t diff, uint16_t raw) {
+    int32_t ad = diff < 0 ? -diff : diff;
+    if (ad >= thr) {
+      *tp++ = delim;
+      *tp++ = raw;
+    } else if (KIND == PRED_ZZ) {
+      *tp++ = (uint16_t)((((uint32_t)diff << 1) ^ (uint32_t)(diff >> 31)) & 0xFFFF);
+    } else {
+      *tp++ = (uint16_t)(thr + diff);
+    }
+  };
+
+  // Row 0: left-only (zz: left with zigzag; first pixel pred 0).
+  emit((int32_t)px[0], px[0]);
+  for (int x = 1; x < width; x++) emit((int32_t)px[x] - px[x - 1], px[x]);
+
+  for (int y = 1; y < height; y++) {
+    const uint16_t* row = px + (size_t)y * width;
+    const uint16_t* up = row - width;
+    if (KIND == PRED_ZZ) {
+      emit((int32_t)row[0], row[0]);
+      for (int x = 1; x < width; x++) emit((int32_t)row[x] - row[x - 1], row[x]);
+      continue;
+    }
+    emit((int32_t)row[0] - up[0], row[0]);
+    int x = 1;
+    const int last = width - 1;
+    for (; x < last; x++) {
+      int32_t pred;
+      if (KIND == PRED_AVG) pred = ((int32_t)row[x - 1] + up[x]) >> 1;
+      else if (KIND == PRED_GRAD) pred = grad_predict(row[x - 1], up[x], up[x - 1], up[x + 1]);
+      else pred = med_predict(row[x - 1], up[x], up[x - 1]);
+      emit((int32_t)row[x] - pred, row[x]);
+    }
+    if (x == last) {  // NE falls back to NW at the right edge
+      int32_t pred;
+      if (KIND == PRED_AVG) pred = ((int32_t)row[x - 1] + up[x]) >> 1;
+      else if (KIND == PRED_GRAD) pred = grad_predict(row[x - 1], up[x], up[x - 1], up[x - 1]);
+      else pred = med_predict(row[x - 1], up[x], up[x - 1]);
+      emit((int32_t)row[x] - pred, row[x]);
+    }
+  }
+  tokens.resize(tp - tokens.data());
+}
+
 static void predictor_forward(const uint16_t* px, int width, int height,
                               uint16_t max_value, int kind,
                               std::vector<uint16_t>& tokens) {
-  int depth = max_value ? high_bit(max_value) + 1 : 1;
-  int32_t thr = (1 << (depth - 1)) - 1;
-  uint16_t delim = (uint16_t)((1u << depth) - 1);
-  tokens.clear();
-  tokens.reserve((size_t)width * height + 16);
-  tokens.push_back(max_value);
-  for (int y = 0; y < height; y++) {
-    for (int x = 0; x < width; x++) {
-      int idx = y * width + x;
-      int32_t pred;
-      if (x == 0 && y == 0) pred = 0;
-      else if (y == 0) pred = px[idx - 1];
-      else if (x == 0) pred = kind == PRED_ZZ ? px[idx - 1] : px[idx - width];
-      else if (kind == PRED_ZZ) pred = px[idx - 1];
-      else {
-        int32_t w_ = px[idx - 1], nn = px[idx - width], nw = px[idx - width - 1];
-        int32_t ne = x + 1 < width ? px[idx - width + 1] : nw;
-        if (kind == PRED_AVG) pred = (w_ + nn) >> 1;
-        else if (kind == PRED_GRAD) pred = grad_predict(w_, nn, nw, ne);
-        else pred = med_predict(w_, nn, nw);
-      }
-      if (kind == PRED_ZZ && x == 0) pred = 0;
-      int32_t diff = (int32_t)px[idx] - pred;
-      int32_t ad = diff < 0 ? -diff : diff;
-      if (ad >= thr) {
-        tokens.push_back(delim);
-        tokens.push_back(px[idx]);
-      } else if (kind == PRED_ZZ) {
-        tokens.push_back((uint16_t)(((uint32_t)diff << 1) ^ (uint32_t)(diff >> 31)) & 0xFFFF);
-      } else {
-        tokens.push_back((uint16_t)(thr + diff));
-      }
-    }
+  switch (kind) {
+    case PRED_AVG: predictor_forward_t<PRED_AVG>(px, width, height, max_value, tokens); return;
+    case PRED_GRAD: predictor_forward_t<PRED_GRAD>(px, width, height, max_value, tokens); return;
+    case PRED_MED: predictor_forward_t<PRED_MED>(px, width, height, max_value, tokens); return;
+    case PRED_ZZ: predictor_forward_t<PRED_ZZ>(px, width, height, max_value, tokens); return;
   }
+  tokens.clear();
 }
 
 // ───────────────────── top-level codecs ─────────────────────
@@ -976,17 +1044,19 @@ int mic_decompress_frame(const uint8_t* blob, size_t len, int width, int height,
 size_t mic_compress_frame(const uint16_t* pixels, int width, int height,
                           uint16_t max_value, int kind, int n_states,
                           uint8_t* out, size_t out_cap) {
-  std::vector<uint16_t> tokens;
+  // Per-thread scratch: resize is amortized across frames, so the 2x
+  // worst-case token buffer is neither re-zeroed nor re-mapped per call.
+  std::vector<uint16_t>& tokens = scratch().enc_tokens;
   predictor_forward(pixels, width, height, max_value, kind, tokens);
   int depth = max_value ? high_bit(max_value) + 1 : 1;
   uint16_t delim = (uint16_t)((1u << depth) - 1);
   Rle rle;
-  rle.init(delim);
+  rle.init(delim, tokens.size());
   for (uint16_t t : tokens) rle.encode(t);
   rle.flush();
   std::vector<uint8_t> blob;
   for (int ns = n_states; ns >= 1; ns >>= 1) {
-    if (entropy_compress(rle.out.data(), rle.out.size(), ns, blob)) {
+    if (entropy_compress(rle.data(), rle.size(), ns, blob)) {
       if (blob.size() > out_cap) return 0;
       std::memcpy(out, blob.data(), blob.size());
       return blob.size();
