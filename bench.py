@@ -55,6 +55,7 @@ def main() -> None:
     detail = {}
     rates = []
     for name, px, w, h, mx in _corpus():
+        print(f"[bench] {name} compiling/checking...", file=sys.stderr, flush=True)
         blob = micw_compress(px, w, h, mx)
         k = max(1, min(MAX_REPLICAS, TARGET_BATCH_BYTES // px.nbytes))
         plan = MicwDecodePlan([blob] * k)
@@ -77,6 +78,7 @@ def main() -> None:
         dt = (time.time() - t0) / REPS
         gbps = k * px.nbytes / dt / 1e9
         rates.append(gbps)
+        print(f"[bench] {name}: {gbps:.2f} GB/s (x{k})", file=sys.stderr, flush=True)
         detail[name] = {
             "GBps": round(gbps, 3),
             "replicas": k,
