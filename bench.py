@@ -59,10 +59,12 @@ def main() -> None:
         blob = micw_compress(px, w, h, mx)
         k = max(1, min(MAX_REPLICAS, TARGET_BATCH_BYTES // px.nbytes))
         plan = MicwDecodePlan([blob] * k)
-        # Compile + bit-exactness check on one replica.
+        # Compile + bit-exactness check on one replica.  The check runs
+        # ON DEVICE (verify_against): tunneled device->host transfers can
+        # be orders of magnitude slower than host->device, and pulling a
+        # 64 MB batch through a slow link stalls the whole session.
         decoded = plan.run()
-        out = plan.assemble(decoded)
-        if not np.array_equal(out[0][0], px):
+        if not plan.verify_against(decoded, px):
             print(json.dumps({
                 "metric": "decode_error", "value": 0, "unit": "GB/s",
                 "vs_baseline": 0,

@@ -87,25 +87,36 @@ def main() -> None:
           "(incl host transform + container assembly)")
     sys.stdout.flush()
 
-    # 4. MWR3 RGB batch decode on device (US1 + tissue tiles).
+    # 4. MWR3 RGB batch decode on device (US1): plane strips stay
+    # device-resident; exactness checked on device against the YCoCg
+    # planes (device->host pulls avoided — the tunnel's slow direction).
     try:
+        from mic_tpu.ops.color import ycocgr_forward
         from mic_tpu.utils.dicom import read_dicom
-        from mic_tpu.tpu.rgb_device import micwr_compress, micwr_decode_many
+        from mic_tpu.tpu.rgb_device import micwr_compress, _parse
+        from mic_tpu.tpu.strips import MicwDecodePlan
 
         d = read_dicom(
             "/root/reference/testdata/compsamples_refanddir/IMAGES/REF/US1_UNC"
         )
         rgb = d.pixels.reshape(d.rows, d.cols, 3).astype(np.uint8)
         blob = micwr_compress(rgb.reshape(-1), d.cols, d.rows)
-        blobs = [blob] * 16
-        outs = micwr_decode_many(blobs)
-        ok = np.array_equal(np.asarray(outs[0][0]).ravel(), rgb.ravel())
+        reps_rgb = 16
+        planes = list(_parse(blob)[2]) * reps_rgb
+        plan = MicwDecodePlan(planes)
+        decoded = plan.run()
+        y, co, cg = ycocgr_forward(rgb.reshape(-1), d.cols, d.rows)
+        ok = all(plan.verify_against(decoded, exp, bi)
+                 for bi, exp in enumerate((y, co, cg)))
         t0 = time.time()
         for _ in range(5):
-            micwr_decode_many(blobs)
+            decoded = plan.run()
+        for v in decoded.values():
+            if v is not None:
+                v.block_until_ready()
         dt = (time.time() - t0) / 5
-        print(f"[rgb] US1 x16 MWR3 decode: exact={ok} "
-              f"{16 * rgb.nbytes / dt / 1e9:.2f} GB/s "
+        print(f"[rgb] US1 x{reps_rgb} MWR3 plane decode: exact={ok} "
+              f"{reps_rgb * rgb.nbytes * 2 / 3 / dt / 1e9:.2f} GB/s u16-plane "
               f"(ratio {rgb.nbytes / len(blob):.3f})")
     except Exception as e:  # noqa: BLE001
         print("[rgb] skipped:", e)

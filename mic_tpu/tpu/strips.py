@@ -837,6 +837,47 @@ class MicwDecodePlan:
         """Execute all device programs; returns {bucket_key: device array}."""
         return {k: (fn() if fn is not None else None) for k, fn in self.launches.items()}
 
+    def verify_against(self, decoded, expected, bi: int = 0) -> bool:
+        """Bit-exactness check of blob ``bi`` WITHOUT pulling pixels to
+        the host: the expected pixels are staged host->device (the cheap
+        direction over tunneled links) and compared on device; only a
+        boolean scalar crosses back.  Raw/constant strips compare
+        host-side (bytes are already on the host)."""
+        import jax
+
+        keys = self.keys_per_blob[bi]
+        expected = np.asarray(expected, dtype=np.uint16)
+        if bi in self.fallback or keys is None or any(
+            k != "raw" and decoded.get(k) is None for k, _ in keys
+        ):
+            out, _w, _h = micw_decompress_device_pallas(self.blobs[bi])
+            return bool(np.array_equal(out, expected))
+        width, height, _num_strips, strip_h = self.metas[bi]
+        dev_parts = []
+        exp_parts = []
+        for i, (k, idx) in enumerate(keys):
+            y0 = i * strip_h
+            sh = min(strip_h, height - y0)
+            seg = expected[y0 * width : (y0 + sh) * width]
+            if k == "raw":
+                st = self.raw_strips[idx]
+                if st[5] == STRIP_MODE_CONST:
+                    val = np.frombuffer(st[0], dtype="<u2", count=1)[0]
+                    if not (seg == val).all():
+                        return False
+                elif not np.array_equal(
+                    seg, np.frombuffer(st[0], dtype="<u2", count=width * sh)
+                ):
+                    return False
+            else:
+                dev_parts.append(decoded[k][idx][: sh * width])
+                exp_parts.append(seg)
+        if not dev_parts:
+            return True
+        dev = jnp.concatenate(dev_parts)
+        exp_dev = jax.device_put(np.concatenate(exp_parts))
+        return bool(jnp.array_equal(dev, exp_dev))
+
     def assemble(self, decoded):
         """Copy one run's outputs to host pixel arrays, blob order."""
         host = {k: (np.asarray(v) if v is not None else None) for k, v in decoded.items()}
