@@ -356,6 +356,25 @@ def test_micw_decode_many_mixed(rng):
         assert np.array_equal(np.asarray(got, np.uint16).ravel(), px)
 
 
+def test_plan_verify_against(rng):
+    """Device-side exactness check agrees with host assembly and rejects
+    corrupted expectations (the slow-link-safe bench path)."""
+    from mic_tpu.tpu.strips import MicwDecodePlan, micw_compress
+
+    img = (rng.standard_normal((32, 128)).cumsum(axis=1) * 15 + 800).astype(np.int32)
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    blob = micw_compress(px, 128, 32, int(px.max()), num_strips=2)
+    plan = MicwDecodePlan([blob, blob])
+    decoded = plan.run()
+    assert plan.verify_against(decoded, px, 0)
+    assert plan.verify_against(decoded, px, 1)
+    bad = px.copy()
+    bad[7] ^= 1
+    assert not plan.verify_against(decoded, bad, 0)
+    out = plan.assemble(decoded)
+    assert np.array_equal(out[1][0], px)
+
+
 def test_device_encode_byte_identical(rng):
     """Pallas encode kernel output blobs == host encoder blobs, including
     mixed tableLogs in one launch (per-lane renorm shifts) and the magic-
