@@ -663,17 +663,35 @@ function extractMIC2Frame(bytes, hdr, idx) {
   return bytes.subarray(hdr.dataOffset + e.offset, hdr.dataOffset + e.offset + e.length);
 }
 
+/** Decode one MIC2 frame payload (host or MICW device format). */
+function decodeMIC2Payload(blob, width, height) {
+  return magic(blob) === 'MICW'
+    ? decodeMICW(blob).pixels
+    : decodeFrame(blob, width, height, 'avg');
+}
+
 /** Decode frame `idx`; temporal mode decodes 0..idx sequentially
- * (multiframecompress.go:227-315). */
+ * (multiframecompress.go:227-315; device frames are MICW blobs). */
 function decodeMIC2Frame(bytes, idx, hdr) {
   hdr = hdr || parseMIC2Header(bytes);
   if (idx >= hdr.frameCount) throw new Error('MIC2: frame out of range');
   if (!hdr.temporal) {
-    return decodeFrame(extractMIC2Frame(bytes, hdr, idx), hdr.width, hdr.height, 'avg');
+    return decodeMIC2Payload(extractMIC2Frame(bytes, hdr, idx), hdr.width, hdr.height);
   }
-  let prev = decodeFrame(extractMIC2Frame(bytes, hdr, 0), hdr.width, hdr.height, 'avg');
+  let prev = decodeMIC2Payload(extractMIC2Frame(bytes, hdr, 0), hdr.width, hdr.height);
   for (let i = 1; i <= idx; i++) {
-    prev = temporalDecode(extractMIC2Frame(bytes, hdr, i), prev);
+    const blob = extractMIC2Frame(bytes, hdr, i);
+    if (magic(blob) === 'MICW') {
+      const res = decodeMICW(blob).pixels;
+      const px = new Uint16Array(res.length);
+      for (let k = 0; k < res.length; k++) {
+        const v = res[k];
+        px[k] = (prev[k] + ((v >>> 1) ^ -(v & 1))) & 0xFFFF;
+      }
+      prev = px;
+    } else {
+      prev = temporalDecode(blob, prev);
+    }
   }
   return prev;
 }
