@@ -87,11 +87,13 @@ def main() -> None:
             "ratio": round(px.nbytes / len(blob), 3),
             "bytes": len(blob),
         }
+        # Flush per image: remote compiles can take tens of minutes, and
+        # a truncated session should still leave its partial table.
+        res_dir = Path(__file__).resolve().parent / "results"
+        res_dir.mkdir(exist_ok=True)
+        (res_dir / "bench_detail.json").write_text(json.dumps(detail, indent=1))
 
     geomean = math.exp(sum(map(math.log, rates)) / len(rates))
-    res_dir = Path(__file__).resolve().parent / "results"
-    res_dir.mkdir(exist_ok=True)
-    (res_dir / "bench_detail.json").write_text(json.dumps(detail, indent=1))
     print(
         json.dumps(
             {
