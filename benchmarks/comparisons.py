@@ -93,6 +93,8 @@ def main() -> int:
         if charls.available():
             img = px.reshape(h, w)
             bps = max(int(mx).bit_length(), 2)
+            if bps <= 8:  # CharLS stores 1 byte/sample below 9 bits
+                img = img.astype(np.uint8)
             b = charls.encode(img, bits_per_sample=bps)
             assert np.array_equal(charls.decode(b), img)
             r = px.nbytes / len(b)

@@ -726,20 +726,28 @@ struct Rle {
 // Truncated trailing blocks (corrupt streams) are clamped/dropped rather
 // than read past the buffer; the caller's token-count check rejects the
 // short expansion, matching the Python tier's error on truncation.
+// ``max_out`` bounds the expansion (the caller knows the legitimate
+// token count: 1 + pixels + escapes <= 1 + 2*pixels).  Without it a
+// crafted blob of same-run blocks with mid=0x7FFF could amplify a
+// DecompressLimit-sized word stream into tens of GB of tokens before
+// the downstream token-count check ever ran.
 static void rle_expand(const uint16_t* in, size_t n, size_t start, uint32_t mid,
-                       std::vector<uint16_t>& out) {
+                       size_t max_out, std::vector<uint16_t>& out) {
   size_t i = start;
-  while (i < n) {
+  while (i < n && out.size() < max_out) {
     uint32_t c = in[i++];
     if (c > mid) {
       size_t k = c - mid;
       if (k > n - i) k = n - i;  // truncated literal run: clamp
+      if (k > max_out - out.size()) k = max_out - out.size();
       out.insert(out.end(), in + i, in + i + k);
       i += k;
     } else {
       if (i >= n) break;  // truncated same-run: value word missing
       uint16_t v = in[i++];
-      out.insert(out.end(), c, v);
+      size_t k = c;
+      if (k > max_out - out.size()) k = max_out - out.size();
+      out.insert(out.end(), k, v);
     }
   }
 }
@@ -1030,7 +1038,8 @@ int mic_decompress_frame(const uint8_t* blob, size_t len, int width, int height,
   std::vector<uint16_t>& tokens = scratch().tokens;
   tokens.clear();
   tokens.reserve((size_t)width * height * 2 + 2);
-  rle_expand(rle.data(), rle.size(), 1, mid, tokens);
+  rle_expand(rle.data(), rle.size(), 1, mid, (size_t)width * height * 2 + 2,
+             tokens);
   size_t n_tok = tokens.size();
   tokens.push_back(0);  // over-read pads: corrupt escape-heavy streams
   tokens.push_back(0);  // read zeros instead of past the buffer

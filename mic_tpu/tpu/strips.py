@@ -563,9 +563,14 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
                 w, h, _n, sh = metas[bi]
                 y0 = si * sh
                 rows = min(sh, h - y0)
-                outs[bi][y0 * w : (y0 + rows) * w] = np.frombuffer(
-                    st[0], dtype="<u2", count=w * rows
-                )
+                if st[5] == STRIP_MODE_CONST:
+                    outs[bi][y0 * w : (y0 + rows) * w] = np.frombuffer(
+                        st[0], dtype="<u2", count=1
+                    )[0]
+                else:
+                    outs[bi][y0 * w : (y0 + rows) * w] = np.frombuffer(
+                        st[0], dtype="<u2", count=w * rows
+                    )
             continue
         tl, width, strip_h, mid, delim, pred = key
         parsed = [it[2] for it in items]

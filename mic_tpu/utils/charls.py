@@ -94,6 +94,10 @@ def encode(img: np.ndarray, bits_per_sample: int | None = None) -> bytes:
         raise ValueError(f"unsupported shape {img.shape}")
     if bits_per_sample is None:
         bits_per_sample = 8 * img.dtype.itemsize
+    if bits_per_sample <= 8 and img.dtype.itemsize == 2:
+        # CharLS stores 1 byte/sample when bps <= 8; feeding a u16
+        # buffer would make it encode interleaved lo/hi bytes.
+        img = np.ascontiguousarray(img.astype(np.uint8))
     h, w = img.shape[:2]
     fi = _FrameInfo(w, h, bits_per_sample, comps)
     enc = lib.charls_jpegls_encoder_create()

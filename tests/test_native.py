@@ -107,3 +107,33 @@ def test_native_strips_decode(rng):
     out, w, h = decompress_strips_native(blob, n_threads=4)
     assert (w, h) == (80, 96)
     assert np.array_equal(out, px)
+
+
+def test_native_rle_amplification_bounded():
+    """A crafted stream of max-width same-run blocks must not amplify
+    past the caller's token bound (regression: each 2-word block could
+    expand to mid=16383 tokens, ~1 GB from a 120 KB stream, before the
+    token-count check ran)."""
+    import time
+
+    from mic_tpu.native import (
+        available,
+        decompress_frame_native,
+        entropy_compress_native,
+        PRED_AVG,
+    )
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library not built")
+    K = 30000
+    words = np.empty(1 + 2 * K, dtype=np.uint16)
+    words[0] = 0x7FFF  # rle maxValue -> mid = 0x3FFF
+    words[1::2] = 0x3FFE  # same-run of 16382
+    words[2::2] = 123
+    blob = entropy_compress_native(words, 4)
+    t0 = time.time()
+    # Either a bounded garbage frame or an error -- never an OOM/stall.
+    decompress_frame_native(bytes(blob), 128, 128, PRED_AVG)
+    assert time.time() - t0 < 2.0

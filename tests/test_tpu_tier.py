@@ -356,6 +356,21 @@ def test_micw_decode_many_mixed(rng):
         assert np.array_equal(np.asarray(got, np.uint16).ravel(), px)
 
 
+def test_micw_decode_batch_const_strip(rng):
+    """micw_decode_batch must special-case mode-5 constant strips like
+    every other decoder (regression: it np.frombuffer'd the 2-byte
+    constant payload as w*rows pixels)."""
+    from mic_tpu.tpu.strips import micw_compress, micw_decode_batch
+
+    img = (rng.standard_normal((48, 128)).cumsum(axis=1) * 15 + 900).astype(np.int32)
+    img = img.clip(0, 4095).astype(np.uint16)
+    img[32:] = 777  # third strip constant
+    px = img.ravel()
+    blob = micw_compress(px, 128, 48, int(px.max()), num_strips=3)
+    out = micw_decode_batch([blob])
+    assert np.array_equal(np.asarray(out[0], np.uint16).ravel(), px)
+
+
 def test_plan_verify_against(rng):
     """Device-side exactness check agrees with host assembly and rejects
     corrupted expectations (the slow-link-safe bench path)."""

@@ -390,7 +390,7 @@ function rleExpand(syms, start, midCount, expectLen) {
  * (rlecompressu16.go:85-93). */
 function rleDecompress(syms) {
   const maxValue = syms[0];
-  const depth = maxValue === 0 ? 0 : highBit(maxValue) + 1;
+  const depth = maxValue === 0 ? 1 : highBit(maxValue) + 1; // depth floors at 1
   const midCount = (1 << (depth - 1)) - 1;
   const outLen = (syms[1] << 16) + syms[2];
   const out = rleExpand(syms, 3, midCount, outLen);
@@ -516,7 +516,7 @@ function predictorInverse(tokens, width, height, kind) {
 function decodeFrame(bytes, width, height, kind) {
   const rle = fseDecompressAuto(bytes);
   const maxValue = rle[0];
-  const depth = maxValue === 0 ? 0 : highBit(maxValue) + 1;
+  const depth = maxValue === 0 ? 1 : highBit(maxValue) + 1; // depth floors at 1
   const midCount = (1 << (depth - 1)) - 1;
   const tokens = rleExpand(rle, 1, midCount, null);
   // tokens[0] after expansion is the image maxValue (the first Encode'd
@@ -940,7 +940,11 @@ function mictDecode(bytes) {
       const sl = (xi >>> 0) & mask;          // exact: xi < 2^32
       out[base + l] = sym[sl];
       let xn = freq[sl] * (xi >>> p.tableLog) + bias[sl]; // < 2^32, exact
-      while (xn < 65536) {
+      // Exactly one conditional renorm per step (mict_decode_numpy):
+      // a valid x' >= 1 lands >= 2^16 after one word; corrupt streams
+      // (x' == 0) fall through and fail the final-state check below
+      // instead of spinning.
+      if (xn < 65536) {
         xn = xn * 65536 + (cursor < p.words.length ? p.words[cursor] : 0);
         cursor++;
       }
