@@ -54,6 +54,15 @@ def main() -> None:
         if not ok:
             print("[gate] FAILED — numbers below are suspect")
 
+    # Initialize the backend EARLY and visibly: sessions whose first
+    # device contact was a large staged workload were observed to stall
+    # forever on the tunneled backend, while processes that touch the
+    # device with a trivial op first proceed normally.
+    import jax
+
+    print(f"[session] devices: {jax.devices()}")
+    sys.stdout.flush()
+
     # 1. Headline bench (prints the JSON line, writes results/bench_detail.json).
     import bench
 

@@ -142,14 +142,16 @@ def soa_rle_expand_device(
     value_of_run = syms[jnp.minimum(n_runs + same_rank, m - 1)]
     lit_base = n_runs + n_same
 
-    # Label output slots with their run id: scatter run starts, cumsum.
-    # (Measured on v5e: batched scatters at per-strip sizes are fast;
-    # jnp.searchsorted lowers to a sequential lax.scan and is 40-80ms at
-    # these sizes — see ROUND1_NOTES.md.)
-    marks = jnp.zeros(max_out + 1, dtype=jnp.int32)
-    park = jnp.where(valid_run & (lengths > 0), out_start, max_out)
-    marks = marks.at[park].add(1)
-    run_id = jnp.cumsum(marks[:max_out]) - 1
+    # Label output slots with their run id.  out_start is nondecreasing,
+    # so run_id[i] = #(starts <= i) - 1; evaluated as a fused
+    # compare-and-reduce over the runs axis (max_out x max_runs compares
+    # stream through the VPU).  The previous scatter-add+cumsum
+    # formulation serialized under the vmap-in-lax.map composition the
+    # batched decoder runs in (measured 360 ms per 32-strip chunk vs
+    # ~7 ms for the scatter-free modes).
+    out_idx_col = jnp.arange(max_out, dtype=jnp.int32)[:, None]
+    starts_row = jnp.where(valid_run & (lengths > 0), out_start, max_out + 1)[None, :]
+    run_id = jnp.sum((starts_row <= out_idx_col).astype(jnp.int32), axis=1) - 1
     rid = jnp.clip(run_id, 0, max_runs - 1)
     out_idx = jnp.arange(max_out, dtype=jnp.int32)
     lit_pos = lit_base + lit_start[rid] + (out_idx - out_start[rid])
@@ -180,12 +182,18 @@ def parse_escaped_device(tokens: jax.Array, n_tokens: jax.Array, delim: jax.Arra
     consumed_as_raw = jnp.concatenate([jnp.array([False]), escape_marker[:-1]])
     token_start = ~consumed_as_raw & valid
 
-    # Compact token-start positions to the first n_pixels tokens via
-    # scatter-max (junk parks in an overflow slot).
+    # Compact token-start positions to the first n_pixels tokens.
+    # Sort-based stream compaction: token starts keep their rank as the
+    # sort key, junk sinks past the end (TPU sorts are fast and fully
+    # parallel; the previous scatter-max serialized under the batched
+    # decoder's vmap-in-lax.map composition).
     t_rank = jnp.cumsum(token_start.astype(jnp.int32)) - 1
-    tok_pos_full = jnp.zeros(n_pixels + 1, dtype=jnp.int32)
-    park = jnp.where(token_start & (t_rank < n_pixels), t_rank, n_pixels)
-    tok_pos = tok_pos_full.at[park].max(pos)[:n_pixels]
+    keys = jnp.where(token_start, t_rank, m + n_pixels)
+    _sorted_keys, sorted_pos = jax.lax.sort((keys, pos), num_keys=1)
+    if m >= n_pixels:
+        tok_pos = sorted_pos[:n_pixels]
+    else:
+        tok_pos = jnp.pad(sorted_pos, (0, n_pixels - m))
 
     is_raw = escape_marker[tok_pos]
     vals = jnp.where(is_raw, tokens[jnp.minimum(tok_pos + 1, m - 1)], tokens[tok_pos])

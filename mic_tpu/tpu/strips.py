@@ -196,14 +196,18 @@ def micw_compress(
     max_value: int,
     num_strips: int = 0,
     lanes: int = 128,
-    predictor: str = "auto",
+    predictor: str = "auto-fast",
 ) -> bytes:
     """Compress into MICW.  Encoding is host-side (vectorized numpy; the
     TPU encode path is tpu.pallas_enc.micw_compress_device).
 
-    predictor "auto" (default, v4): per strip, try zzd / zz+RLE /
-    avg+RLE, keep the smallest (corpus geomean 3.20 vs 2.83 for fixed
-    zzd).  Fixed "zzd"/"zz"/"avg" force one pipeline for every strip.
+    predictor "auto-fast" (default, v4): per strip, try zzd / vdd /
+    zz+RLE, keep the smallest — all row/column-parallel on decode
+    (corpus geomean 3.131 vs 2.966 fixed zzd).  "auto" adds avg+RLE
+    (geomean 3.199) but its decode needs the serial anti-diagonal
+    wavefront post program, which caps device batch throughput — the
+    ratio format for that tradeoff is the byte-compatible host family,
+    not MICW.  Fixed "zzd"/"vdd"/"zz"/"avg" force one pipeline.
     """
     pixels = np.asarray(pixels, dtype=np.uint16)
     if len(pixels) != width * height:
@@ -218,6 +222,12 @@ def micw_compress(
     mid = _rle_mid(max_value)
     if predictor == "auto":
         trials = ["zzd", "vdd", "zz", "avg"]
+    elif predictor == "auto-fast":
+        # Row/column-parallel modes only: avg's decode needs the
+        # anti-diagonal wavefront post program (serial in width+height
+        # steps), which caps batch decode throughput; the direct and zz
+        # modes invert with row-parallel scans.
+        trials = ["zzd", "vdd", "zz"]
     elif predictor in ("zzd", "vdd", "zz", "avg"):
         trials = [predictor]
     else:
@@ -597,12 +607,84 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
     return outs
 
 
-def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim):
-    """Stage one homogeneous group of MICT strips for device decode,
-    choosing the fastest eligible path: fully-fused zzd kernel → packed
-    kernel + post program → two-table kernel + post program.  Returns a
-    closure that runs only the device programs and yields
-    uint16[S, strip_h*width] (padded rows included)."""
+# Strips per device launch.  Two jobs: (a) bound compile cost — the
+# XLA post program's compile time grows super-linearly with the batch
+# dimension (S=4 compiles in ~1 min on the tunneled service, S=512
+# never returns), and (b) make launch shapes image-count-independent so
+# chunks of DIFFERENT batches/images share one compiled executable.
+_CHUNK_S = 32
+
+
+def _pow2_at_least(x: int, lo: int = 1) -> int:
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("steps", "chunk_s", "tl", "asweep"))
+def _stacked_zzd_fused(ops, *, steps, chunk_s, tl, asweep):
+    """lax.map of the fused zzd kernel over stacked chunks — module-level
+    jit so the executable is shared across plans/batches/images."""
+    from .pallas_rans import rans_decode_pallas_zzd
+
+    def body(o):
+        pix = rans_decode_pallas_zzd(
+            *o, steps=steps, n_strips=chunk_s, table_log=tl, asweep=asweep,
+        )
+        return pix.reshape(chunk_s, -1)
+
+    return jax.lax.map(body, ops)
+
+
+@partial(jax.jit, static_argnames=(
+    "steps", "chunk_s", "tl", "asweep", "use_packed", "width", "strip_h",
+    "max_runs", "max_tokens", "mid", "delim", "pred", "pad_to",
+))
+def _stacked_post_run(ops, n_tokens, n_runs, n_same, *, steps, chunk_s, tl,
+                      asweep, use_packed, width, strip_h, max_runs,
+                      max_tokens, mid, delim, pred, pad_to):
+    """lax.map of (entropy kernel + post program) over stacked chunks."""
+    from .pallas_rans import rans_decode_pallas, rans_decode_pallas_packed
+
+    def body(o):
+        args, nt, nr, nsm = o[:6], o[6], o[7], o[8]
+        if use_packed:
+            ent = rans_decode_pallas_packed(
+                *args, steps=steps, n_strips=chunk_s, table_log=tl, asweep=asweep,
+            )
+        else:
+            ent = rans_decode_pallas(
+                *args, steps=steps, n_strips=chunk_s, table_log=tl,
+            )
+        ent = ent.reshape(chunk_s, -1)
+        if pad_to and ent.shape[1] < pad_to:
+            ent = jnp.pad(ent, ((0, 0), (0, pad_to - ent.shape[1])))
+        return _micw_post_batch(
+            ent, nt, nr, nsm, width=width, strip_h=strip_h,
+            max_runs=max_runs, max_tokens=max_tokens,
+            mid_count=mid, delim=delim, predictor=pred,
+        )
+
+    return jax.lax.map(body, ops + (n_tokens, n_runs, n_same))
+
+
+def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
+                              min_steps: int = 0, min_runs: int = 0,
+                              min_tokens: int = 0):
+    """Large-group staging: strips split into _CHUNK_S-strip chunks whose
+    operands STACK along a leading chunk axis; one jitted program
+    lax.map's the single-chunk body over them.
+
+    This resolves the compile-cost/launch-latency tension on tunneled
+    backends: the compiled body is single-chunk-sized (S in the batch
+    dimension makes the post program's XLA compile super-linear — S=512
+    never returned from the remote service while S=32 compiles in ~1
+    min), yet each run is ONE device program (per-launch RPC latency
+    through the tunnel was ~75 ms, so 16 chunk launches ran at 0.01
+    GB/s dispatched individually).  The chunk count pads to a power of
+    two with replica chunks, so the program family stays tiny and is
+    shared across batches and images of the same geometry."""
     from .pallas_rans import (
         build_packed_tables,
         build_pallas_tables,
@@ -611,9 +693,129 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim):
         rans_decode_pallas_zzd,
     )
 
-    S = len(parsed)
+    S_real = len(parsed)
     tl = max(p[1] for p in parsed)
-    packed = build_packed_tables(parsed, tl)
+    steps_g = max(min_steps,
+                  _pow2_at_least(max((p[2] + 127) // 128 for p in parsed), 8))
+    runs_g = max(min_runs, 128 * _pow2_at_least(
+        (max(st[3] for st in strips) + 128) // 128))
+    tokens_g = max(min_tokens, 128 * _pow2_at_least(
+        (max(st[2] for st in strips) + 128) // 128))
+
+    # Build per-chunk operand arrays (numpy), padding chunk count to a
+    # power of two with replicas of chunk 0.
+    chunks = []
+    for c0 in range(0, S_real, _CHUNK_S):
+        pc = list(parsed[c0 : c0 + _CHUNK_S])
+        sc = list(strips[c0 : c0 + _CHUNK_S])
+        while len(pc) < _CHUNK_S:
+            pc.append(pc[0])
+            sc.append(sc[0])
+        chunks.append((pc, sc))
+    n_chunks = _pow2_at_least(len(chunks), 1)
+    while len(chunks) < n_chunks:
+        chunks.append(chunks[0])
+
+    use_packed = True
+    built = []
+    for pc, _sc in chunks:
+        pk = build_packed_tables(pc, tl, min_steps=steps_g)
+        if pk is None:
+            use_packed = False
+            break
+        built.append(pk)
+    if not use_packed:
+        built = [build_pallas_tables(pc, tl, min_steps=steps_g) for pc, _sc in chunks]
+
+    def _stack(idx, pad_axis=None):
+        arrs = [b[idx] for b in built]
+        if pad_axis is not None:
+            m = max(a.shape[pad_axis] for a in arrs)
+            out = []
+            for a in arrs:
+                pad = [(0, 0)] * a.ndim
+                pad[pad_axis] = (0, m - a.shape[pad_axis])
+                out.append(np.pad(a, pad))
+            arrs = out
+        return jnp.asarray(np.stack(arrs))
+
+    steps = max(b[7] for b in built)
+    if use_packed:
+        # (init, tpk, alpha, words, mask, shift, counts, steps, asweep)
+        asweep = max(b[8] for b in built)
+        ops = (_stack(0), _stack(1), _stack(2, pad_axis=1), _stack(3, pad_axis=1),
+               _stack(4), _stack(5))
+    else:
+        # (init, tsym, tfb, words, mask, shift, counts, steps)
+        asweep = 0
+        ops = (_stack(0), _stack(1), _stack(2), _stack(3, pad_axis=1),
+               _stack(4), _stack(5))
+
+    if pred == "zzd" and width % 128 == 0 and use_packed:
+        ws = jnp.asarray(np.full((n_chunks, _CHUNK_S, 128), width // 128, np.uint32))
+
+        def run_fused():
+            out = _stacked_zzd_fused(
+                ops + (ws,), steps=steps, chunk_s=_CHUNK_S, tl=tl, asweep=asweep,
+            )
+            return out.reshape(n_chunks * _CHUNK_S, -1)[:S_real, : strip_h * width]
+
+        return run_fused
+
+    if pred in ("zzd", "vdd"):
+        zeros = jnp.zeros((n_chunks, _CHUNK_S), jnp.int32)
+        post_kw = dict(max_runs=128, max_tokens=128, pad_to=strip_h * width)
+        nt = nr = nsm = zeros
+    else:
+        post_kw = dict(max_runs=runs_g, max_tokens=tokens_g, pad_to=0)
+        nt = jnp.asarray(np.stack(
+            [np.array([st[2] for st in sc], dtype=np.int32) for _pc, sc in chunks]))
+        nr = jnp.asarray(np.stack(
+            [np.array([st[3] for st in sc], dtype=np.int32) for _pc, sc in chunks]))
+        nsm = jnp.asarray(np.stack(
+            [np.array([st[4] for st in sc], dtype=np.int32) for _pc, sc in chunks]))
+
+    def run_post():
+        out = _stacked_post_run(
+            ops, nt, nr, nsm, steps=steps, chunk_s=_CHUNK_S, tl=tl,
+            asweep=asweep, use_packed=use_packed, width=width,
+            strip_h=strip_h, mid=mid, delim=delim, pred=pred, **post_kw,
+        )
+        return out.reshape(n_chunks * _CHUNK_S, -1)[:S_real]
+
+    return run_post
+
+
+def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
+                      min_steps: int = 0, min_runs: int = 0,
+                      min_tokens: int = 0):
+    """Stage one homogeneous group of MICT strips for device decode,
+    choosing the fastest eligible path: fully-fused zzd kernel → packed
+    kernel + post program → two-table kernel + post program.  Returns a
+    closure that runs only the device programs and yields
+    uint16[S, strip_h*width] (padded rows included).
+
+    Groups larger than ``_CHUNK_S`` strips split into fixed-size chunks
+    sharing ONE compiled program (group-uniform steps/runs/tokens
+    buckets, chunk padded with replicas of its first strip)."""
+    from .pallas_rans import (
+        build_packed_tables,
+        build_pallas_tables,
+        rans_decode_pallas,
+        rans_decode_pallas_packed,
+        rans_decode_pallas_zzd,
+    )
+
+    S_real = len(parsed)
+    if S_real > _CHUNK_S:
+        return _stage_mict_group_stacked(
+            parsed, strips, pred, width, strip_h, mid, delim,
+            min_steps=min_steps, min_runs=min_runs, min_tokens=min_tokens,
+        )
+
+    S = S_real
+    tl = max(p[1] for p in parsed)
+    packed = build_packed_tables(parsed, tl, min_steps=min_steps)
     if packed is not None and pred == "zzd" and width % 128 == 0:
         init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
         ws = np.full((S, 128), width // 128, np.uint32)
@@ -635,7 +837,8 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim):
                 *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep,
             )
     else:
-        init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(parsed, tl)
+        init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(
+            parsed, tl, min_steps=min_steps)
         args = tuple(jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift))
 
         def entropy():
@@ -664,8 +867,11 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim):
     n_runs_np = np.array([st[3] for st in strips], dtype=np.int32)
     n_same = jnp.asarray(np.array([st[4] for st in strips], dtype=np.int32))
     n_runs = jnp.asarray(n_runs_np)
-    max_runs = int(_round_up(int(n_runs_np.max()) + 1, 128))
-    max_tokens = int(_round_up(int(np.array([st[2] for st in strips]).max()) + 1, 128))
+    max_runs = max(min_runs, int(_round_up(int(n_runs_np.max()) + 1, 128)))
+    max_tokens = max(
+        min_tokens,
+        int(_round_up(int(np.array([st[2] for st in strips]).max()) + 1, 128)),
+    )
 
     def run_rle_post():
         return _micw_post_batch(
@@ -803,23 +1009,64 @@ class MicwDecodePlan:
                     rle_groups[gk].append((p, st))
             self.keys_per_blob[bi] = keys
 
-        # Stage device operands per bucket.
+        # Stage device operands per bucket, chunked to _CHUNK_S strips
+        # with ONE jitted lax.map program per bucket: the compiled body
+        # is single-chunk-sized (bounded compile cost on the remote
+        # service) and each run is one launch (per-launch tunnel RPC
+        # latency would otherwise dominate).  Program keys collapse to
+        # (chunk size, #chunks pow2, steps bucket, tl, asweep).
         self.launches = {}  # key -> closure returning device array [S, cols]
         for b, entries in zzd_buckets.items():
-            parsed = [e[0] for e in entries]
-            tl = max(p[1] for p in parsed)
-            packed = build_packed_tables(parsed, tl, min_steps=b)
-            if packed is None:
+            parsed_all = [e[0] for e in entries]
+            tl = max(p[1] for p in parsed_all)
+            S_real = len(entries)
+            # Small single-chunk buckets pad only to the next power of 2
+            # (keeps tiny/interpret-mode decodes cheap); multi-chunk
+            # buckets pad every chunk to the full _CHUNK_S.
+            pad_to = _CHUNK_S if S_real > _CHUNK_S else _pow2_at_least(S_real, 1)
+            chunks = []
+            for c0 in range(0, S_real, _CHUNK_S):
+                ch = list(entries[c0 : c0 + _CHUNK_S])
+                while len(ch) < pad_to:
+                    ch.append(ch[0])
+                chunks.append(ch)
+            n_chunks = _pow2_at_least(len(chunks), 1)
+            while len(chunks) < n_chunks:
+                chunks.append(chunks[0])
+            built = []
+            failed = False
+            for ch in chunks:
+                packed = build_packed_tables([e[0] for e in ch], tl, min_steps=b)
+                if packed is None:
+                    failed = True
+                    break
+                built.append(packed)
+            if failed:
                 self.launches[("zzd", b)] = None
                 continue
-            init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
-            S = len(parsed)
-            ws = np.zeros((S, 128), np.uint32)
-            for i, (_p, w) in enumerate(entries):
-                ws[i, :] = w // 128
-            args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws))
+            steps = max(bk[7] for bk in built)
+            asweep = max(bk[8] for bk in built)
+
+            def stack(idx, pad_axis=None, _built=built):
+                arrs = [bk[idx] for bk in _built]
+                if pad_axis is not None:
+                    m = max(a.shape[pad_axis] for a in arrs)
+                    arrs = [
+                        np.pad(a, [(0, 0)] * pad_axis
+                               + [(0, m - a.shape[pad_axis])]
+                               + [(0, 0)] * (a.ndim - pad_axis - 1))
+                        for a in arrs
+                    ]
+                return jnp.asarray(np.stack(arrs))
+
+            ws = np.zeros((n_chunks, pad_to, 128), np.uint32)
+            for ci, ch in enumerate(chunks):
+                for i, (_p, w) in enumerate(ch):
+                    ws[ci, i, :] = w // 128
+            ops = (stack(0), stack(1), stack(2, pad_axis=1), stack(3, pad_axis=1),
+                   stack(4), stack(5), jnp.asarray(ws))
             self.launches[("zzd", b)] = partial(
-                self._run_zzd, args, steps, S, tl, asweep
+                self._run_zzd_stacked, ops, steps, pad_to, tl, asweep, S_real
             )
         for gk, entries in rle_groups.items():
             pred, width, strip_h, mid, delim = gk
@@ -830,13 +1077,11 @@ class MicwDecodePlan:
             )
 
     @staticmethod
-    def _run_zzd(args, steps, S, tl, asweep):
-        from .pallas_rans import rans_decode_pallas_zzd
-
-        pix = rans_decode_pallas_zzd(
-            *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+    def _run_zzd_stacked(ops, steps, chunk_s, tl, asweep, s_real):
+        out = _stacked_zzd_fused(
+            ops, steps=steps, chunk_s=chunk_s, tl=tl, asweep=asweep,
         )
-        return pix.reshape(S, -1)
+        return out.reshape(out.shape[0] * chunk_s, -1)[:s_real]
 
     def run(self):
         """Execute all device programs; returns {bucket_key: device array}."""

@@ -165,8 +165,8 @@ def test_micw_parse_fields(mr_image):
     assert len(strips) == 4
     from mic_tpu.tpu.strips import strip_predictor
 
-    # v4: every strip carries its own mode (auto default).
-    assert all(strip_predictor(predictor, st[5]) in ("zzd", "zz", "avg", None)
+    # v4: every strip carries its own mode (auto-fast default).
+    assert all(strip_predictor(predictor, st[5]) in ("zzd", "vdd", "zz", "avg", None)
                for st in strips)
     # Fixed-predictor compat: zzd request pins every strip to zzd/raw.
     blob_z = micw_compress(px, w, h, mx, num_strips=4, lanes=128, predictor="zzd")
