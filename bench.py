@@ -47,7 +47,8 @@ BASELINE_GBPS = 7.5
 TARGET_BATCH_BYTES = 64 << 20  # replicate each image to ~64 MB of pixels
 MAX_REPLICAS = 128
 REPS = 20
-PER_IMAGE_TIMEOUT = 900  # remote compiles are minutes; stalls are forever
+PER_IMAGE_TIMEOUT = 1500  # the 1024-wide program family compiles ~13 min
+#                           on the remote service; stalls are forever
 
 
 def _corpus():
