@@ -171,12 +171,13 @@ def rans_decode_pallas(init, tsym, tfb, words, mask, shift, *, steps, n_strips, 
     )(init, tsym, tfb, words, mask, shift)
 
 
-def build_pallas_tables(parsed, table_log: int):
+def build_pallas_tables(parsed, table_log: int, min_steps: int = 0):
     """Build the kernel's table/state/word arrays from parsed MICT strips
     (mict_parse outputs).  Strips with smaller tableLogs get their tables
     tiled (slot masks stay valid because each strip's states never exceed
     its own 2^tl in the low bits... the tiling makes any higher bits map
-    to the same entries)."""
+    to the same entries).  ``min_steps`` pads the scan length up to a
+    caller-chosen bucket (program sharing across chunks/images)."""
     from .device_rans import device_tables
 
     S = len(parsed)
@@ -188,7 +189,7 @@ def build_pallas_tables(parsed, table_log: int):
     # 8-step store block), so a shorter strip keeps renorming garbage
     # states off the zero padding after its stream ends — reads must stay
     # in bounds for (steps*128 - count) extra lane-steps.
-    steps = max((p[2] + 127) // 128 for p in parsed)
+    steps = max(min_steps, max((p[2] + 127) // 128 for p in parsed))
     steps = (steps + 7) // 8 * 8
     margin = max(steps * 128 - p[2] for p in parsed) + 256
     wmax = ((max(len(p[4]) for p in parsed) + margin + 127) // 128) * 128
@@ -379,6 +380,13 @@ def build_packed_tables(parsed, table_log: int, min_steps: int = 0):
         fr[fr < 0] = 1  # low-prob (-1) symbols decode with freq 1
         alphas.append(((fr.astype(np.uint32) - 1) << 16) | alpha_syms)
     asweep = max(1, (max(len(a) for a in alphas) + 127) // 128)
+    # Round the alphabet sweep to a power of two: asweep is a static
+    # kernel arg, so bucketing it collapses the compiled-program family
+    # (chunked launches across different images share executables).
+    p2 = 1
+    while p2 < asweep:
+        p2 *= 2
+    asweep = p2
     alpha = np.zeros((S, asweep * 128), np.uint32)
     for i, a in enumerate(alphas):
         alpha[i, : len(a)] = a
