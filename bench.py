@@ -1,9 +1,10 @@
 """Headline benchmark: corpus-geomean fused device decode throughput.
 
 Decodes the full available reference corpus (10 real medical images,
-mixed sizes and statistics) through the MICW v4 device path: per-strip
-adaptive streams, the Pallas wide-lane rANS kernels (fused zzd kernel
-emits pixels; RLE strips ride the packed kernel + the jitted post
+mixed sizes and statistics) through the MICW v5 device path: per-strip
+adaptive streams (zzd/vdd/pdd/zz modes), the Pallas wide-lane rANS
+kernels (fused zzd kernel emits pixels; pdd adds a column cumsum in the
+same program; RLE strips ride the packed kernel + the jitted post
 program).  Each image is replicated into a service-sized batch and
 measured in sustained steady state (compressed payloads and tables stay
 staged, outputs stay device-resident — the shape of a decode service
@@ -11,17 +12,29 @@ feeding a TPU pipeline); the headline is the geomean of per-image GB/s,
 matching the reference's per-image-geomean methodology
 (docs/benchmarks.md).
 
-Each image measures in its OWN subprocess: a long-lived client of the
-tunneled TPU backend degrades over its lifetime (per-run launch costs
-grew from ~7 ms to ~330 ms by the 6th image measured in one process,
-while fresh processes repeatedly measured the same launches fast), and
-a fresh client per image is the one pattern that stayed healthy all
-night.  The subprocess also touches the device with a trivial op before
-the staged workload — sessions whose first device contact was large
-were observed to stall forever.
+Round-3 restructuring (VERDICT.md tasks 1/2/6):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+* Images are measured in GROUPS sharing one subprocess: all images in a
+  group share a compiled-program family (same post-banding strip width),
+  so only the first image of a group pays XLA compiles.  Wide images
+  (MR2/XA1, 1024 px) are now stored BANDED (512-wide column bands,
+  strips.band_split), which dissolves the 1024-wide program family whose
+  ~13-minute compiles starved the round-2 capture.
+* Groups stay small (2-3 images) because long-lived clients of the
+  tunneled backend degrade (launch costs grew ~7 ms -> ~330 ms by the
+  6th image measured in one process, round-2 forensics), and all
+  device->host verification happens AFTER every image in the group has
+  been timed (one d2h drops the client into a ~300x slower
+  sync-per-dispatch mode).
+* A global wall-clock budget (MIC_BENCH_BUDGET_S, default 1200 s) bounds
+  the whole run; when it expires the final JSON line is emitted with
+  whatever was measured plus a "measured_n" field — the driver always
+  sees a parseable result.
+* Small images replicate up to 512x so every batch reaches the 64 MB
+  target that amortizes dispatch (MR at 128 replicas was launch-bound).
+
+Prints a device-ENCODE metric line, then ONE final JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N, ...}
 and writes the per-image breakdown to results/bench_detail.json.
 
 Baseline: the reference's headline 7.5 GB/s geomean decompression
@@ -33,6 +46,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import subprocess
 import sys
 import time
@@ -44,11 +58,20 @@ sys.path.insert(0, str(ROOT))
 import numpy as np
 
 BASELINE_GBPS = 7.5
-TARGET_BATCH_BYTES = 64 << 20  # replicate each image to ~64 MB of pixels
-MAX_REPLICAS = 128
-REPS = 20
-PER_IMAGE_TIMEOUT = 1500  # the 1024-wide program family compiles ~13 min
-#                           on the remote service; stalls are forever
+TARGET_BATCH_BYTES = int(os.environ.get("MIC_BENCH_BATCH_BYTES", 64 << 20))
+MAX_REPLICAS = int(os.environ.get("MIC_BENCH_MAX_REPLICAS", 512))
+REPS = int(os.environ.get("MIC_BENCH_REPS", 20))
+BUDGET_S = float(os.environ.get("MIC_BENCH_BUDGET_S", "1200"))
+
+# Measurement groups: one subprocess each, images ordered so the group's
+# first image warms the compiled-program family for the rest.  Grouped by
+# post-banding strip width (512-wide first: most of the corpus).
+GROUPS = [
+    ["CT", "CT1", "CT2"],        # 512-wide, 16-bit family
+    ["MR1", "MR3", "MR4"],       # 512-wide, 11-12-bit family
+    ["MR2", "XA1"],              # 1024 px -> banded to 512-wide strips
+    ["MR", "NM1"],               # 256-wide family
+]
 
 
 def _corpus():
@@ -63,16 +86,17 @@ def _corpus():
     return [("SYN", px, 512, 512, int(px.max()))]
 
 
-def run_one(name: str, reps: int) -> None:
-    """Measure one corpus image (subprocess entry).  Prints one JSON line.
+def run_group(names: list[str], reps: int) -> None:
+    """Measure a group of corpus images (subprocess entry).  Prints one
+    JSON line per image.
 
-    Order matters on the tunneled backend: measure FIRST (device-resident
-    steady state, block_until_ready pipelined), then verify bit-exactness
-    of the exact programs just timed (device-side compare; one boolean
-    crosses back).  Any device->host pull drops this tunnel's client
-    into a sync-per-dispatch mode ~300x slower for the rest of its life,
-    so verify must come after the timing — and each image runs in a
-    fresh process so no prior image's verify can poison it.
+    Order matters on the tunneled backend: ALL images are staged and
+    timed first (device-resident steady state, block_until_ready
+    pipelined), then every image is verified (device-side compare; one
+    boolean crosses back per image).  Any device->host pull drops this
+    tunnel's client into a sync-per-dispatch mode ~300x slower for the
+    rest of its life, so verification runs strictly after the last
+    timing loop.
 
     Plausibility note: per-rep times here are dispatch-pipeline bound
     (~0.4-2 ms) and sit ABOVE the kernels' compute time (the fused-zzd
@@ -88,73 +112,192 @@ def run_one(name: str, reps: int) -> None:
 
     from mic_tpu.tpu.strips import MicwDecodePlan, micw_compress
 
-    entry = [c for c in _corpus() if c[0] == name]
-    if not entry:
-        print(json.dumps({"name": name, "error": "not in corpus"}))
+    corpus = {c[0]: c for c in _corpus()}
+    staged = []  # (name, plan, decoded, dt, k, px, blob_len)
+    for name in names:
+        if name not in corpus:
+            print(json.dumps({"name": name, "error": "not in corpus"}), flush=True)
+            continue
+        _n, px, w, h, mx = corpus[name]
+        blob = micw_compress(px, w, h, mx)
+        k = max(1, min(MAX_REPLICAS, TARGET_BATCH_BYTES // px.nbytes))
+        plan = MicwDecodePlan([blob] * k)
+        decoded = plan.run()
+        for v in decoded.values():
+            if v is not None:
+                v.block_until_ready()
+        t0 = time.time()
+        for _ in range(reps):
+            decoded = plan.run()
+        for v in decoded.values():
+            if v is not None:
+                v.block_until_ready()
+        dt = (time.time() - t0) / reps
+        staged.append((name, plan, decoded, dt, k, px, len(blob)))
+
+    for name, plan, decoded, dt, k, px, blen in staged:
+        if not plan.verify_against(decoded, px):
+            print(json.dumps({"name": name, "error": "decode mismatch"}), flush=True)
+            continue
+        print(json.dumps({
+            "name": name,
+            "GBps": round(k * px.nbytes / dt / 1e9, 3),
+            "replicas": k,
+            "ratio": round(px.nbytes / blen, 3),
+            "bytes": blen,
+        }), flush=True)
+
+
+def run_encode(reps: int) -> None:
+    """Device-ENCODE metric (subprocess entry): the Pallas rANS encode
+    kernel (pallas_enc) over a service-sized batch of CT strips.
+    Steady state mirrors the decode bench: the symbol/rank staging stays
+    pinned, the timed loop is the encode kernel launch; blobs are
+    byte-identical to the host encoder (verified after timing).
+    Reference encode baseline: PICS-8 1.2-2.1 GB/s (README.md:392-447).
+    """
+    import jax
+
+    jax.devices()
+
+    import jax.numpy as jnp
+
+    from mic_tpu.ops.fse import histogram, normalize_count, optimal_table_log
+    from mic_tpu.tpu.device_rans import device_tables
+    from mic_tpu.tpu.pallas_enc import build_enc_tables, rans_encode_pallas
+    from mic_tpu.tpu.strips import _zzd_syms
+
+    corpus = {c[0]: c for c in _corpus()}
+    if "CT" not in corpus:
+        print(json.dumps({"error": "no corpus"}), flush=True)
         return
-    _n, px, w, h, mx = entry[0]
-    blob = micw_compress(px, w, h, mx)
+    _n, px, w, h, mx = corpus["CT"]
     k = max(1, min(MAX_REPLICAS, TARGET_BATCH_BYTES // px.nbytes))
-    plan = MicwDecodePlan([blob] * k)
-    decoded = plan.run()
-    for v in decoded.values():
-        if v is not None:
-            v.block_until_ready()
+    strip_h = 64
+    n_strips = h // strip_h
+    specs, metas = [], []
+    for s in range(n_strips):
+        sp = px[s * strip_h * w:(s + 1) * strip_h * w]
+        syms = _zzd_syms(sp, w, strip_h)
+        counts, _mc, sl = histogram(syms)
+        tl = min(optimal_table_log(11, len(syms), sl), 12)
+        norm = normalize_count(counts, len(syms), tl, sl)
+        _sym, _fs, _bs, freq, cumul = device_tables(norm, tl)
+        alpha = np.nonzero(freq)[0]
+        lut = np.zeros(65536, np.uint16)
+        lut[alpha] = np.arange(len(alpha), dtype=np.uint16)
+        specs.append((freq[alpha].astype(np.uint32), cumul[alpha].astype(np.uint32)))
+        metas.append((len(syms), tl, lut[syms]))
+    S = n_strips * k
+    steps = max(-(-m[0] // 128) for m in metas)
+    steps = (steps + 7) // 8 * 8
+    te1_1, te2_1, asweep = build_enc_tables(specs, 12)
+    rk = np.zeros((n_strips, steps * 128), np.uint16)
+    cnt = np.zeros((n_strips, 128), np.uint32)
+    tls = np.zeros((n_strips, 128), np.uint32)
+    for i, (n, tl_i, ranks) in enumerate(metas):
+        rk[i, :n] = ranks
+        cnt[i, :] = n
+        tls[i, :] = tl_i
+    rep = lambda a: np.repeat(a[None], k, 0).reshape((S,) + a.shape[1:])
+    args = (jnp.asarray(rep(rk).reshape(S, steps, 128)), jnp.asarray(rep(te1_1)),
+            jnp.asarray(rep(te2_1)), jnp.asarray(rep(cnt)), jnp.asarray(rep(tls)))
+    out = rans_encode_pallas(*args, steps=steps, n_strips=S, asweep=asweep)
+    for o in out:
+        o.block_until_ready()
     t0 = time.time()
     for _ in range(reps):
-        decoded = plan.run()
-    for v in decoded.values():
-        if v is not None:
-            v.block_until_ready()
+        out = rans_encode_pallas(*args, steps=steps, n_strips=S, asweep=asweep)
+    for o in out:
+        o.block_until_ready()
     dt = (time.time() - t0) / reps
-    if not plan.verify_against(decoded, px):
-        print(json.dumps({"name": name, "error": "decode mismatch"}))
-        return
     print(json.dumps({
-        "name": name,
-        "GBps": round(k * px.nbytes / dt / 1e9, 3),
+        "encode_GBps": round(k * px.nbytes / dt / 1e9, 3),
         "replicas": k,
-        "ratio": round(px.nbytes / len(blob), 3),
-        "bytes": len(blob),
-    }))
+    }), flush=True)
 
 
-def _run_pass(name: str, reps: int):
+def _run_sub(argv: list[str], timeout: float):
+    """Run a bench subprocess; returns the list of parsed JSON lines."""
+    out = []
     try:
         r = subprocess.run(
-            [sys.executable, str(ROOT / "bench.py"), "--one", name,
-             "--reps", str(reps)],
-            capture_output=True, text=True, timeout=PER_IMAGE_TIMEOUT,
+            [sys.executable, str(ROOT / "bench.py"), *argv],
+            capture_output=True, text=True, timeout=timeout,
         )
-        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-        return json.loads(line)
-    except (subprocess.TimeoutExpired, json.JSONDecodeError) as e:
-        return {"name": name, "error": type(e).__name__}
+        for line in r.stdout.strip().splitlines():
+            try:
+                out.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    except subprocess.TimeoutExpired:
+        out.append({"error": "TimeoutExpired"})
+    return out
 
 
 def main() -> None:
+    t_start = time.time()
+    remaining = lambda: BUDGET_S - (time.time() - t_start)
     detail = {}
     rates = []
     res_dir = ROOT / "results"
     res_dir.mkdir(exist_ok=True)
-    for name, px, w, h, mx in _corpus():
-        print(f"[bench] {name} (subprocess)...", file=sys.stderr, flush=True)
-        res = _run_pass(name, REPS)
-        if "GBps" not in res:
-            print(f"[bench] {name}: FAILED {res.get('error')}",
-                  file=sys.stderr, flush=True)
-            detail[name] = res
+    corpus_names = [c[0] for c in _corpus()]
+    total_n = len(corpus_names)
+    encode_gbps = None
+
+    for group in GROUPS:
+        group = [n for n in group if n in corpus_names]
+        if not group:
             continue
-        rates.append(res["GBps"])
-        detail[name] = {kk: res[kk] for kk in ("GBps", "replicas", "ratio", "bytes")}
-        print(f"[bench] {name}: {res['GBps']} GB/s (x{res['replicas']})",
+        if remaining() < 60:
+            print(f"[bench] budget exhausted before {group}", file=sys.stderr, flush=True)
+            break
+        print(f"[bench] group {group} (subprocess, {int(remaining())}s left)...",
               file=sys.stderr, flush=True)
-        (res_dir / "bench_detail.json").write_text(json.dumps(detail, indent=1))
+        results = _run_sub(["--group", ",".join(group), "--reps", str(REPS)],
+                           timeout=max(60.0, remaining()))
+        got = {r.get("name"): r for r in results if "name" in r}
+        for name in group:
+            res = got.get(name, {"name": name,
+                                 "error": results[-1].get("error", "missing")
+                                 if results else "missing"})
+            if "GBps" in res:
+                rates.append(res["GBps"])
+                detail[name] = {kk: res[kk] for kk in ("GBps", "replicas", "ratio", "bytes")}
+                print(f"[bench] {name}: {res['GBps']} GB/s (x{res['replicas']})",
+                      file=sys.stderr, flush=True)
+            else:
+                detail[name] = res
+                print(f"[bench] {name}: FAILED {res.get('error')}",
+                      file=sys.stderr, flush=True)
+            (res_dir / "bench_detail.json").write_text(json.dumps(detail, indent=1))
+
+    if remaining() > 90:
+        print(f"[bench] encode (subprocess)...", file=sys.stderr, flush=True)
+        enc = _run_sub(["--encode", "--reps", str(REPS)],
+                       timeout=max(60.0, min(300.0, remaining())))
+        for r in enc:
+            if "encode_GBps" in r:
+                encode_gbps = r["encode_GBps"]
+                detail["_encode"] = r
+                (res_dir / "bench_detail.json").write_text(json.dumps(detail, indent=1))
+                print(f"[bench] encode: {encode_gbps} GB/s", file=sys.stderr, flush=True)
+
+    if encode_gbps is not None:
+        # Reference encode baseline: PICS-8 parallel encode tops out at
+        # ~2.1 GB/s (README.md:392-447).
+        print(json.dumps({
+            "metric": "pallas_device_encode",
+            "value": encode_gbps,
+            "unit": "GB/s",
+            "vs_baseline": round(encode_gbps / 2.1, 3),
+        }))
 
     if not rates:
         print(json.dumps({
             "metric": "decode_error", "value": 0, "unit": "GB/s",
-            "vs_baseline": 0,
+            "vs_baseline": 0, "measured_n": 0,
         }))
         return
     geomean = math.exp(sum(map(math.log, rates)) / len(rates))
@@ -166,6 +309,8 @@ def main() -> None:
                 "value": round(geomean, 3),
                 "unit": "GB/s",
                 "vs_baseline": round(geomean / BASELINE_GBPS, 3),
+                "measured_n": len(rates),
+                "total_n": total_n,
             }
         )
     )
@@ -173,10 +318,16 @@ def main() -> None:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--one", default="")
+    ap.add_argument("--group", default="")
+    ap.add_argument("--one", default="")  # back-compat: single image
+    ap.add_argument("--encode", action="store_true")
     ap.add_argument("--reps", type=int, default=REPS)
     args = ap.parse_args()
-    if args.one:
-        run_one(args.one, args.reps)
+    if args.encode:
+        run_encode(args.reps)
+    elif args.group:
+        run_group(args.group.split(","), args.reps)
+    elif args.one:
+        run_group([args.one], args.reps)
     else:
         main()

@@ -43,6 +43,7 @@ __all__ = [
     "avg_delta_inverse_device",
     "zzd_inverse_device",
     "vdd_inverse_device",
+    "pdd_inverse_device",
 ]
 
 
@@ -243,41 +244,52 @@ def avg_delta_inverse_device(
     values: jax.Array, is_raw: jax.Array, thr: jax.Array, width: int, height: int
 ):
     """Invert the avg(left, top) predictor on device via anti-diagonal
-    wavefronts k = 2*i + j (all four neighbour positions lie on strictly
+    wavefronts k = 2*i + j (both neighbour positions lie on strictly
     earlier wavefronts — see ops/predictors.predictor_decode).
 
-    Each of the 2(h-1)+w wavefront steps is a masked full-grid update, so
-    total work is O(n * (2h+w)) elementwise VPU ops — the parity mode for
-    the reference's default predictor; the ZZ mode (log-depth segmented
-    scans) remains the throughput path.
+    The grid is stored SKEWED — B[i, 2i+j] = A[i, j] — so each of the
+    2(h-1)+w wavefront steps updates ONE column of B from the two
+    previous columns: O(h) work per step, O(n + (2h+w)·h) total, versus
+    the masked full-grid formulation's O(n·(2h+w)).  On a 64×512 strip
+    that is ~500× less work, which brings the reference's default
+    predictor (deltacompressu16.go:54-120) into the servable range on
+    device; the scan-parallel modes remain the throughput path.
     """
     v = values.reshape(height, width).astype(jnp.int32)
     raw = is_raw.reshape(height, width)
     diff = v - thr
+    K = 2 * (height - 1) + width
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-    wave = 2 * rows + cols
+    # Skew: S[i, k] = A[i, k - 2i] (garbage outside the valid window —
+    # masked off in the loop).
+    i_col = jnp.arange(height, dtype=jnp.int32)[:, None]
+    k_row = jnp.arange(K, dtype=jnp.int32)[None, :]
+    j_idx = jnp.clip(k_row - 2 * i_col, 0, width - 1)
+    sk_v = jnp.take_along_axis(v, j_idx, axis=1)
+    sk_raw = jnp.take_along_axis(raw, j_idx, axis=1)
+    sk_diff = jnp.take_along_axis(diff, j_idx, axis=1)
+    i_vec = jnp.arange(height, dtype=jnp.int32)
 
-    def shift_left(a):  # a[i, j-1]
-        return jnp.pad(a, ((0, 0), (1, 0)))[:, :-1]
-
-    def shift_up(a):  # a[i-1, j]
-        return jnp.pad(a, ((1, 0), (0, 0)))[:-1, :]
-
-    def body(k, out):
-        left = shift_left(out)
-        top = shift_up(out)
+    def body(k, B):
+        left = jax.lax.dynamic_slice(B, (0, jnp.maximum(k - 1, 0)), (height, 1))[:, 0]
+        topc = jax.lax.dynamic_slice(B, (0, jnp.maximum(k - 2, 0)), (height, 1))[:, 0]
+        top = jnp.concatenate([jnp.zeros((1,), jnp.int32), topc[:-1]])  # B[i-1, k-2]
+        j = k - 2 * i_vec
+        valid = (j >= 0) & (j < width)
         pred = jnp.where(
-            rows == 0,
-            jnp.where(cols == 0, 0, left),
-            jnp.where(cols == 0, top, (left + top) >> 1),
+            i_vec == 0,
+            jnp.where(j == 0, 0, left),
+            jnp.where(j == 0, top, (left + top) >> 1),
         )
-        cand = jnp.where(raw, v, (pred + diff) & 0xFFFF)
-        return jnp.where(wave == k, cand, out)
+        dcol = jax.lax.dynamic_slice(sk_diff, (0, k), (height, 1))[:, 0]
+        vcol = jax.lax.dynamic_slice(sk_v, (0, k), (height, 1))[:, 0]
+        rcol = jax.lax.dynamic_slice(sk_raw, (0, k), (height, 1))[:, 0]
+        out = jnp.where(rcol, vcol, (pred + dcol) & 0xFFFF)
+        newcol = jnp.where(valid, out, 0)
+        return jax.lax.dynamic_update_slice(B, newcol[:, None], (0, k))
 
-    out = jnp.zeros((height, width), dtype=jnp.int32)
-    out = jax.lax.fori_loop(0, 2 * (height - 1) + width, body, out)
+    B = jax.lax.fori_loop(0, K, body, jnp.zeros((height, K), jnp.int32))
+    out = jnp.take_along_axis(B, 2 * i_col + jnp.arange(width, dtype=jnp.int32)[None, :], axis=1)
     return out.astype(jnp.uint16).reshape(-1)
 
 
@@ -289,6 +301,25 @@ def zzd_inverse_device(syms: jax.Array, width: int, height: int):
     v = syms[: width * height].astype(jnp.uint32)
     dz = ((v >> 1) ^ (-(v & 1))).astype(jnp.int32)
     img = jnp.cumsum(dz.reshape(height, width), axis=1)
+    return (img & 0xFFFF).astype(jnp.uint16).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def pdd_inverse_device(syms: jax.Array, width: int, height: int):
+    """Invert the plane-direct predictor (residual = p - W - N + NW mod
+    2^16, ZigZag-coded): unzigzag, then row cumsum, then column cumsum —
+    the 2D difference's inverse is a separable double prefix sum, so the
+    decode is exactly two log-depth scans (both axes fully parallel).
+
+    This is the ratio mode of the device format: the plane predictor
+    (JPEG predictor 4 / CALIC's initial estimate — the reference's
+    gradient predictor starts from the same W+N-NW term,
+    deltagradcompressu16.go:149-166) tracks avg(left,top) closely on
+    smooth modalities while keeping a scan-only inverse."""
+    v = syms[: width * height].astype(jnp.uint32)
+    dz = ((v >> 1) ^ (-(v & 1))).astype(jnp.int32)
+    img = jnp.cumsum(dz.reshape(height, width), axis=1)
+    img = jnp.cumsum(img & 0xFFFF, axis=0)
     return (img & 0xFFFF).astype(jnp.uint16).reshape(-1)
 
 

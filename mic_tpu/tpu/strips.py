@@ -53,6 +53,7 @@ from ..ops.rle import soa_encode, soa_expand
 from .device_rans import device_tables, mict_encode, mict_parse
 from .pipeline import (
     avg_delta_inverse_device,
+    pdd_inverse_device,
     vdd_inverse_device,
     zzd_inverse_device,
     parse_escaped_device,
@@ -68,10 +69,15 @@ __all__ = [
     "micw_decompress_device_pallas",
     "micw_decode_many",
     "micw_parse",
+    "micw_band_info",
+    "band_split",
+    "band_merge",
     "decode_strip_batch_impl",
     "build_strip_batch",
     "strip_predictor",
+    "MicwDecodePlan",
     "MICW_MAGIC",
+    "MICW_BAND_W",
 ]
 
 MICW_MAGIC = b"MICW"
@@ -81,6 +87,12 @@ FLAG_AVG_PREDICTOR = 0x01
 FLAG_DIRECT = 0x02  # zz-direct: no RLE, no escapes (mod-2^16 ZigZag diffs)
 FLAG_ADAPTIVE = 0x04  # v4: per-strip predictor modes (PICA's trick,
 #                       reference parallelstripsadaptive.go:90-103)
+FLAG_BANDED = 0x08  # v5: wide images split into MICW_BAND_W-wide column
+#                     bands stacked vertically (pure pixel permutation);
+#                     an 8-byte extension (orig_width u32, orig_height
+#                     u32) follows the fixed header.  Keeps every strip's
+#                     row width <= 512 so the compiled post-program
+#                     family is shared across image widths.
 STRIP_MODE_MICT = 0  # legacy: predictor from the global flags
 STRIP_MODE_RAW = 1  # raw u16 pixels (entropy stage rejected the strip)
 STRIP_MODE_ZZD = 2  # per-strip: zz-direct (no RLE)
@@ -89,14 +101,18 @@ STRIP_MODE_AVG = 4  # per-strip: avg + SoA-RLE + escapes
 STRIP_MODE_CONST = 5  # constant strip: payload is ONE u16 value (the WSI
 #                       constant-tile trick, wsiformat.go planeConstant)
 STRIP_MODE_VDD = 6  # per-strip: vertical-direct (up-delta, no RLE)
+STRIP_MODE_PDD = 7  # per-strip: plane-direct (W+N-NW delta, no RLE;
+#                     inverse = two cumsums — the device ratio mode)
 MAX_TABLE_LOG = 12  # packed-kernel cap (bias<<12|rank per slot)
 MAX_ALPHABET = 4096  # packed-kernel cap (12-bit rank)
+MICW_BAND_W = 512  # column-band width for FLAG_BANDED containers
 
 _MODE_PRED = {
     STRIP_MODE_ZZD: "zzd",
     STRIP_MODE_ZZ: "zz",
     STRIP_MODE_AVG: "avg",
     STRIP_MODE_VDD: "vdd",
+    STRIP_MODE_PDD: "pdd",
 }
 _PRED_MODE = {v: k for k, v in _MODE_PRED.items()}
 
@@ -140,6 +156,47 @@ def _vdd_syms(strip_px: np.ndarray, width: int, sh: int) -> np.ndarray:
     return (
         ((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF
     ).astype(np.uint16).ravel()
+
+
+def _pdd_syms(strip_px: np.ndarray, width: int, sh: int) -> np.ndarray:
+    """Plane-direct symbols: mod-2^16 ZigZag of the 2D difference
+    p - W - N + NW (zero boundary).  The plane predictor W+N-NW is the
+    same initial estimate the reference's gradient predictor clamps
+    (deltagradcompressu16.go:149-166); kept unclamped here so the
+    residual is an exact separable 2D difference, whose inverse is two
+    prefix sums — fully parallel on device (pipeline.pdd_inverse_device)."""
+    img = strip_px.reshape(sh, width).astype(np.int64)
+    w = np.zeros_like(img)
+    w[:, 1:] = img[:, :-1]
+    n = np.zeros_like(img)
+    n[1:, :] = img[:-1, :]
+    nw = np.zeros_like(img)
+    nw[1:, 1:] = img[:-1, :-1]
+    d16 = (img - w - n + nw).astype(np.uint16).astype(np.int16)
+    return (
+        ((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF
+    ).astype(np.uint16).ravel()
+
+
+def band_split(pixels: np.ndarray, width: int, height: int,
+               band_w: int = MICW_BAND_W):
+    """Split a wide image into vertically-stacked column bands (the PICS
+    strip idea turned 90 degrees, parallelstrips.go:31-39): a (h, B*bw)
+    image becomes a (B*h, bw) image, band b occupying rows [b*h, (b+1)*h).
+    Pure pixel permutation — every per-strip predictor stays valid, and
+    64-row strip boundaries align with band seams whenever h % 64 == 0,
+    so the ratio cost is zero there."""
+    bands = width // band_w
+    img = np.asarray(pixels, dtype=np.uint16).reshape(height, width)
+    stacked = img.reshape(height, bands, band_w).transpose(1, 0, 2)
+    return np.ascontiguousarray(stacked).reshape(-1), band_w, bands * height
+
+
+def band_merge(stacked: np.ndarray, band_w: int, orig_w: int, orig_h: int) -> np.ndarray:
+    """Inverse of :func:`band_split`."""
+    bands = orig_w // band_w
+    img = np.asarray(stacked, dtype=np.uint16).reshape(bands, orig_h, band_w)
+    return np.ascontiguousarray(img.transpose(1, 0, 2)).reshape(-1)
 
 
 def _escaped_tokens(strip_px, width, sh, max_value, pred) -> np.ndarray:
@@ -201,17 +258,26 @@ def micw_compress(
     """Compress into MICW.  Encoding is host-side (vectorized numpy; the
     TPU encode path is tpu.pallas_enc.micw_compress_device).
 
-    predictor "auto-fast" (default, v4): per strip, try zzd / vdd /
-    zz+RLE, keep the smallest — all row/column-parallel on decode
-    (corpus geomean 3.131 vs 2.966 fixed zzd).  "auto" adds avg+RLE
-    (geomean 3.199) but its decode needs the serial anti-diagonal
-    wavefront post program, which caps device batch throughput — the
-    ratio format for that tradeoff is the byte-compatible host family,
-    not MICW.  Fixed "zzd"/"vdd"/"zz"/"avg" force one pipeline.
+    predictor "auto-fast" (default, v5): per strip, try zzd / vdd /
+    pdd / zz+RLE, keep the smallest — all scan-parallel on decode
+    (corpus geomean 3.25 vs 3.131 without pdd, 2.966 fixed zzd).
+    "auto" adds avg+RLE but its decode needs the anti-diagonal wavefront
+    post program, which caps device batch throughput — the ratio format
+    for that tradeoff is the byte-compatible host family, not MICW.
+    Fixed "zzd"/"vdd"/"pdd"/"zz"/"avg" force one pipeline.
+
+    Images wider than MICW_BAND_W whose width divides into equal bands
+    are stored banded (FLAG_BANDED): column bands stacked vertically, so
+    every strip row is <= 512 wide and all images share one compiled
+    decode-program family.
     """
     pixels = np.asarray(pixels, dtype=np.uint16)
     if len(pixels) != width * height:
         raise ValueError("micw: pixel count mismatch")
+    orig_w, orig_h = width, height
+    banded = width > MICW_BAND_W and width % MICW_BAND_W == 0
+    if banded:
+        pixels, width, height = band_split(pixels, width, height)
     if num_strips <= 0:
         # Default geometry: ~64-row strips (vreg rows in the Pallas rANS
         # kernel; per-strip arrays stay small for the post stages).
@@ -221,14 +287,14 @@ def micw_compress(
     actual = (height + strip_h - 1) // strip_h
     mid = _rle_mid(max_value)
     if predictor == "auto":
-        trials = ["zzd", "vdd", "zz", "avg"]
+        trials = ["zzd", "vdd", "pdd", "zz", "avg"]
     elif predictor == "auto-fast":
-        # Row/column-parallel modes only: avg's decode needs the
-        # anti-diagonal wavefront post program (serial in width+height
-        # steps), which caps batch decode throughput; the direct and zz
-        # modes invert with row-parallel scans.
-        trials = ["zzd", "vdd", "zz"]
-    elif predictor in ("zzd", "vdd", "zz", "avg"):
+        # Scan-parallel modes only: avg's decode needs the anti-diagonal
+        # wavefront post program (serial in 2*height+width steps), which
+        # caps batch decode throughput; the direct and zz modes invert
+        # with prefix scans.
+        trials = ["zzd", "vdd", "pdd", "zz"]
+    elif predictor in ("zzd", "vdd", "pdd", "zz", "avg"):
         trials = [predictor]
     else:
         raise ValueError(f"micw: unknown predictor {predictor!r}")
@@ -253,6 +319,9 @@ def micw_compress(
                 meta = (len(syms), len(syms), 0, 0)
             elif pred == "vdd":
                 syms = _vdd_syms(strip_px, width, sh)
+                meta = (len(syms), len(syms), 0, 0)
+            elif pred == "pdd":
+                syms = _pdd_syms(strip_px, width, sh)
                 meta = (len(syms), len(syms), 0, 0)
             else:
                 tokens = _escaped_tokens(strip_px, width, sh, max_value, pred)
@@ -286,12 +355,37 @@ def micw_compress(
     flags = FLAG_ADAPTIVE | {"avg": FLAG_AVG_PREDICTOR, "zzd": FLAG_DIRECT}.get(
         predictor, 0
     )
+    if banded:
+        flags |= FLAG_BANDED
     out += struct.pack("<HBB", max_value, flags, int(np.log2(lanes)))
+    if banded:
+        out += struct.pack("<II", orig_w, orig_h)
     offset = 0
     for blob, (n_soa, n_tok, n_runs, n_same, mode) in zip(blobs, metas):
         out += struct.pack("<IIIIIII", offset, len(blob), n_soa, n_tok, n_runs, n_same, mode)
         offset += len(blob)
     return bytes(out) + b"".join(blobs)
+
+
+def micw_band_info(blob: bytes):
+    """(orig_width, orig_height) of a FLAG_BANDED container, else None.
+    Decode pipelines run entirely in the stacked band space (what
+    micw_parse reports); only the user-facing decompress functions
+    un-band via band_merge."""
+    if len(blob) < MICW_HEADER or blob[:4] != MICW_MAGIC:
+        raise ValueError("micw: invalid magic")
+    flags = blob[22]
+    if not flags & FLAG_BANDED:
+        return None
+    return struct.unpack_from("<II", blob, MICW_HEADER)
+
+
+def _unband(pixels: np.ndarray, width: int, height: int, blob: bytes):
+    info = micw_band_info(blob)
+    if info is None:
+        return pixels, width, height
+    ow, oh = info
+    return band_merge(pixels, width, ow, oh), ow, oh
 
 
 def micw_parse(blob: bytes):
@@ -300,6 +394,8 @@ def micw_parse(blob: bytes):
     width, height, num_strips, strip_h = struct.unpack_from("<IIII", blob, 4)
     max_value, flags, lanes_log2 = struct.unpack_from("<HBB", blob, 20)
     hdr = MICW_HEADER
+    if flags & FLAG_BANDED:
+        hdr += 8  # orig_width/orig_height extension (see micw_band_info)
     table = [
         struct.unpack_from("<IIIIIII", blob, hdr + s * MICW_ENTRY) for s in range(num_strips)
     ]
@@ -384,6 +480,8 @@ def decode_strip_batch_impl(
             return zzd_inverse_device(soa, width, strip_h)
         if predictor == "vdd":
             return vdd_inverse_device(soa, width, strip_h)
+        if predictor == "pdd":
+            return pdd_inverse_device(soa, width, strip_h)
         tokens, _nt = soa_rle_expand_device(
             soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
         )
@@ -482,6 +580,7 @@ def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
         arrays, meta = build_strip_batch(
             [parsed[i] for i in idxs], [strips[i] for i in idxs], g_tl
         )
+        direct = pred in ("zzd", "vdd", "pdd")
         sub = _decode_strip_batch(
             *[jnp.asarray(a) for a in arrays],
             table_log=g_tl,
@@ -490,8 +589,8 @@ def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
             strip_h=strip_h,
             max_runs=meta["max_runs"],
             max_tokens=meta["max_tokens"],
-            mid_count=mid,
-            delim=delim,
+            mid_count=0 if direct else mid,
+            delim=0 if direct else delim,
             predictor=pred,
         )
         sub = np.asarray(sub)
@@ -499,7 +598,7 @@ def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
             y0 = i * strip_h
             sh = min(strip_h, height - y0)
             out[y0 * width : (y0 + sh) * width] = sub[j][: sh * width]
-    return out, width, height
+    return _unband(out, width, height, blob)
 
 
 def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
@@ -521,12 +620,16 @@ def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
             else:
                 out[y0 * width : (y0 + sh) * width] = np.frombuffer(b, dtype="<u2", count=width * sh)
             continue
-        if pred in ("zzd", "vdd"):
+        if pred in ("zzd", "vdd", "pdd"):
             syms = mict_decode_numpy(b)[: width * sh].astype(np.uint16)
             u = syms.astype(np.uint32)
             dz = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)).astype(np.uint16).astype(np.int64)
-            axis = 1 if pred == "zzd" else 0
-            img = np.cumsum(dz.reshape(sh, width), axis=axis) & 0xFFFF
+            if pred == "pdd":
+                img = np.cumsum(dz.reshape(sh, width), axis=1) & 0xFFFF
+                img = np.cumsum(img, axis=0) & 0xFFFF
+            else:
+                axis = 1 if pred == "zzd" else 0
+                img = np.cumsum(dz.reshape(sh, width), axis=axis) & 0xFFFF
             out[y0 * width : (y0 + sh) * width] = img.astype(np.uint16).ravel()
             continue
         soa = mict_decode_numpy(b)
@@ -537,7 +640,7 @@ def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
         out[y0 * width : (y0 + sh) * width] = predictor_decode(
             values, is_raw, width, sh, int(tokens[0]), "zz" if pred == "zz" else "avg"
         ).ravel()
-    return out, width, height
+    return _unband(out, width, height, blob)
 
 
 def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
@@ -604,7 +707,7 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
             y0 = si * sh
             rows = min(sh, h - y0)
             outs[bi][y0 * w : (y0 + rows) * w] = sub[j][: rows * w]
-    return outs
+    return [_unband(o, m[0], m[1], b)[0] for o, m, b in zip(outs, metas, blobs)]
 
 
 # Strips per device launch.  Two jobs: (a) bound compile cost — the
@@ -622,17 +725,31 @@ def _pow2_at_least(x: int, lo: int = 1) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("steps", "chunk_s", "tl", "asweep"))
-def _stacked_zzd_fused(ops, *, steps, chunk_s, tl, asweep):
+@partial(jax.jit, static_argnames=("steps", "chunk_s", "tl", "asweep", "pdd_geom"))
+def _stacked_zzd_fused(ops, *, steps, chunk_s, tl, asweep, pdd_geom=None):
     """lax.map of the fused zzd kernel over stacked chunks — module-level
-    jit so the executable is shared across plans/batches/images."""
+    jit so the executable is shared across plans/batches/images.
+
+    pdd_geom=(width, strip_h) turns this into the pdd decode: the fused
+    kernel's row cumsum is pdd's first prefix sum; the second (column)
+    cumsum runs here per chunk, inside the same program."""
     from .pallas_rans import rans_decode_pallas_zzd
 
     def body(o):
         pix = rans_decode_pallas_zzd(
             *o, steps=steps, n_strips=chunk_s, table_log=tl, asweep=asweep,
         )
-        return pix.reshape(chunk_s, -1)
+        out = pix.reshape(chunk_s, -1)
+        if pdd_geom is not None:
+            w, sh = pdd_geom
+            need = w * sh
+            if out.shape[1] < need:
+                out = jnp.pad(out, ((0, 0), (0, need - out.shape[1])))
+            img = jnp.cumsum(
+                out[:, :need].astype(jnp.int32).reshape(chunk_s, sh, w), axis=1
+            )
+            out = (img & 0xFFFF).astype(jnp.uint16).reshape(chunk_s, -1)
+        return out
 
     return jax.lax.map(body, ops)
 
@@ -751,21 +868,25 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
         ops = (_stack(0), _stack(1), _stack(2), _stack(3, pad_axis=1),
                _stack(4), _stack(5))
 
-    if pred == "zzd" and width % 128 == 0 and use_packed:
+    if pred in ("zzd", "pdd") and width % 128 == 0 and use_packed:
         ws = jnp.asarray(np.full((n_chunks, _CHUNK_S, 128), width // 128, np.uint32))
+        geom = (width, strip_h) if pred == "pdd" else None
 
         def run_fused():
             out = _stacked_zzd_fused(
                 ops + (ws,), steps=steps, chunk_s=_CHUNK_S, tl=tl, asweep=asweep,
+                pdd_geom=geom,
             )
             return out.reshape(n_chunks * _CHUNK_S, -1)[:S_real, : strip_h * width]
 
         return run_fused
 
-    if pred in ("zzd", "vdd"):
+    if pred in ("zzd", "vdd", "pdd"):
         zeros = jnp.zeros((n_chunks, _CHUNK_S), jnp.int32)
         post_kw = dict(max_runs=128, max_tokens=128, pad_to=strip_h * width)
         nt = nr = nsm = zeros
+        mid_s = delim_s = 0  # unused by the direct modes: zeroing them
+        #                      collapses the program family across maxValues
     else:
         post_kw = dict(max_runs=runs_g, max_tokens=tokens_g, pad_to=0)
         nt = jnp.asarray(np.stack(
@@ -774,12 +895,13 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
             [np.array([st[3] for st in sc], dtype=np.int32) for _pc, sc in chunks]))
         nsm = jnp.asarray(np.stack(
             [np.array([st[4] for st in sc], dtype=np.int32) for _pc, sc in chunks]))
+        mid_s, delim_s = mid, delim
 
     def run_post():
         out = _stacked_post_run(
             ops, nt, nr, nsm, steps=steps, chunk_s=_CHUNK_S, tl=tl,
             asweep=asweep, use_packed=use_packed, width=width,
-            strip_h=strip_h, mid=mid, delim=delim, pred=pred, **post_kw,
+            strip_h=strip_h, mid=mid_s, delim=delim_s, pred=pred, **post_kw,
         )
         return out.reshape(n_chunks * _CHUNK_S, -1)[:S_real]
 
@@ -815,17 +937,25 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
 
     S = S_real
     tl = max(p[1] for p in parsed)
+    # Pow2 steps bucket: steps is a static kernel arg, so bucketing keeps
+    # the compiled-program family small across groups/images.
+    min_steps = max(min_steps,
+                    _pow2_at_least(max((p[2] + 127) // 128 for p in parsed), 8))
     packed = build_packed_tables(parsed, tl, min_steps=min_steps)
-    if packed is not None and pred == "zzd" and width % 128 == 0:
+    if packed is not None and pred in ("zzd", "pdd") and width % 128 == 0:
         init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
         ws = np.full((S, 128), width // 128, np.uint32)
         args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws))
+        geom = (width, strip_h) if pred == "pdd" else None
 
         def run_fused():
-            pix = rans_decode_pallas_zzd(
-                *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+            # Single-chunk lax.map body: same executable as the stacked
+            # path for this (chunk size, steps, tl, asweep, geom) key.
+            out = _stacked_zzd_fused(
+                tuple(a[None] for a in args), steps=steps, chunk_s=S, tl=tl,
+                asweep=asweep, pdd_geom=geom,
             )
-            return pix.reshape(S, -1)[:, : strip_h * width]
+            return out.reshape(S, -1)[:, : strip_h * width]
 
         return run_fused
     if packed is not None:
@@ -846,7 +976,7 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
                 *args, steps=steps, n_strips=S, table_log=tl,
             )
 
-    if pred in ("zzd", "vdd"):
+    if pred in ("zzd", "vdd", "pdd"):
         pad_to = strip_h * width
 
         def run_zzd_post():
@@ -859,7 +989,7 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
                 rle_flat,
                 jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.int32),
                 width=width, strip_h=strip_h, max_runs=128, max_tokens=128,
-                mid_count=mid, delim=delim, predictor=pred,
+                mid_count=0, delim=0, predictor=pred,
             )
 
         return run_zzd_post
@@ -867,11 +997,12 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
     n_runs_np = np.array([st[3] for st in strips], dtype=np.int32)
     n_same = jnp.asarray(np.array([st[4] for st in strips], dtype=np.int32))
     n_runs = jnp.asarray(n_runs_np)
-    max_runs = max(min_runs, int(_round_up(int(n_runs_np.max()) + 1, 128)))
-    max_tokens = max(
-        min_tokens,
-        int(_round_up(int(np.array([st[2] for st in strips]).max()) + 1, 128)),
-    )
+    # Pow2 buckets (x128): max_runs/max_tokens are static post-program
+    # args — bucketing collapses the executable family across groups.
+    max_runs = max(min_runs, 128 * _pow2_at_least(
+        (int(n_runs_np.max()) + 128) // 128))
+    max_tokens = max(min_tokens, 128 * _pow2_at_least(
+        (int(np.array([st[2] for st in strips]).max()) + 128) // 128))
 
     def run_rle_post():
         return _micw_post_batch(
@@ -926,7 +1057,7 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
             y0 = i * strip_h
             sh = min(strip_h, height - y0)
             out[y0 * width : (y0 + sh) * width] = sub[j][: sh * width]
-    return out, width, height
+    return _unband(out, width, height, blob)
 
 
 @partial(jax.jit, static_argnames=(
@@ -942,6 +1073,8 @@ def _micw_post_batch(
             return zzd_inverse_device(soa, width, strip_h)
         if predictor == "vdd":
             return vdd_inverse_device(soa, width, strip_h)
+        if predictor == "pdd":
+            return pdd_inverse_device(soa, width, strip_h)
         tokens, _nt = soa_rle_expand_device(
             soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
         )
@@ -993,18 +1126,27 @@ class MicwDecodePlan:
                     keys.append(("raw", len(self.raw_strips) - 1))
                     continue
                 p = mict_parse(st[0])
-                if pred == "zzd" and width % 128 == 0:
+                if pred in ("zzd", "pdd") and width % 128 == 0:
                     # Bucket by padded step count (power of two, min 8):
                     # strips of similar size share a launch, so small
                     # images don't pad to the largest image's scan length.
+                    # pdd buckets also key on geometry (its column cumsum
+                    # needs a static width); zzd mixes widths via the ws
+                    # operand.
                     need = max(8, -(-p[2] // 128))
                     b = 8
                     while b < need:
                         b *= 2
-                    keys.append((("zzd", b), len(zzd_buckets.setdefault(b, []))))
-                    zzd_buckets[b].append((p, width))
+                    bk = ("pdd", b, width, strip_h) if pred == "pdd" else ("zzd", b)
+                    keys.append((bk, len(zzd_buckets.setdefault(bk, []))))
+                    zzd_buckets[bk].append((p, width))
                 else:
-                    gk = (pred, width, strip_h, mid, delim)
+                    # mid/delim are unused by the direct modes — zeroing
+                    # them collapses program keys across maxValues.
+                    if pred in ("zzd", "vdd", "pdd"):
+                        gk = (pred, width, strip_h, 0, 0)
+                    else:
+                        gk = (pred, width, strip_h, mid, delim)
                     keys.append((("rle", gk), len(rle_groups.setdefault(gk, []))))
                     rle_groups[gk].append((p, st))
             self.keys_per_blob[bi] = keys
@@ -1016,7 +1158,9 @@ class MicwDecodePlan:
         # latency would otherwise dominate).  Program keys collapse to
         # (chunk size, #chunks pow2, steps bucket, tl, asweep).
         self.launches = {}  # key -> closure returning device array [S, cols]
-        for b, entries in zzd_buckets.items():
+        for bk, entries in zzd_buckets.items():
+            b = bk[1]
+            geom = (bk[2], bk[3]) if bk[0] == "pdd" else None
             parsed_all = [e[0] for e in entries]
             tl = max(p[1] for p in parsed_all)
             S_real = len(entries)
@@ -1042,7 +1186,7 @@ class MicwDecodePlan:
                     break
                 built.append(packed)
             if failed:
-                self.launches[("zzd", b)] = None
+                self.launches[bk] = None
                 continue
             steps = max(bk[7] for bk in built)
             asweep = max(bk[8] for bk in built)
@@ -1065,8 +1209,8 @@ class MicwDecodePlan:
                     ws[ci, i, :] = w // 128
             ops = (stack(0), stack(1), stack(2, pad_axis=1), stack(3, pad_axis=1),
                    stack(4), stack(5), jnp.asarray(ws))
-            self.launches[("zzd", b)] = partial(
-                self._run_zzd_stacked, ops, steps, pad_to, tl, asweep, S_real
+            self.launches[bk] = partial(
+                self._run_zzd_stacked, ops, steps, pad_to, tl, asweep, S_real, geom
             )
         for gk, entries in rle_groups.items():
             pred, width, strip_h, mid, delim = gk
@@ -1077,9 +1221,10 @@ class MicwDecodePlan:
             )
 
     @staticmethod
-    def _run_zzd_stacked(ops, steps, chunk_s, tl, asweep, s_real):
+    def _run_zzd_stacked(ops, steps, chunk_s, tl, asweep, s_real, geom=None):
         out = _stacked_zzd_fused(
             ops, steps=steps, chunk_s=chunk_s, tl=tl, asweep=asweep,
+            pdd_geom=geom,
         )
         return out.reshape(out.shape[0] * chunk_s, -1)[:s_real]
 
@@ -1102,6 +1247,11 @@ class MicwDecodePlan:
         ):
             out, _w, _h = micw_decompress_device_pallas(self.blobs[bi])
             return bool(np.array_equal(out, expected))
+        info = micw_band_info(self.blobs[bi])
+        if info is not None:
+            # Strips live in the stacked band space; permute the expected
+            # pixels to match before the per-strip compare.
+            expected, _bw, _sh = band_split(expected, info[0], info[1])
         width, height, _num_strips, strip_h = self.metas[bi]
         dev_parts = []
         exp_parts = []
@@ -1155,7 +1305,7 @@ class MicwDecodePlan:
                         )
                 else:
                     out[y0 * width : (y0 + sh) * width] = host[k][idx][: sh * width]
-            results[bi] = (out, width, height)
+            results[bi] = _unband(out, width, height, self.blobs[bi])
         return results
 
 

@@ -31,6 +31,10 @@ GOLDEN = {
     "micw": "ce9ea8e836118647",
     # the fixed-zzd pipeline stays pinned separately (device encode path)
     "micw_zzd": "566abbaa0d28efa7",
+    # v5 (round 3): plane-direct strips (STRIP_MODE_PDD) and banded wide
+    # containers (FLAG_BANDED + 8-byte orig-geometry extension).
+    "micw_pdd": "ba32ceeceda22e3f",
+    "micw_banded": "fb55eb673d831c8d",
 }
 
 
@@ -83,7 +87,17 @@ def _encode(name, fixture_data):
         "micw": lambda: micw.micw_compress(px, 64, 48, mx, lanes=64),
         "micw_zzd": lambda: micw.micw_compress(px, 64, 48, mx, lanes=64,
                                                predictor="zzd"),
+        "micw_pdd": lambda: micw.micw_compress(px, 64, 48, mx, lanes=64,
+                                               predictor="pdd"),
+        "micw_banded": lambda: _banded_fixture(micw),
     }[name]()
+
+
+def _banded_fixture(micw):
+    rng = np.random.default_rng(20260817)
+    wide = (rng.standard_normal((96, 1024)).cumsum(axis=1) * 8 + 1000).astype(np.int32)
+    wide = wide.clip(0, 4095).astype(np.uint16).ravel()
+    return micw.micw_compress(wide, 1024, 96, int(wide.max()), lanes=64)
 
 
 @pytest.mark.parametrize("name", sorted(GOLDEN))

@@ -166,7 +166,7 @@ def test_micw_parse_fields(mr_image):
     from mic_tpu.tpu.strips import strip_predictor
 
     # v4: every strip carries its own mode (auto-fast default).
-    assert all(strip_predictor(predictor, st[5]) in ("zzd", "vdd", "zz", "avg", None)
+    assert all(strip_predictor(predictor, st[5]) in ("zzd", "vdd", "pdd", "zz", "avg", None)
                for st in strips)
     # Fixed-predictor compat: zzd request pins every strip to zzd/raw.
     blob_z = micw_compress(px, w, h, mx, num_strips=4, lanes=128, predictor="zzd")
@@ -452,7 +452,7 @@ def test_micwr_rgb_roundtrip(rng):
         assert np.array_equal(host.ravel(), t)
 
 
-@pytest.mark.parametrize("predictor", ["zzd", "zz", "avg"])
+@pytest.mark.parametrize("predictor", ["zzd", "vdd", "pdd", "zz", "avg"])
 def test_micw_property_sweep(predictor, rng):
     """Property sweep: random shapes x bit depths x predictors — host
     decode == XLA device decode == original pixels."""
@@ -500,3 +500,56 @@ def test_w3d_wsi_device(rng):
     assert (rw, rh) == (60, 40)
     want = rgb[20:60, 50:110].reshape(-1)
     assert np.array_equal(reg, want)
+
+
+def test_micw_pdd_inverse_matches_host(rng):
+    """pdd (plane-direct) device inverse == host two-cumsum inverse.
+
+    The plane predictor's residual is the separable 2D difference
+    p - W - N + NW (mod 2^16), so decode is two prefix sums — the device
+    ratio mode (pipeline.pdd_inverse_device)."""
+    from mic_tpu.tpu.pipeline import pdd_inverse_device
+    from mic_tpu.tpu.strips import _pdd_syms
+
+    for h, w in ((16, 40), (7, 129), (64, 64)):
+        img = (rng.standard_normal((h, w)).cumsum(0).cumsum(1) * 15 + 900).astype(np.int64)
+        px = img.clip(0, 4095).astype(np.uint16).ravel()
+        syms = _pdd_syms(px, w, h)
+        out = pdd_inverse_device(jnp.asarray(syms), w, h)
+        assert np.array_equal(np.asarray(out), px), (h, w)
+
+
+def test_micw_banded_roundtrip(rng):
+    """FLAG_BANDED wide containers: column bands stacked vertically; host
+    and device decoders both restore the original geometry bit-exactly."""
+    from mic_tpu.tpu.strips import (
+        MICW_BAND_W,
+        band_merge,
+        band_split,
+        micw_band_info,
+        micw_decompress_device,
+    )
+
+    h, w = 96, 1024
+    img = (rng.standard_normal((h, w)).cumsum(1) * 25 + 2000).astype(np.int64)
+    px = img.clip(0, 65535).astype(np.uint16).ravel()
+    blob = micw_compress(px, w, h, int(px.max()), lanes=64)
+    assert micw_band_info(blob) == (w, h)
+    width, height, _n, _sh, _mv, _gp, _l, _strips = micw_parse(blob)
+    assert width == MICW_BAND_W and height == h * (w // MICW_BAND_W)
+    stacked, bw, sh2 = band_split(px, w, h)
+    assert np.array_equal(band_merge(stacked, bw, w, h), px)
+    a, aw, ah = micw_decompress_host(blob)
+    assert (aw, ah) == (w, h) and np.array_equal(a, px)
+    b, bw2, bh2 = micw_decompress_device(blob)
+    assert (bw2, bh2) == (w, h) and np.array_equal(b, px)
+
+
+def test_micw_narrow_not_banded(rng):
+    """Images at or below MICW_BAND_W never get the banded layout."""
+    from mic_tpu.tpu.strips import micw_band_info
+
+    img = (rng.standard_normal((32, 512)).cumsum(1) * 25 + 2000).astype(np.int64)
+    px = img.clip(0, 65535).astype(np.uint16).ravel()
+    blob = micw_compress(px, 512, 32, int(px.max()), lanes=64)
+    assert micw_band_info(blob) is None
