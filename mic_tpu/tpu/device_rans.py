@@ -100,6 +100,7 @@ def mict_encode(
     lanes: int = 512,
     table_log: int = DEFAULT_TABLE_LOG,
     max_table_log: int | None = None,
+    max_bytes: int | None = None,
 ) -> bytes:
     """Encode a u16 symbol stream into the MICT wide-lane rANS format.
 
@@ -185,7 +186,12 @@ def mict_encode(
     out += header
     out += states.astype("<u4").tobytes()
     out += words.astype("<u2").tobytes()
-    if len(out) >= n * 2:
+    # Reject when the blob exceeds the caller's byte budget (default:
+    # the stream's own raw size; MICW's r-modes pass the STRIP's raw
+    # size instead — their SoA stream is already much shorter than the
+    # pixel count, so a locally "incompressible" blob can still beat
+    # raw pixels by a wide margin).
+    if len(out) >= (n * 2 if max_bytes is None else max_bytes):
         raise IncompressibleError
     return bytes(out)
 

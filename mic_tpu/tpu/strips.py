@@ -103,9 +103,16 @@ STRIP_MODE_CONST = 5  # constant strip: payload is ONE u16 value (the WSI
 STRIP_MODE_VDD = 6  # per-strip: vertical-direct (up-delta, no RLE)
 STRIP_MODE_PDD = 7  # per-strip: plane-direct (W+N-NW delta, no RLE;
 #                     inverse = two cumsums — the device ratio mode)
+STRIP_MODE_ZZR = 8  # per-strip: zz-direct + SoA-RLE (no escapes)
+STRIP_MODE_VDR = 9  # per-strip: vertical-direct + SoA-RLE
+STRIP_MODE_PDR = 10  # per-strip: plane-direct + SoA-RLE
 MAX_TABLE_LOG = 12  # packed-kernel cap (bias<<12|rank per slot)
 MAX_ALPHABET = 4096  # packed-kernel cap (12-bit rank)
 MICW_BAND_W = 512  # column-band width for FLAG_BANDED containers
+MID_DIRECT = 16383  # RLE midCount for the r-modes: the direct symbol
+#                     alphabet is the full u16 range regardless of bit
+#                     depth, so the midpoint is a format constant — which
+#                     also makes the post-program family bit-depth-free.
 
 _MODE_PRED = {
     STRIP_MODE_ZZD: "zzd",
@@ -113,7 +120,13 @@ _MODE_PRED = {
     STRIP_MODE_AVG: "avg",
     STRIP_MODE_VDD: "vdd",
     STRIP_MODE_PDD: "pdd",
+    STRIP_MODE_ZZR: "zzr",
+    STRIP_MODE_VDR: "vdr",
+    STRIP_MODE_PDR: "pdr",
 }
+_DIRECT_PREDS = ("zzd", "vdd", "pdd")  # no RLE, no escapes
+_RLE_DIRECT_PREDS = ("zzr", "vdr", "pdr")  # SoA-RLE, no escapes
+_DIRECT_SYMS = {}  # filled after the _*_syms helpers are defined
 _PRED_MODE = {v: k for k, v in _MODE_PRED.items()}
 
 
@@ -178,6 +191,12 @@ def _pdd_syms(strip_px: np.ndarray, width: int, sh: int) -> np.ndarray:
     ).astype(np.uint16).ravel()
 
 
+_DIRECT_SYMS.update({
+    "zzd": _zzd_syms, "vdd": _vdd_syms, "pdd": _pdd_syms,
+    "zzr": _zzd_syms, "vdr": _vdd_syms, "pdr": _pdd_syms,
+})
+
+
 def band_split(pixels: np.ndarray, width: int, height: int,
                band_w: int = MICW_BAND_W):
     """Split a wide image into vertically-stacked column bands (the PICS
@@ -222,11 +241,12 @@ def _escaped_tokens(strip_px, width, sh, max_value, pred) -> np.ndarray:
     )
 
 
-def _encode_candidate(syms: np.ndarray, lanes: int):
+def _encode_candidate(syms: np.ndarray, lanes: int, max_bytes: int | None = None):
     """mict_encode with the packed-kernel eligibility guard; returns None
     when the strip should fall through to other candidates / raw."""
     try:
-        return mict_encode(syms, lanes=lanes, max_table_log=MAX_TABLE_LOG)
+        return mict_encode(syms, lanes=lanes, max_table_log=MAX_TABLE_LOG,
+                           max_bytes=max_bytes)
     except (IncompressibleError, UseRLEError, ValueError):
         return None
 
@@ -279,22 +299,27 @@ def micw_compress(
     if banded:
         pixels, width, height = band_split(pixels, width, height)
     if num_strips <= 0:
-        # Default geometry: ~64-row strips (vreg rows in the Pallas rANS
-        # kernel; per-strip arrays stay small for the post stages).
-        num_strips = max(1, height // 64)
+        # Default geometry: ~128-row strips.  Each strip pays a fixed
+        # overhead (128 u32 init states + its ncount header, ~0.6-1 KB);
+        # 128 rows halves that per pixel vs 64 and measured +2.2% corpus
+        # geomean (3.236 -> 3.306) with the same per-symbol decode work.
+        # Banded images scale strip height by the band count so strips
+        # keep the same pixel count as the unbanded layout.
+        rows = 128 * (orig_w // width if banded else 1)
+        num_strips = max(1, height // rows)
     num_strips = max(1, min(num_strips, height))
     strip_h = (height + num_strips - 1) // num_strips
     actual = (height + strip_h - 1) // strip_h
     mid = _rle_mid(max_value)
     if predictor == "auto":
-        trials = ["zzd", "vdd", "pdd", "zz", "avg"]
+        trials = ["zzd", "vdd", "pdd", "zzr", "vdr", "pdr", "zz", "avg"]
     elif predictor == "auto-fast":
         # Scan-parallel modes only: avg's decode needs the anti-diagonal
         # wavefront post program (serial in 2*height+width steps), which
-        # caps batch decode throughput; the direct and zz modes invert
-        # with prefix scans.
-        trials = ["zzd", "vdd", "pdd", "zz"]
-    elif predictor in ("zzd", "vdd", "pdd", "zz", "avg"):
+        # caps batch decode throughput; the direct, r- (RLE'd direct) and
+        # zz modes invert with prefix scans.
+        trials = ["zzd", "vdd", "pdd", "zzr", "vdr", "pdr", "zz"]
+    elif predictor in _MODE_PRED.values():
         trials = [predictor]
     else:
         raise ValueError(f"micw: unknown predictor {predictor!r}")
@@ -313,16 +338,18 @@ def micw_compress(
             metas.append((0, 0, 0, 0, STRIP_MODE_CONST))
             continue
         candidates = []  # (estimate, syms, meta, mode)
+        direct_cache = {}
         for pred in trials:
-            if pred == "zzd":
-                syms = _zzd_syms(strip_px, width, sh)
+            if pred in _DIRECT_PREDS:
+                syms = direct_cache.setdefault(
+                    pred, _DIRECT_SYMS[pred](strip_px, width, sh))
                 meta = (len(syms), len(syms), 0, 0)
-            elif pred == "vdd":
-                syms = _vdd_syms(strip_px, width, sh)
-                meta = (len(syms), len(syms), 0, 0)
-            elif pred == "pdd":
-                syms = _pdd_syms(strip_px, width, sh)
-                meta = (len(syms), len(syms), 0, 0)
+            elif pred in _RLE_DIRECT_PREDS:
+                base = direct_cache.setdefault(
+                    {"zzr": "zzd", "vdr": "vdd", "pdr": "pdd"}[pred],
+                    _DIRECT_SYMS[pred](strip_px, width, sh))
+                syms, n_runs, n_same = soa_encode(base, MID_DIRECT)
+                meta = (len(syms), len(base), n_runs, n_same)
             else:
                 tokens = _escaped_tokens(strip_px, width, sh, max_value, pred)
                 syms, n_runs, n_same = soa_encode(tokens, mid)
@@ -330,13 +357,15 @@ def micw_compress(
             est = _estimate_bytes(syms)
             if est != float("inf"):  # keep the strip packed-kernel eligible
                 candidates.append((est, syms, meta, _PRED_MODE[pred]))
-        # Rank by the H0 estimate and entropy-encode only the top three —
-        # the estimate tracks the real stream size to ~1%, so running the
-        # full coder on every candidate wastes encode time.
+        # Rank by the H0 estimate and entropy-encode only the top five —
+        # the estimate tracks each stream's size to ~1% but is blind to
+        # the fixed per-blob overhead (init states + ncount width), so a
+        # narrow prune can drop the true winner when short RLE'd streams
+        # compete with direct ones.
         candidates.sort(key=lambda c: c[0])
         best = None  # (len, blob, meta, mode)
-        for est, syms, meta, mode in candidates[: 3 if len(trials) > 1 else 1]:
-            blob = _encode_candidate(syms, lanes)
+        for est, syms, meta, mode in candidates[: 5 if len(trials) > 1 else 1]:
+            blob = _encode_candidate(syms, lanes, max_bytes=strip_px.nbytes)
             if blob is not None and (best is None or len(blob) < best[0]):
                 best = (len(blob), blob, meta, mode)
         raw = strip_px.astype("<u2").tobytes()
@@ -419,6 +448,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _post_params(pred: str, mid: int, delim: int) -> tuple[int, int]:
+    """(mid_count, delim) as static post-program args: the direct modes
+    use neither (zeroed), the r-modes use the format constant MID_DIRECT
+    — both collapse the compiled-executable family across bit depths."""
+    if pred in _DIRECT_PREDS:
+        return 0, 0
+    if pred in _RLE_DIRECT_PREDS:
+        return MID_DIRECT, 0
+    return mid, delim
+
+
 def decode_strip_batch_impl(
     init_states,  # [S, L] u32
     words,  # [S, W+1] u32
@@ -482,6 +522,21 @@ def decode_strip_batch_impl(
             return vdd_inverse_device(soa, width, strip_h)
         if predictor == "pdd":
             return pdd_inverse_device(soa, width, strip_h)
+        if predictor in _RLE_DIRECT_PREDS:
+            # SoA-RLE over bijective direct symbols: expand, then the
+            # base direct inverse — no escapes, scan-parallel throughout.
+            tokens, _nt = soa_rle_expand_device(
+                soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count),
+                max_runs, max_tokens,
+            )
+            need = width * strip_h
+            if tokens.shape[0] < need:
+                tokens = jnp.pad(tokens, (0, need - tokens.shape[0]))
+            if predictor == "zzr":
+                return zzd_inverse_device(tokens, width, strip_h)
+            if predictor == "vdr":
+                return vdd_inverse_device(tokens, width, strip_h)
+            return pdd_inverse_device(tokens, width, strip_h)
         tokens, _nt = soa_rle_expand_device(
             soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
         )
@@ -580,7 +635,7 @@ def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
         arrays, meta = build_strip_batch(
             [parsed[i] for i in idxs], [strips[i] for i in idxs], g_tl
         )
-        direct = pred in ("zzd", "vdd", "pdd")
+        p_mid, p_delim = _post_params(pred, mid, delim)
         sub = _decode_strip_batch(
             *[jnp.asarray(a) for a in arrays],
             table_log=g_tl,
@@ -589,8 +644,8 @@ def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
             strip_h=strip_h,
             max_runs=meta["max_runs"],
             max_tokens=meta["max_tokens"],
-            mid_count=0 if direct else mid,
-            delim=0 if direct else delim,
+            mid_count=p_mid,
+            delim=p_delim,
             predictor=pred,
         )
         sub = np.asarray(sub)
@@ -620,8 +675,16 @@ def micw_decompress_host(blob: bytes) -> tuple[np.ndarray, int, int]:
             else:
                 out[y0 * width : (y0 + sh) * width] = np.frombuffer(b, dtype="<u2", count=width * sh)
             continue
-        if pred in ("zzd", "vdd", "pdd"):
-            syms = mict_decode_numpy(b)[: width * sh].astype(np.uint16)
+        if pred in _DIRECT_PREDS or pred in _RLE_DIRECT_PREDS:
+            if pred in _RLE_DIRECT_PREDS:
+                soa = mict_decode_numpy(b)
+                syms = soa_expand(soa, n_runs, n_same, MID_DIRECT)
+                if len(syms) != n_tok:
+                    raise ValueError("micw: r-mode token count mismatch")
+                syms = syms[: width * sh]
+                pred = {"zzr": "zzd", "vdr": "vdd", "pdr": "pdd"}[pred]
+            else:
+                syms = mict_decode_numpy(b)[: width * sh].astype(np.uint16)
             u = syms.astype(np.uint32)
             dz = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)).astype(np.uint16).astype(np.int64)
             if pred == "pdd":
@@ -881,12 +944,10 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
 
         return run_fused
 
-    if pred in ("zzd", "vdd", "pdd"):
+    if pred in _DIRECT_PREDS:
         zeros = jnp.zeros((n_chunks, _CHUNK_S), jnp.int32)
         post_kw = dict(max_runs=128, max_tokens=128, pad_to=strip_h * width)
         nt = nr = nsm = zeros
-        mid_s = delim_s = 0  # unused by the direct modes: zeroing them
-        #                      collapses the program family across maxValues
     else:
         post_kw = dict(max_runs=runs_g, max_tokens=tokens_g, pad_to=0)
         nt = jnp.asarray(np.stack(
@@ -895,7 +956,7 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
             [np.array([st[3] for st in sc], dtype=np.int32) for _pc, sc in chunks]))
         nsm = jnp.asarray(np.stack(
             [np.array([st[4] for st in sc], dtype=np.int32) for _pc, sc in chunks]))
-        mid_s, delim_s = mid, delim
+    mid_s, delim_s = _post_params(pred, mid, delim)
 
     def run_post():
         out = _stacked_post_run(
@@ -976,7 +1037,7 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
                 *args, steps=steps, n_strips=S, table_log=tl,
             )
 
-    if pred in ("zzd", "vdd", "pdd"):
+    if pred in _DIRECT_PREDS:
         pad_to = strip_h * width
 
         def run_zzd_post():
@@ -1004,13 +1065,15 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
     max_tokens = max(min_tokens, 128 * _pow2_at_least(
         (int(np.array([st[2] for st in strips]).max()) + 128) // 128))
 
+    p_mid, p_delim = _post_params(pred, mid, delim)
+
     def run_rle_post():
         return _micw_post_batch(
             entropy().reshape(S, -1),
             n_tokens, n_runs, n_same,
             width=width, strip_h=strip_h,
             max_runs=max_runs, max_tokens=max_tokens,
-            mid_count=mid, delim=delim, predictor=pred,
+            mid_count=p_mid, delim=p_delim, predictor=pred,
         )
 
     return run_rle_post
@@ -1075,6 +1138,21 @@ def _micw_post_batch(
             return vdd_inverse_device(soa, width, strip_h)
         if predictor == "pdd":
             return pdd_inverse_device(soa, width, strip_h)
+        if predictor in _RLE_DIRECT_PREDS:
+            # SoA-RLE over bijective direct symbols: expand, then the
+            # base direct inverse — no escapes, scan-parallel throughout.
+            tokens, _nt = soa_rle_expand_device(
+                soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count),
+                max_runs, max_tokens,
+            )
+            need = width * strip_h
+            if tokens.shape[0] < need:
+                tokens = jnp.pad(tokens, (0, need - tokens.shape[0]))
+            if predictor == "zzr":
+                return zzd_inverse_device(tokens, width, strip_h)
+            if predictor == "vdr":
+                return vdd_inverse_device(tokens, width, strip_h)
+            return pdd_inverse_device(tokens, width, strip_h)
         tokens, _nt = soa_rle_expand_device(
             soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
         )
@@ -1141,12 +1219,10 @@ class MicwDecodePlan:
                     keys.append((bk, len(zzd_buckets.setdefault(bk, []))))
                     zzd_buckets[bk].append((p, width))
                 else:
-                    # mid/delim are unused by the direct modes — zeroing
-                    # them collapses program keys across maxValues.
-                    if pred in ("zzd", "vdd", "pdd"):
-                        gk = (pred, width, strip_h, 0, 0)
-                    else:
-                        gk = (pred, width, strip_h, mid, delim)
+                    # mid/delim as they reach the post program: zeroed
+                    # for direct modes, format-constant for r-modes —
+                    # program keys collapse across maxValues.
+                    gk = (pred, width, strip_h, *_post_params(pred, mid, delim))
                     keys.append((("rle", gk), len(rle_groups.setdefault(gk, []))))
                     rle_groups[gk].append((p, st))
             self.keys_per_blob[bi] = keys

@@ -31,10 +31,11 @@ GOLDEN = {
     "micw": "ce9ea8e836118647",
     # the fixed-zzd pipeline stays pinned separately (device encode path)
     "micw_zzd": "566abbaa0d28efa7",
-    # v5 (round 3): plane-direct strips (STRIP_MODE_PDD) and banded wide
-    # containers (FLAG_BANDED + 8-byte orig-geometry extension).
+    # v5 (round 3): plane-direct strips (STRIP_MODE_PDD), RLE'd direct
+    # modes (zzr/vdr/pdr), banded wide containers (FLAG_BANDED + 8-byte
+    # orig-geometry extension), default strips 64 -> 128 rows.
     "micw_pdd": "ba32ceeceda22e3f",
-    "micw_banded": "fb55eb673d831c8d",
+    "micw_banded": "ee4bc54803c7eea6",
 }
 
 

@@ -452,7 +452,7 @@ def test_micwr_rgb_roundtrip(rng):
         assert np.array_equal(host.ravel(), t)
 
 
-@pytest.mark.parametrize("predictor", ["zzd", "vdd", "pdd", "zz", "avg"])
+@pytest.mark.parametrize("predictor", ["zzd", "vdd", "pdd", "zzr", "vdr", "pdr", "zz", "avg"])
 def test_micw_property_sweep(predictor, rng):
     """Property sweep: random shapes x bit depths x predictors — host
     decode == XLA device decode == original pixels."""
@@ -553,3 +553,20 @@ def test_micw_narrow_not_banded(rng):
     px = img.clip(0, 65535).astype(np.uint16).ravel()
     blob = micw_compress(px, 512, 32, int(px.max()), lanes=64)
     assert micw_band_info(blob) is None
+
+
+def test_micw_rle_direct_modes(rng):
+    """r-modes (SoA-RLE over bijective direct symbols): flat-background
+    data picks them up; host == device == original."""
+    from mic_tpu.tpu.strips import micw_decompress_device
+
+    img = np.full((64, 128), 100, np.int64)
+    img[8:40, 16:100] += (rng.standard_normal((32, 84)).cumsum(1) * 30).astype(np.int64)
+    px = img.clip(0, 65535).astype(np.uint16).ravel()
+    mx = int(px.max())
+    for pred in ("zzr", "vdr", "pdr"):
+        blob = micw_compress(px, 128, 64, mx, num_strips=2, predictor=pred)
+        a, *_ = micw_decompress_host(blob)
+        assert np.array_equal(a, px), pred
+        b, *_ = micw_decompress_device(blob)
+        assert np.array_equal(np.asarray(b), px), pred
