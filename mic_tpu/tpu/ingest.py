@@ -2,14 +2,16 @@
 
 The byte-compatible reference formats are bit-serial tANS (fse4state.go,
 parallelstrips.go): every symbol's bit count depends on the previous
-symbol's decoded state within ONE reversed bitstream, so they cannot
-ride the TPU's 128-wide vector lanes — a device port would execute one
-table gather per 2/4/8 symbols per *core*, thousands of times below the
-wide-lane format's throughput.  The TPU-native serving design is
+symbol's decoded state within ONE reversed bitstream, so each stream
+fills only 2-8 of the TPU's 128 vector lanes — far below the wide-lane
+format's throughput ceiling.  The TPU-native serving design is
 **transcode-on-ingest**:
 
-1. the native tier decodes the reference blob (branchless C++ hot loop,
-   ~400 MB/s per 2.1GHz core, threaded across strips/frames),
+1. the reference blob decodes to pixels — native C++ tier (branchless
+   hot loop, ~400 MB/s per 2.1GHz core, threaded across strips) or,
+   with ``entropy="device"``, the pallas_tans kernel batched across
+   strips (streams ride sublanes, so a whole PICS container or archive
+   batch entropy-decodes in a few kernel launches),
 2. the pixels are re-packed as MICW (host vectorized encoder, or the
    Pallas device encoder for the zzd pipeline),
 3. every subsequent decode rides the fused Pallas kernels at GB/s
@@ -37,9 +39,24 @@ __all__ = [
 ]
 
 
-def _decode_reference(blob: bytes, width: int, height: int, kind: int):
-    """Decode a reference-format blob to pixels with the native tier
-    (falls back to the Python tier when libmicfse isn't built)."""
+def _decode_reference(blob: bytes, width: int, height: int, kind: int,
+                      entropy: str = "native"):
+    """Decode a reference-format blob to pixels.
+
+    ``entropy="native"`` uses the C++ tier (falling back to the Python
+    tier when libmicfse isn't built).  ``entropy="device"`` runs the
+    entropy stage on the TPU (pallas_tans batched across strips) — the
+    round-3 path that lifts ingest off the host's ~0.5 GB/s/core coder
+    for the avg/grad pipelines (kind 0/1).
+    """
+    if entropy == "device" and kind in (0, 1):
+        from .ref_decode import decompress_frames_device, decompress_pics_device
+
+        kname = "avg" if kind == 0 else "grad"
+        if blob[:4] == b"PICS":
+            return decompress_pics_device(blob, kind=kname)
+        (px,) = decompress_frames_device([blob], [(width, height)], kind=kname)
+        return px, width, height
     if native.available():
         if blob[:4] == b"PICS":
             px, w, h = native.decompress_strips_native(blob)
@@ -59,12 +76,14 @@ def _decode_reference(blob: bytes, width: int, height: int, kind: int):
 
 
 def transcode_frame(
-    blob: bytes, width: int, height: int, kind: int = 0, device_encode: bool = False
+    blob: bytes, width: int, height: int, kind: int = 0,
+    device_encode: bool = False, entropy: str = "native",
 ) -> bytes:
     """Reference single-frame blob (Delta+RLE+FSE/rANS, any state count)
     → MICW.  ``kind`` is the predictor the frame was encoded with
-    (0=avg, 1=grad, 2=med, 3=zz — native.PRED_*)."""
-    px, w, h = _decode_reference(blob, width, height, kind)
+    (0=avg, 1=grad, 2=med, 3=zz — native.PRED_*); ``entropy`` selects
+    the decode tier for the reference blob ("native" or "device")."""
+    px, w, h = _decode_reference(blob, width, height, kind, entropy=entropy)
     px = np.asarray(px, dtype=np.uint16)
     mx = int(px.max())
     if device_encode:
@@ -74,35 +93,43 @@ def transcode_frame(
     return micw_compress(px, w, h, mx)
 
 
-def transcode_pics(blob: bytes, device_encode: bool = False) -> bytes:
-    """Reference PICS container → MICW (threaded native strip decode)."""
+def transcode_pics(blob: bytes, device_encode: bool = False,
+                   entropy: str = "native") -> bytes:
+    """Reference PICS container → MICW (threaded native strip decode, or
+    device-batched entropy with entropy="device")."""
     if blob[:4] != b"PICS":
         raise ValueError("not a PICS container")
-    return transcode_frame(blob, 0, 0, 0, device_encode=device_encode)
+    return transcode_frame(blob, 0, 0, 0, device_encode=device_encode,
+                           entropy=entropy)
 
 
 def transcode_auto(
     blob: bytes, width: int = 0, height: int = 0, kind: int = 0,
-    device_encode: bool = False,
+    device_encode: bool = False, entropy: str = "native",
 ) -> bytes:
     """Magic-sniffing transcode: PICS containers self-describe; bare
     frame blobs need (width, height)."""
     if blob[:4] == b"PICS":
-        return transcode_pics(blob, device_encode=device_encode)
-    return transcode_frame(blob, width, height, kind, device_encode=device_encode)
+        return transcode_pics(blob, device_encode=device_encode,
+                              entropy=entropy)
+    return transcode_frame(blob, width, height, kind,
+                           device_encode=device_encode, entropy=entropy)
 
 
-def ingest_plan(ref_blobs, dims=None, kind: int = 0, device_encode: bool = False):
+def ingest_plan(ref_blobs, dims=None, kind: int = 0,
+                device_encode: bool = False, entropy: str = "native"):
     """Transcode a batch of reference blobs and stage them for repeated
     device decode.  ``dims`` supplies (width, height) per bare frame blob
     (ignored for PICS).  Returns a :class:`MicwDecodePlan`."""
     micw_blobs = []
     for i, blob in enumerate(ref_blobs):
         if blob[:4] == b"PICS":
-            micw_blobs.append(transcode_pics(blob, device_encode=device_encode))
+            micw_blobs.append(transcode_pics(blob, device_encode=device_encode,
+                                             entropy=entropy))
         else:
             w, h = dims[i]
             micw_blobs.append(
-                transcode_frame(blob, w, h, kind, device_encode=device_encode)
+                transcode_frame(blob, w, h, kind, device_encode=device_encode,
+                                entropy=entropy)
             )
     return MicwDecodePlan(micw_blobs)

@@ -23,7 +23,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .strips import decode_strip_batch_impl
 
-__all__ = ["make_strip_mesh", "decode_strips_sharded", "decode_strips_sharded_pallas"]
+__all__ = [
+    "make_strip_mesh",
+    "decode_strips_sharded",
+    "decode_strips_sharded_pallas",
+    "decode_tans_sharded",
+]
 
 
 def make_strip_mesh(devices=None, axis: str = "strips") -> Mesh:
@@ -80,3 +85,28 @@ def decode_strips_sharded_pallas(mesh: Mesh, init, tpk, alpha, words, mask, shif
         check_vma=False,
     )
     return jax.jit(fn)(init, tpk, alpha, words, mask, shift, ws)
+
+
+def decode_tans_sharded(mesh: Mesh, init, pos, cnt, tpk, alpha, words, **static):
+    """Reference-format tANS decode (pallas_tans) with the STREAM axis
+    sharded over ``mesh`` — each chip decodes its shard of the blob batch
+    (strips of a PICS archive, frames of a MIC2 file).  Stream count must
+    be divisible by the mesh size; pad with duplicate streams otherwise.
+    """
+    from .pallas_tans import tans_decode_pallas
+
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+    per_shard = init.shape[0] // mesh.devices.size
+    body = partial(
+        tans_decode_pallas,
+        **{**static, "n_streams": per_shard},
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(spec for _ in range(6)),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)(init, pos, cnt, tpk, alpha, words)

@@ -53,3 +53,20 @@ def test_ingest_plan_device_path(img, rng):
     out = plan.assemble(plan.run())
     assert np.array_equal(out[0][0], px)
     assert np.array_equal(out[1][0], px2)
+
+def test_transcode_device_entropy(img):
+    """entropy="device": the reference blob's entropy stage runs through
+    the pallas_tans kernel; the transcoded MICW must still be bit-exact
+    (and byte-identical to the native-entropy transcode)."""
+    h, w = img.shape
+    px = img.ravel()
+    for ref in (
+        compress_single_frame_4state(px, w, h, int(px.max())),
+        compress_parallel_strips_4state(px, w, h, int(px.max()), 4),
+    ):
+        micw_dev = transcode_auto(ref, w, h, entropy="device")
+        micw_nat = transcode_auto(ref, w, h, entropy="native")
+        assert micw_dev == micw_nat
+        out, ow, oh = micw_decompress_host(micw_dev)
+        assert (ow, oh) == (w, h)
+        assert np.array_equal(out, px)
