@@ -133,15 +133,27 @@ def run_group(names: list[str], reps: int) -> None:
             if v is not None:
                 v.block_until_ready()
         dt = (time.time() - t0) / reps
-        staged.append((name, plan, decoded, dt, k, px, len(blob)))
+        # Cold path (VERDICT weak #2): header parse + table build + pad +
+        # h2d + one decode, with warm executables (compile amortized away,
+        # as in a serving process) — the stage+run number the reference's
+        # full-path MB/s corresponds to.
+        t0 = time.time()
+        plan_c = MicwDecodePlan([blob] * k)
+        decoded_c = plan_c.run()
+        for v in decoded_c.values():
+            if v is not None:
+                v.block_until_ready()
+        cold_dt = time.time() - t0
+        staged.append((name, plan, decoded, dt, cold_dt, k, px, len(blob)))
 
-    for name, plan, decoded, dt, k, px, blen in staged:
+    for name, plan, decoded, dt, cold_dt, k, px, blen in staged:
         if not plan.verify_against(decoded, px):
             print(json.dumps({"name": name, "error": "decode mismatch"}), flush=True)
             continue
         print(json.dumps({
             "name": name,
             "GBps": round(k * px.nbytes / dt / 1e9, 3),
+            "cold_GBps": round(k * px.nbytes / cold_dt / 1e9, 3),
             "replicas": k,
             "ratio": round(px.nbytes / blen, 3),
             "bytes": blen,
@@ -264,7 +276,9 @@ def main() -> None:
                                  if results else "missing"})
             if "GBps" in res:
                 rates.append(res["GBps"])
-                detail[name] = {kk: res[kk] for kk in ("GBps", "replicas", "ratio", "bytes")}
+                detail[name] = {kk: res[kk] for kk in
+                                ("GBps", "cold_GBps", "replicas", "ratio", "bytes")
+                                if kk in res}
                 print(f"[bench] {name}: {res['GBps']} GB/s (x{res['replicas']})",
                       file=sys.stderr, flush=True)
             else:
