@@ -14,18 +14,20 @@ matching the reference's per-image-geomean methodology
 
 Round-3 restructuring (VERDICT.md tasks 1/2/6):
 
-* Images are measured in GROUPS sharing one subprocess: all images in a
-  group share a compiled-program family (same post-banding strip width),
-  so only the first image of a group pays XLA compiles.  Wide images
-  (MR2/XA1, 1024 px) are now stored BANDED (512-wide column bands,
-  strips.band_split), which dissolves the 1024-wide program family whose
-  ~13-minute compiles starved the round-2 capture.
-* Groups stay small (2-3 images) because long-lived clients of the
-  tunneled backend degrade (launch costs grew ~7 ms -> ~330 ms by the
-  6th image measured in one process, round-2 forensics), and all
-  device->host verification happens AFTER every image in the group has
-  been timed (one d2h drops the client into a ~300x slower
-  sync-per-dispatch mode).
+* One image per subprocess, in family-warming order: the first image of
+  each program family pays the XLA compiles, and the tunnel's service
+  caches executables ACROSS clients, so later same-family images claim
+  and run in seconds.  Wide images (MR2/XA1, 1024 px) are stored BANDED
+  (512-wide column bands, strips.band_split), which dissolves the
+  1024-wide program family whose ~13-minute compiles starved the
+  round-2 capture.
+* Tunnel-claim watchdog: backend claims wedge sporadically (a process
+  killed mid-claim can poison the next claim), so each child announces
+  {"claimed": true} after a trivial first op and the parent kills +
+  retries children whose claim doesn't land within CLAIM_TIMEOUT_S.
+  Within a child, all device->host verification happens AFTER timing
+  (one d2h drops the client into a ~300x slower sync-per-dispatch
+  mode).
 * A global wall-clock budget (MIC_BENCH_BUDGET_S, default 1200 s) bounds
   the whole run; when it expires the final JSON line is emitted with
   whatever was measured plus a "measured_n" field — the driver always
@@ -60,6 +62,7 @@ import numpy as np
 BASELINE_GBPS = 7.5
 TARGET_BATCH_BYTES = int(os.environ.get("MIC_BENCH_BATCH_BYTES", 64 << 20))
 MAX_REPLICAS = int(os.environ.get("MIC_BENCH_MAX_REPLICAS", 512))
+TARGET_STRIPS = int(os.environ.get("MIC_BENCH_TARGET_STRIPS", 1024))
 REPS = int(os.environ.get("MIC_BENCH_REPS", 20))
 BUDGET_S = float(os.environ.get("MIC_BENCH_BUDGET_S", "1200"))
 
@@ -107,25 +110,51 @@ def run_group(names: list[str], reps: int) -> None:
     handful.
     """
     import jax
+    import jax.numpy as jnp
 
-    jax.devices()  # trivial first device contact (see module docstring)
+    jax.devices()
+    # Trivial first op, then tell the parent the tunnel claim succeeded:
+    # claims wedge sporadically (a process killed mid-claim can poison
+    # the next claim), so the parent watchdogs this line and retries the
+    # subprocess instead of burning the whole group timeout on a wedge.
+    jnp.zeros((8, 128), jnp.uint32).block_until_ready()
+    print(json.dumps({"claimed": True}), flush=True)
 
     from mic_tpu.tpu.strips import MicwDecodePlan, micw_compress
 
     corpus = {c[0]: c for c in _corpus()}
-    staged = []  # (name, plan, decoded, dt, k, px, blob_len)
+    t_last = time.time()
+
+    def phase(tag):
+        nonlocal t_last
+        now = time.time()
+        print(json.dumps({"phase": tag, "s": round(now - t_last, 1)}), flush=True)
+        t_last = now
+
+    staged = []  # (name, plan, decoded, dt, cold_dt, k, px, blob_len)
     for name in names:
         if name not in corpus:
             print(json.dumps({"name": name, "error": "not in corpus"}), flush=True)
             continue
         _n, px, w, h, mx = corpus[name]
         blob = micw_compress(px, w, h, mx)
-        k = max(1, min(MAX_REPLICAS, TARGET_BATCH_BYTES // px.nbytes))
+        phase(f"{name}:compress")
+        # Replicate to a fixed TOTAL strip count (default 1024 = 32
+        # lax.map chunks): every corpus image then runs the SAME chunked
+        # program shapes (n_chunks is part of the executable), so one
+        # image's compile warms the whole corpus.  Batches land at
+        # 64-256 MB — at or above the dispatch-amortizing target.
+        from mic_tpu.tpu.strips import micw_parse
+
+        n_strips = micw_parse(blob)[2]
+        k = max(1, min(MAX_REPLICAS, TARGET_STRIPS // max(1, n_strips)))
         plan = MicwDecodePlan([blob] * k)
+        phase(f"{name}:stage")
         decoded = plan.run()
         for v in decoded.values():
             if v is not None:
                 v.block_until_ready()
+        phase(f"{name}:first_run")
         t0 = time.time()
         for _ in range(reps):
             decoded = plan.run()
@@ -144,10 +173,14 @@ def run_group(names: list[str], reps: int) -> None:
             if v is not None:
                 v.block_until_ready()
         cold_dt = time.time() - t0
+        phase(f"{name}:cold")
         staged.append((name, plan, decoded, dt, cold_dt, k, px, len(blob)))
 
+    t_last = time.time()
     for name, plan, decoded, dt, cold_dt, k, px, blen in staged:
-        if not plan.verify_against(decoded, px):
+        ok = plan.verify_batch(decoded, [px] * k)
+        phase(f"{name}:verify")
+        if not ok:
             print(json.dumps({"name": name, "error": "decode mismatch"}), flush=True)
             continue
         print(json.dumps({
@@ -169,10 +202,11 @@ def run_encode(reps: int) -> None:
     Reference encode baseline: PICS-8 1.2-2.1 GB/s (README.md:392-447).
     """
     import jax
+    import jax.numpy as jnp
 
     jax.devices()
-
-    import jax.numpy as jnp
+    jnp.zeros((8, 128), jnp.uint32).block_until_ready()
+    print(json.dumps({"claimed": True}), flush=True)
 
     from mic_tpu.ops.fse import histogram, normalize_count, optimal_table_log
     from mic_tpu.tpu.device_rans import device_tables
@@ -229,22 +263,89 @@ def run_encode(reps: int) -> None:
     }), flush=True)
 
 
-def _run_sub(argv: list[str], timeout: float):
-    """Run a bench subprocess; returns the list of parsed JSON lines."""
-    out = []
+CLAIM_TIMEOUT_S = float(os.environ.get("MIC_BENCH_CLAIM_TIMEOUT_S", "150"))
+CLAIM_RETRIES = int(os.environ.get("MIC_BENCH_CLAIM_RETRIES", "2"))
+
+
+def _run_sub_once(argv: list[str], timeout: float):
+    """Run one bench subprocess with a tunnel-claim watchdog.
+
+    The child prints {"claimed": true} right after its first trivial
+    device op.  Claims wedge sporadically on the tunneled backend (a
+    process killed mid-claim can poison the next claim), so if that
+    line doesn't appear within CLAIM_TIMEOUT_S the child is killed and
+    ("wedged", []) is returned — the caller retries instead of burning
+    the whole timeout.  Returns (status, json_lines).
+    """
+    import selectors
+
+    proc = subprocess.Popen(
+        [sys.executable, str(ROOT / "bench.py"), *argv],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    out, claimed = [], False
+    deadline_claim = time.time() + CLAIM_TIMEOUT_S
+    deadline_all = time.time() + timeout
+    status = "ok"
     try:
-        r = subprocess.run(
-            [sys.executable, str(ROOT / "bench.py"), *argv],
-            capture_output=True, text=True, timeout=timeout,
-        )
-        for line in r.stdout.strip().splitlines():
+        buf = ""
+        while True:
+            now = time.time()
+            if not claimed and now > deadline_claim:
+                status = "wedged"
+                break
+            if now > deadline_all:
+                status = "timeout"
+                break
+            if not sel.select(timeout=1.0):
+                if proc.poll() is not None:
+                    break
+                continue
+            chunk = proc.stdout.readline()
+            if chunk == "":
+                break  # EOF: child exited
+            buf = chunk.strip()
+            if not buf:
+                continue
             try:
-                out.append(json.loads(line))
+                rec = json.loads(buf)
             except json.JSONDecodeError:
-                pass
-    except subprocess.TimeoutExpired:
-        out.append({"error": "TimeoutExpired"})
-    return out
+                continue
+            if rec.get("claimed"):
+                claimed = True
+            elif "phase" in rec:
+                print(f"[bench]   {rec['phase']}: {rec['s']}s",
+                      file=sys.stderr, flush=True)
+            else:
+                out.append(rec)
+    finally:
+        sel.close()
+        if proc.poll() is None:
+            proc.kill()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass
+    return status, out
+
+
+def _run_sub(argv: list[str], timeout: float, remaining=None):
+    """Claim-watchdogged subprocess with wedge retries."""
+    for attempt in range(CLAIM_RETRIES + 1):
+        if remaining is not None and remaining() < 60:
+            return [{"error": "budget"}]
+        t = timeout if remaining is None else max(60.0, min(timeout, remaining()))
+        status, out = _run_sub_once(argv, t)
+        if status == "ok":
+            return out
+        print(f"[bench] subprocess {argv} {status} (attempt {attempt + 1})",
+              file=sys.stderr, flush=True)
+        if status == "timeout":
+            return out + [{"error": "TimeoutExpired"}]
+        time.sleep(5)  # wedged: brief pause, then retry the claim
+    return [{"error": "claim wedged"}]
 
 
 def main() -> None:
@@ -258,19 +359,23 @@ def main() -> None:
     total_n = len(corpus_names)
     encode_gbps = None
 
+    # One image per subprocess, in family-warming order (the first image
+    # of each group compiles its program family; the tunnel's service
+    # caches executables across clients, so the rest claim + run in
+    # seconds).  Per-image isolation keeps one wedged claim or one slow
+    # verify from starving the rest of the corpus.
     for group in GROUPS:
         group = [n for n in group if n in corpus_names]
-        if not group:
-            continue
-        if remaining() < 60:
-            print(f"[bench] budget exhausted before {group}", file=sys.stderr, flush=True)
-            break
-        print(f"[bench] group {group} (subprocess, {int(remaining())}s left)...",
-              file=sys.stderr, flush=True)
-        results = _run_sub(["--group", ",".join(group), "--reps", str(REPS)],
-                           timeout=max(60.0, remaining()))
-        got = {r.get("name"): r for r in results if "name" in r}
         for name in group:
+            if remaining() < 60:
+                print(f"[bench] budget exhausted before {name}",
+                      file=sys.stderr, flush=True)
+                break
+            print(f"[bench] {name} (subprocess, {int(remaining())}s left)...",
+                  file=sys.stderr, flush=True)
+            results = _run_sub(["--group", name, "--reps", str(REPS)],
+                               timeout=600.0, remaining=remaining)
+            got = {r.get("name"): r for r in results if "name" in r}
             res = got.get(name, {"name": name,
                                  "error": results[-1].get("error", "missing")
                                  if results else "missing"})
@@ -290,7 +395,8 @@ def main() -> None:
     if remaining() > 90:
         print(f"[bench] encode (subprocess)...", file=sys.stderr, flush=True)
         enc = _run_sub(["--encode", "--reps", str(REPS)],
-                       timeout=max(60.0, min(300.0, remaining())))
+                       timeout=max(60.0, min(300.0, remaining())),
+                       remaining=remaining)
         for r in enc:
             if "encode_GBps" in r:
                 encode_gbps = r["encode_GBps"]

@@ -126,6 +126,7 @@ _MODE_PRED = {
 }
 _DIRECT_PREDS = ("zzd", "vdd", "pdd")  # no RLE, no escapes
 _RLE_DIRECT_PREDS = ("zzr", "vdr", "pdr")  # SoA-RLE, no escapes
+AUTO_FAST_TRIALS = ("zzd", "vdd", "pdd", "zzr", "vdr", "pdr")
 _DIRECT_SYMS = {}  # filled after the _*_syms helpers are defined
 _PRED_MODE = {v: k for k, v in _MODE_PRED.items()}
 
@@ -314,11 +315,14 @@ def micw_compress(
     if predictor == "auto":
         trials = ["zzd", "vdd", "pdd", "zzr", "vdr", "pdr", "zz", "avg"]
     elif predictor == "auto-fast":
-        # Scan-parallel modes only: avg's decode needs the anti-diagonal
-        # wavefront post program (serial in 2*height+width steps), which
-        # caps batch decode throughput; the direct, r- (RLE'd direct) and
-        # zz modes invert with prefix scans.
-        trials = ["zzd", "vdd", "pdd", "zzr", "vdr", "pdr", "zz"]
+        # Scan-parallel AND program-family-free modes only: avg's decode
+        # needs the anti-diagonal wavefront post program (serial in
+        # 2*height+width steps) and zz's escape-resolution post is both
+        # bit-depth-specific (mid/delim statics) and a multi-minute XLA
+        # compile on the service backend — the direct and r- (RLE'd
+        # direct) modes invert with prefix scans and share one compiled
+        # family across all bit depths.
+        trials = list(AUTO_FAST_TRIALS)
     elif predictor in _MODE_PRED.values():
         trials = [predictor]
     else:
@@ -446,6 +450,17 @@ def micw_parse(blob: bytes):
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _runs_floor(pred: str, width: int, strip_h: int) -> int:
+    """Floor for the r-modes' run-count bucket: px/64, pow2.  Image
+    statistics put the natural pow2 bucket within 2x of this for real
+    medical strips, so flooring makes every image of a geometry share
+    ONE compiled post program (the run operands pad by at most ~2x,
+    which is noise next to the token arrays)."""
+    if pred not in _RLE_DIRECT_PREDS:
+        return 0
+    return 128 * _pow2_at_least((width * strip_h) // 8192, 1)
 
 
 def _post_params(pred: str, mid: int, delim: int) -> tuple[int, int]:
@@ -877,8 +892,8 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
     tl = max(p[1] for p in parsed)
     steps_g = max(min_steps,
                   _pow2_at_least(max((p[2] + 127) // 128 for p in parsed), 8))
-    runs_g = max(min_runs, 128 * _pow2_at_least(
-        (max(st[3] for st in strips) + 128) // 128))
+    runs_g = max(min_runs, _runs_floor(pred, width, strip_h),
+                 128 * _pow2_at_least((max(st[3] for st in strips) + 128) // 128))
     tokens_g = max(min_tokens, 128 * _pow2_at_least(
         (max(st[2] for st in strips) + 128) // 128))
 
@@ -1060,8 +1075,8 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
     n_runs = jnp.asarray(n_runs_np)
     # Pow2 buckets (x128): max_runs/max_tokens are static post-program
     # args — bucketing collapses the executable family across groups.
-    max_runs = max(min_runs, 128 * _pow2_at_least(
-        (int(n_runs_np.max()) + 128) // 128))
+    max_runs = max(min_runs, _runs_floor(pred, width, strip_h),
+                   128 * _pow2_at_least((int(n_runs_np.max()) + 128) // 128))
     max_tokens = max(min_tokens, 128 * _pow2_at_least(
         (int(np.array([st[2] for st in strips]).max()) + 128) // 128))
 
@@ -1164,6 +1179,22 @@ def _micw_post_batch(
         return zz_delta_inverse_device(vals, is_raw, jnp.int32(0), width, strip_h)
 
     return jax.vmap(post_one)(rle_syms, n_tokens, n_runs, n_same)
+
+
+@partial(jax.jit, static_argnames=("cols",))
+def _bucket_mismatches(dev, exp, *, cols):
+    """Count of mismatching symbols between a bucket's decode output
+    (padded columns sliced off) and the expected array."""
+    return jnp.sum((dev[:, :cols] != exp).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cols",))
+def _bucket_mismatches_masked(dev, exp, valid, *, cols):
+    """Same, but each row compares only its first ``valid[row]`` symbols
+    (short last strips)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (dev.shape[0], cols), 1)
+    m = lane < valid
+    return jnp.sum(((dev[:, :cols] != exp) & m).astype(jnp.int32))
 
 
 class MicwDecodePlan:
@@ -1307,6 +1338,75 @@ class MicwDecodePlan:
     def run(self):
         """Execute all device programs; returns {bucket_key: device array}."""
         return {k: (fn() if fn is not None else None) for k, fn in self.launches.items()}
+
+    def verify_batch(self, decoded, expected_per_blob) -> bool:
+        """Bit-exactness of EVERY blob in one device compare per bucket.
+
+        ``verify_against`` builds a per-image concat-of-slices compare
+        program whose XLA compile on the tunneled service costs minutes
+        per distinct strip mix; this path instead compares each bucket's
+        [S, cols] output array against a host-assembled expected array of
+        the SAME shape (mismatch-count reduce, one scalar d2h per
+        bucket), so the compare programs share the decode buckets' shape
+        family and compile once per geometry.  Verifies all replicas,
+        not just blob 0.
+        """
+        import jax
+
+        n = len(self.blobs)
+        exp_buckets: dict = {}
+        for bi in range(n):
+            expected = np.asarray(expected_per_blob[bi], dtype=np.uint16)
+            keys = self.keys_per_blob[bi]
+            if bi in self.fallback or keys is None or any(
+                k != "raw" and decoded.get(k) is None for k, _ in keys
+            ):
+                if not self.verify_against(decoded, expected, bi):
+                    return False
+                continue
+            info = micw_band_info(self.blobs[bi])
+            if info is not None:
+                expected, _bw, _sh = band_split(expected, info[0], info[1])
+            width, height, _ns, strip_h = self.metas[bi]
+            for i, (k, idx) in enumerate(keys):
+                y0 = i * strip_h
+                sh = min(strip_h, height - y0)
+                seg = expected[y0 * width : (y0 + sh) * width]
+                if k == "raw":
+                    st = self.raw_strips[idx]
+                    if st[5] == STRIP_MODE_CONST:
+                        if not (seg == np.frombuffer(st[0], dtype="<u2", count=1)[0]).all():
+                            return False
+                    elif not np.array_equal(
+                        seg, np.frombuffer(st[0], dtype="<u2", count=width * sh)
+                    ):
+                        return False
+                    continue
+                # zzd buckets mix geometries (width rides the ws operand),
+                # so segments pad to the bucket max with per-row valid
+                # lengths.
+                exp_buckets.setdefault(k, {})[idx] = seg
+        for k, segs in exp_buckets.items():
+            S = len(segs)
+            cols = max(len(s) for s in segs.values())
+            dev = decoded[k]
+            if dev.shape[0] != S or dev.shape[1] < cols:
+                return False
+            exp = np.zeros((S, cols), np.uint16)
+            valid = np.zeros((S, 1), np.int32)
+            for i in range(S):
+                s = segs[i]
+                exp[i, : len(s)] = s
+                valid[i, 0] = len(s)
+            if (valid == cols).all():
+                mism = _bucket_mismatches(dev, jnp.asarray(exp), cols=cols)
+            else:
+                mism = _bucket_mismatches_masked(
+                    dev, jnp.asarray(exp), jnp.asarray(valid), cols=cols
+                )
+            if int(mism) != 0:
+                return False
+        return True
 
     def verify_against(self, decoded, expected, bi: int = 0) -> bool:
         """Bit-exactness check of blob ``bi`` WITHOUT pulling pixels to

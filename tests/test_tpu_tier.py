@@ -31,6 +31,15 @@ def _eager():
         yield
 
 
+@pytest.fixture()
+def _jit_enabled():
+    """Re-enable jit inside this module's eager default — for tests of
+    the staged/chunked plans, which are built around compiled programs
+    (running them op-by-op in interpret mode takes minutes)."""
+    with jax.disable_jit(disable=False):
+        yield
+
+
 @pytest.mark.parametrize("n,lanes", [(50, 8), (1000, 64), (65536, 512), (65537, 256)])
 def test_mict_roundtrip(n, lanes, rng):
     data = (rng.standard_normal(n) * 5 + 50).clip(0, 255).astype(np.uint16)
@@ -570,3 +579,26 @@ def test_micw_rle_direct_modes(rng):
         assert np.array_equal(a, px), pred
         b, *_ = micw_decompress_device(blob)
         assert np.array_equal(np.asarray(b), px), pred
+
+
+def test_micw_plan_verify_batch(rng, _jit_enabled):
+    """verify_batch: one device compare per bucket, all replicas checked;
+    detects single-pixel corruption anywhere in the batch (incl. banded
+    images and short last strips)."""
+    from mic_tpu.tpu.strips import MicwDecodePlan, micw_compress
+
+    imgs = []
+    for (h, w) in ((96, 128), (100, 128), (128, 1024)):
+        a = (rng.standard_normal((h, w)).cumsum(1) * 10 + 800).astype(np.int64)
+        imgs.append((a.clip(0, 4095).astype(np.uint16).ravel(), w, h))
+    blobs = [micw_compress(px, w, h, int(px.max()), num_strips=3)
+             for px, w, h in imgs]
+    plan = MicwDecodePlan(blobs * 2)
+    decoded = plan.run()
+    exp = [px for px, _w, _h in imgs] * 2
+    assert plan.verify_batch(decoded, exp) is True
+    for bi in (0, 2, 5):
+        bad = list(exp)
+        bad[bi] = bad[bi].copy()
+        bad[bi][len(bad[bi]) // 2] ^= 1
+        assert plan.verify_batch(decoded, bad) is False, bi
