@@ -65,6 +65,7 @@ MAX_REPLICAS = int(os.environ.get("MIC_BENCH_MAX_REPLICAS", 512))
 TARGET_STRIPS = int(os.environ.get("MIC_BENCH_TARGET_STRIPS", 1024))
 REPS = int(os.environ.get("MIC_BENCH_REPS", 20))
 BUDGET_S = float(os.environ.get("MIC_BENCH_BUDGET_S", "1200"))
+VERIFY_RESERVE_S = float(os.environ.get("MIC_BENCH_VERIFY_RESERVE_S", "420"))
 
 # Measurement groups: one subprocess each, images ordered so the group's
 # first image warms the compiled-program family for the rest.  Grouped by
@@ -176,13 +177,11 @@ def run_group(names: list[str], reps: int) -> None:
         phase(f"{name}:cold")
         staged.append((name, plan, decoded, dt, cold_dt, k, px, len(blob)))
 
-    t_last = time.time()
+    # No verification here: a single scalar d2h costs 20-300 s on the
+    # tunneled backend (measured; the compare itself is <1 s), so the
+    # parent runs ONE --verify-all subprocess for the whole corpus after
+    # timing — same plans, same compiled programs, one scalar pull total.
     for name, plan, decoded, dt, cold_dt, k, px, blen in staged:
-        ok = plan.verify_batch(decoded, [px] * k)
-        phase(f"{name}:verify")
-        if not ok:
-            print(json.dumps({"name": name, "error": "decode mismatch"}), flush=True)
-            continue
         print(json.dumps({
             "name": name,
             "GBps": round(k * px.nbytes / dt / 1e9, 3),
@@ -191,6 +190,63 @@ def run_group(names: list[str], reps: int) -> None:
             "ratio": round(px.nbytes / blen, 3),
             "bytes": blen,
         }), flush=True)
+
+
+def run_verify_all(names: list[str]) -> None:
+    """Verify every named image's full replicated batch with ONE scalar
+    d2h for the whole corpus (subprocess entry).  Re-stages the same
+    plans the timing children ran (identical programs and inputs —
+    deterministic), runs each once, accumulates the per-bucket mismatch
+    counts on device, and pulls a single combined total."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.devices()
+    jnp.zeros((8, 128), jnp.uint32).block_until_ready()
+    print(json.dumps({"claimed": True}), flush=True)
+
+    from mic_tpu.tpu.strips import MicwDecodePlan, micw_compress, micw_parse
+
+    corpus = {c[0]: c for c in _corpus()}
+    totals = []
+    host_ok = True
+    done = []
+    for name in names:
+        if name not in corpus:
+            continue
+        _n, px, w, h, mx = corpus[name]
+        blob = micw_compress(px, w, h, mx)
+        n_strips = micw_parse(blob)[2]
+        k = max(1, min(MAX_REPLICAS, TARGET_STRIPS // max(1, n_strips)))
+        plan = MicwDecodePlan([blob] * k)
+        decoded = plan.run()
+        ok, total = plan.verify_batch_device(decoded, [px] * k)
+        if not ok:
+            host_ok = False
+            print(json.dumps({"verify_host_fail": name}), flush=True)
+            continue
+        if total is not None:
+            totals.append((name, total))
+        done.append(name)
+        print(json.dumps({"verify_staged": name}), flush=True)
+    mism = 0
+    if totals:
+        t = totals[0][1]
+        for _n, x in totals[1:]:
+            t = t + x
+        mism = int(t)  # the one scalar pull
+    if host_ok and mism == 0:
+        good = done
+    else:
+        # Failure path only: pay per-image pulls to attribute the
+        # mismatch, so the parent can still report the clean images.
+        bad = {n for n, x in totals if int(x) != 0}
+        good = [n for n in done if n not in bad]
+    print(json.dumps({
+        "verified_all": bool(host_ok and mism == 0),
+        "verified_names": good,
+        "mismatches": mism,
+    }), flush=True)
 
 
 def run_encode(reps: int) -> None:
@@ -367,8 +423,9 @@ def main() -> None:
     for group in GROUPS:
         group = [n for n in group if n in corpus_names]
         for name in group:
-            if remaining() < 60:
-                print(f"[bench] budget exhausted before {name}",
+            if remaining() < VERIFY_RESERVE_S + 60:
+                print(f"[bench] budget exhausted before {name} "
+                      f"(reserving {int(VERIFY_RESERVE_S)}s for verify-all)",
                       file=sys.stderr, flush=True)
                 break
             print(f"[bench] {name} (subprocess, {int(remaining())}s left)...",
@@ -380,7 +437,6 @@ def main() -> None:
                                  "error": results[-1].get("error", "missing")
                                  if results else "missing"})
             if "GBps" in res:
-                rates.append(res["GBps"])
                 detail[name] = {kk: res[kk] for kk in
                                 ("GBps", "cold_GBps", "replicas", "ratio", "bytes")
                                 if kk in res}
@@ -391,6 +447,36 @@ def main() -> None:
                 print(f"[bench] {name}: FAILED {res.get('error')}",
                       file=sys.stderr, flush=True)
             (res_dir / "bench_detail.json").write_text(json.dumps(detail, indent=1))
+
+    # One verification subprocess for everything measured: a single
+    # scalar d2h costs 20-300 s on the tunneled backend, so the corpus
+    # shares one pull.  Only images it confirms enter the headline.
+    measured = [n for n, d in detail.items() if "GBps" in d]
+    verified = []
+    responded = False
+    attempt = 0
+    while measured and not responded and attempt < 2 and remaining() > 180:
+        attempt += 1
+        print(f"[bench] verify-all {measured} (attempt {attempt}, "
+              f"{int(remaining())}s left)...", file=sys.stderr, flush=True)
+        vres = _run_sub(["--verify-all", ",".join(measured)],
+                        timeout=max(180.0, remaining() - 30),
+                        remaining=None)
+        for r in vres:
+            if "verified_names" in r:
+                responded = True
+                verified = r["verified_names"]
+                print(f"[bench] verified: {len(verified)}/{len(measured)} "
+                      f"(mismatches={r.get('mismatches')})",
+                      file=sys.stderr, flush=True)
+    for name in measured:
+        detail[name]["verified"] = name in verified
+        if name in verified:
+            rates.append(detail[name]["GBps"])
+        else:
+            print(f"[bench] {name}: measured but NOT verified — excluded",
+                  file=sys.stderr, flush=True)
+    (res_dir / "bench_detail.json").write_text(json.dumps(detail, indent=1))
 
     if remaining() > 90:
         print(f"[bench] encode (subprocess)...", file=sys.stderr, flush=True)
@@ -430,6 +516,7 @@ def main() -> None:
                 "unit": "GB/s",
                 "vs_baseline": round(geomean / BASELINE_GBPS, 3),
                 "measured_n": len(rates),
+                "verified_n": len(verified),
                 "total_n": total_n,
             }
         )
@@ -441,10 +528,13 @@ if __name__ == "__main__":
     ap.add_argument("--group", default="")
     ap.add_argument("--one", default="")  # back-compat: single image
     ap.add_argument("--encode", action="store_true")
+    ap.add_argument("--verify-all", default="")
     ap.add_argument("--reps", type=int, default=REPS)
     args = ap.parse_args()
     if args.encode:
         run_encode(args.reps)
+    elif args.verify_all:
+        run_verify_all(args.verify_all.split(","))
     elif args.group:
         run_group(args.group.split(","), args.reps)
     elif args.one:

@@ -1339,15 +1339,19 @@ class MicwDecodePlan:
         """Execute all device programs; returns {bucket_key: device array}."""
         return {k: (fn() if fn is not None else None) for k, fn in self.launches.items()}
 
-    def verify_batch(self, decoded, expected_per_blob) -> bool:
-        """Bit-exactness of EVERY blob in one device compare per bucket.
+    def verify_batch_device(self, decoded, expected_per_blob, trace=None):
+        """Device-side half of :meth:`verify_batch`: returns (host_ok,
+        device_total) where ``host_ok`` covers raw/const strips and
+        fallback blobs (verified host-side immediately) and
+        ``device_total`` is a device scalar mismatch count (or None when
+        every strip verified host-side).  Callers batching verification
+        across many plans sum the device totals and pay ONE scalar d2h —
+        on tunneled backends a single 4-byte pull can cost minutes, so
+        the pull count, not the compare work, is the budget.
 
-        ``verify_against`` builds a per-image concat-of-slices compare
-        program whose XLA compile on the tunneled service costs minutes
-        per distinct strip mix; this path instead compares each bucket's
-        [S, cols] output array against a host-assembled expected array of
-        the SAME shape (mismatch-count reduce, one scalar d2h per
-        bucket), so the compare programs share the decode buckets' shape
+        Each bucket's [S, cols] output array compares against a
+        host-assembled expected array of the SAME shape (mismatch-count
+        reduce), so the compare programs share the decode buckets' shape
         family and compile once per geometry.  Verifies all replicas,
         not just blob 0.
         """
@@ -1362,7 +1366,7 @@ class MicwDecodePlan:
                 k != "raw" and decoded.get(k) is None for k, _ in keys
             ):
                 if not self.verify_against(decoded, expected, bi):
-                    return False
+                    return False, None
                 continue
             info = micw_band_info(self.blobs[bi])
             if info is not None:
@@ -1376,37 +1380,69 @@ class MicwDecodePlan:
                     st = self.raw_strips[idx]
                     if st[5] == STRIP_MODE_CONST:
                         if not (seg == np.frombuffer(st[0], dtype="<u2", count=1)[0]).all():
-                            return False
+                            return False, None
                     elif not np.array_equal(
                         seg, np.frombuffer(st[0], dtype="<u2", count=width * sh)
                     ):
-                        return False
+                        return False, None
                     continue
                 # zzd buckets mix geometries (width rides the ws operand),
                 # so segments pad to the bucket max with per-row valid
                 # lengths.
                 exp_buckets.setdefault(k, {})[idx] = seg
+        # Three strictly ordered phases for the tunneled backend: stage
+        # every expected array h2d while the client is still clean (the
+        # first d2h drops it into a degraded sync mode), then dispatch
+        # every compare, then pull ONE combined scalar.
+        trace = trace or (lambda _tag: None)
+        staged = []
         for k, segs in exp_buckets.items():
             S = len(segs)
             cols = max(len(s) for s in segs.values())
             dev = decoded[k]
             if dev.shape[0] != S or dev.shape[1] < cols:
-                return False
+                return False, None
             exp = np.zeros((S, cols), np.uint16)
             valid = np.zeros((S, 1), np.int32)
             for i in range(S):
                 s = segs[i]
                 exp[i, : len(s)] = s
                 valid[i, 0] = len(s)
-            if (valid == cols).all():
-                mism = _bucket_mismatches(dev, jnp.asarray(exp), cols=cols)
+            trace(f"host_assemble[{S}x{cols}]")
+            exp_d = jax.device_put(exp)
+            valid_d = None if (valid == cols).all() else jax.device_put(valid)
+            exp_d.block_until_ready()
+            trace(f"h2d[{S}x{cols}]")
+            staged.append((dev, exp_d, valid_d, cols))
+        misms = []
+        for dev, exp_d, valid_d, cols in staged:
+            if valid_d is None:
+                misms.append(_bucket_mismatches(dev, exp_d, cols=cols))
             else:
-                mism = _bucket_mismatches_masked(
-                    dev, jnp.asarray(exp), jnp.asarray(valid), cols=cols
-                )
-            if int(mism) != 0:
-                return False
-        return True
+                misms.append(_bucket_mismatches_masked(dev, exp_d, valid_d, cols=cols))
+        if not misms:
+            return True, None
+        total = misms[0]
+        for m in misms[1:]:
+            total = total + m
+        total.block_until_ready()
+        trace("compare_dispatch")
+        return True, total
+
+    def verify_batch(self, decoded, expected_per_blob, trace=None) -> bool:
+        """Bit-exactness of EVERY blob: device compares + one scalar
+        pull.  See :meth:`verify_batch_device` for the batching form."""
+        trace = trace or (lambda _tag: None)
+        host_ok, total = self.verify_batch_device(
+            decoded, expected_per_blob, trace=trace
+        )
+        if not host_ok:
+            return False
+        if total is None:
+            return True
+        ok = int(total) == 0
+        trace("scalar_pull")
+        return ok
 
     def verify_against(self, decoded, expected, bi: int = 0) -> bool:
         """Bit-exactness check of blob ``bi`` WITHOUT pulling pixels to
