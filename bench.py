@@ -307,12 +307,31 @@ def run_encode(reps: int) -> None:
     out = rans_encode_pallas(*args, steps=steps, n_strips=S, asweep=asweep)
     for o in out:
         o.block_until_ready()
+    # Each rep gets a DISTINCT pre-staged rank operand (one symbol of
+    # strip 0 toggled between equal-rank values is not guaranteed safe,
+    # so vary the replica order instead): identical async launches were
+    # elided by the backend (a 20-rep loop of the same args measured
+    # "2682 GB/s" = dispatch enqueue), while chaining rep N's input on
+    # rep N-1's output serializes on ~75 ms tunnel RPCs (1.1 GB/s).
+    # Distinct inputs keep the pipeline async AND force real encodes.
+    n_var = min(4, reps)
+    rk_reps = []
+    for i in range(n_var):
+        rolled = np.roll(rep(rk).reshape(S, steps, 128), i * n_strips, axis=0)
+        rk_reps.append(jnp.asarray(rolled))
+    for a in rk_reps:
+        a.block_until_ready()
     t0 = time.time()
-    for _ in range(reps):
-        out = rans_encode_pallas(*args, steps=steps, n_strips=S, asweep=asweep)
-    for o in out:
-        o.block_until_ready()
+    outs = [
+        rans_encode_pallas(rk_reps[i % n_var], *args[1:], steps=steps,
+                           n_strips=S, asweep=asweep)
+        for i in range(reps)
+    ]
+    for out in outs:
+        for o in out:
+            o.block_until_ready()
     dt = (time.time() - t0) / reps
+    out = outs[0]
     print(json.dumps({
         "encode_GBps": round(k * px.nbytes / dt / 1e9, 3),
         "replicas": k,
