@@ -121,6 +121,11 @@ def run_all(names: list[str]) -> None:
         import gc
 
         gc.collect()
+        # Dead runners' traced closures can poison jax's lowering cache
+        # (KeyError in _lower_jaxpr_to_fun_cached when a later image's
+        # macro program lowers); drop the caches between images — the
+        # service's executable cache keeps recompiles cheap.
+        jax.clear_caches()
 
     _encode_metric(phase)
 

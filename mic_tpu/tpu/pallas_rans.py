@@ -405,7 +405,7 @@ def build_packed_tables(parsed, table_log: int, min_steps: int = 0):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ws_ref, out_ref, *, steps, n_strips, table_log, asweep):
+def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ws_ref, out_ref, *, steps, n_strips, table_log, asweep, vdd_ws=0):
     S = n_strips
     SWEEP = (1 << table_log) // 128
     ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
@@ -413,7 +413,7 @@ def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ws
     M = (ri < ci).astype(jnp.bfloat16)
     Mi = (ri <= ci).astype(jnp.float32)
 
-    def step(carry):
+    def step(carry, col=0):
         x, cur, rowc, rcnt = carry
         slot = (x & mask_ref[:]).astype(jnp.int32)
         hi = slot >> 7
@@ -457,6 +457,19 @@ def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ws
         xn = jnp.where(need, (xn << jnp.uint32(16)) | wv, xn)
         si = sym.astype(jnp.int32)
         dz = (si >> 1) ^ (-(si & 1))
+        if vdd_ws:
+            # vdd: pixel = previous row's pixel (same column) + delta.
+            # ``rowc`` carries the previous row as vdd_ws stacked
+            # 128-lane chunks; the unroll guarantees ``col`` is static
+            # (vdd_ws divides the 8-step unroll), so the chunk update is
+            # static slicing + concat (Pallas TC has no dynamic_slice) —
+            # no matmul at all.
+            c0 = col * 128
+            pix = (rowc[:, c0 : c0 + 128] + dz) & 0xFFFF
+            parts = [p for p in (rowc[:, :c0], pix, rowc[:, c0 + 128 :])
+                     if p.shape[1]]
+            rowc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            return (xn, cur + total, rowc, rcnt), pix.astype(jnp.uint16)
         ps = jax.lax.dot_general(
             dz.astype(jnp.float32), Mi, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -474,18 +487,19 @@ def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ws
 
     def body(tb, carry):
         outs = []
-        for _ in range(8):
-            carry, pix = step(carry)
+        for j in range(8):
+            carry, pix = step(carry, col=(j % vdd_ws) if vdd_ws else 0)
             outs.append(pix.reshape(S, 1, 128))
         out_ref[:, pl.ds(tb * 8, 8), :] = jnp.concatenate(outs, axis=1)
         return carry
 
     zero = jnp.zeros((S, 1), jnp.int32)
-    jax.lax.fori_loop(0, steps // 8, body, (init_ref[:], zero, zero, zero))
+    rowc0 = jnp.zeros((S, vdd_ws * 128 if vdd_ws else 1), jnp.int32)
+    jax.lax.fori_loop(0, steps // 8, body, (init_ref[:], zero, rowc0, zero))
 
 
-@partial(jax.jit, static_argnames=("steps", "n_strips", "table_log", "asweep"))
-def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, ws, *, steps, n_strips, table_log, asweep):
+@partial(jax.jit, static_argnames=("steps", "n_strips", "table_log", "asweep", "vdd_ws"))
+def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, ws, *, steps, n_strips, table_log, asweep, vdd_ws=0):
     """Fused MICW-zzd decode: packed-table rANS + unzigzag + row cumsum.
 
     Returns uint16[S, steps, 128] PIXELS (row-major per strip).  ws is
@@ -503,6 +517,7 @@ def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, ws, *, steps, n
         full = rans_decode_pallas_zzd(
             init, tpk, alpha, words, mask, shift, ws,
             steps=steps, n_strips=S + pad, table_log=table_log, asweep=asweep,
+            vdd_ws=vdd_ws,
         )
         return full[:S]
     grid = S // GROUP()
@@ -510,7 +525,7 @@ def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, ws, *, steps, n
     return pl.pallas_call(
         partial(
             _kernel_zzd, steps=steps, n_strips=GROUP(), table_log=table_log,
-            asweep=asweep,
+            asweep=asweep, vdd_ws=vdd_ws,
         ),
         out_shape=jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
         grid=(grid,),

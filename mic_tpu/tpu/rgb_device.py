@@ -26,11 +26,19 @@ __all__ = ["micwr_compress", "micwr_decompress_device", "micwr_decode_many", "mi
 MWR3_MAGIC = b"MWR3"
 
 
-def micwr_compress(rgb, width: int, height: int, num_strips: int = 0) -> bytes:
-    """Interleaved RGB bytes -> MWR3 (three MICW plane blobs)."""
+def micwr_compress(rgb, width: int, height: int, num_strips: int = 0,
+                   predictor: str = "auto") -> bytes:
+    """Interleaved RGB bytes -> MWR3 (three MICW plane blobs).
+
+    Defaults to the ratio-first "auto" trial set: RGB/ultrasound planes
+    have large flat regions where the RLE'd modes win big (US1 6.84 vs
+    6.19 direct-only), and the delivery tier's host decode handles every
+    mode at full speed.  Pass "auto-fast" for device-throughput-first
+    planes."""
     y, co, cg = ycocgr_forward(rgb, width, height)
     blobs = [
-        micw_compress(p, width, height, int(p.max()), num_strips=num_strips)
+        micw_compress(p, width, height, int(p.max()), num_strips=num_strips,
+                      predictor=predictor)
         for p in (y, co, cg)
     ]
     out = bytearray()

@@ -106,7 +106,12 @@ STRIP_MODE_PDD = 7  # per-strip: plane-direct (W+N-NW delta, no RLE;
 STRIP_MODE_ZZR = 8  # per-strip: zz-direct + SoA-RLE (no escapes)
 STRIP_MODE_VDR = 9  # per-strip: vertical-direct + SoA-RLE
 STRIP_MODE_PDR = 10  # per-strip: plane-direct + SoA-RLE
-MAX_TABLE_LOG = 12  # packed-kernel cap (bias<<12|rank per slot)
+MAX_TABLE_LOG = 11  # decode-speed sweet spot: the packed kernel's table
+# sweep is 2^tl/128 VPU rounds per 128-symbol step, the dominant decode
+# cost.  tl<=11 measured +54% decode for -1.8% ratio vs tl<=12 on the
+# honest macro-loop harness; tl<=10 LOSES speed (alphabets overflow
+# 1024 slots and strips fall to slower paths).  Format still reads
+# tl<=12 blobs (the packed-slot layout is bias<<12|rank).
 MAX_ALPHABET = 4096  # packed-kernel cap (12-bit rank)
 MICW_BAND_W = 512  # column-band width for FLAG_BANDED containers
 MID_DIRECT = 16383  # RLE midCount for the r-modes: the direct symbol
@@ -808,8 +813,8 @@ def _pow2_at_least(x: int, lo: int = 1) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("steps", "chunk_s", "tl", "asweep", "pdd_geom"))
-def _stacked_zzd_fused(ops, *, steps, chunk_s, tl, asweep, pdd_geom=None):
+@partial(jax.jit, static_argnames=("steps", "chunk_s", "tl", "asweep", "pdd_geom", "vdd_ws"))
+def _stacked_zzd_fused(ops, *, steps, chunk_s, tl, asweep, pdd_geom=None, vdd_ws=0):
     """lax.map of the fused zzd kernel over stacked chunks — module-level
     jit so the executable is shared across plans/batches/images.
 
@@ -821,6 +826,7 @@ def _stacked_zzd_fused(ops, *, steps, chunk_s, tl, asweep, pdd_geom=None):
     def body(o):
         pix = rans_decode_pallas_zzd(
             *o, steps=steps, n_strips=chunk_s, table_log=tl, asweep=asweep,
+            vdd_ws=vdd_ws,
         )
         out = pix.reshape(chunk_s, -1)
         if pdd_geom is not None:
@@ -951,15 +957,17 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
         ops = (_stack(0), _stack(1), _stack(2), _stack(3, pad_axis=1),
                _stack(4), _stack(5))
 
-    if pred in ("zzd", "pdd") and width % 128 == 0 and use_packed:
+    fused_vdd = pred == "vdd" and width % 128 == 0 and (width // 128) in (1, 2, 4, 8)
+    if (pred in ("zzd", "pdd") or fused_vdd) and width % 128 == 0 and use_packed:
         ws = jnp.asarray(np.full((n_chunks, _CHUNK_S, 128), width // 128, np.uint32))
         geom = (width, strip_h) if pred == "pdd" else None
+        vws = width // 128 if fused_vdd else 0
 
         def run_fused(ops_all=None):
             o = ops_all if ops_all is not None else ops + (ws,)
             out = _stacked_zzd_fused(
                 o, steps=steps, chunk_s=_CHUNK_S, tl=tl, asweep=asweep,
-                pdd_geom=geom,
+                pdd_geom=geom, vdd_ws=vws,
             )
             return out.reshape(n_chunks * _CHUNK_S, -1)[:S_real, : strip_h * width]
 
@@ -1244,7 +1252,9 @@ class MicwDecodePlan:
                     keys.append(("raw", len(self.raw_strips) - 1))
                     continue
                 p = mict_parse(st[0])
-                if pred in ("zzd", "pdd") and width % 128 == 0:
+                fused_vdd = (pred == "vdd" and width % 128 == 0
+                             and (width // 128) in (1, 2, 4, 8))
+                if (pred in ("zzd", "pdd") or fused_vdd) and width % 128 == 0:
                     # Bucket by padded step count (power of two, min 8):
                     # strips of similar size share a launch, so small
                     # images don't pad to the largest image's scan length.
@@ -1255,7 +1265,12 @@ class MicwDecodePlan:
                     b = 8
                     while b < need:
                         b *= 2
-                    bk = ("pdd", b, width, strip_h) if pred == "pdd" else ("zzd", b)
+                    if pred == "pdd":
+                        bk = ("pdd", b, width, strip_h)
+                    elif pred == "vdd":
+                        bk = ("vdd", b, width)
+                    else:
+                        bk = ("zzd", b)
                     keys.append((bk, len(zzd_buckets.setdefault(bk, []))))
                     zzd_buckets[bk].append((p, width))
                 else:
@@ -1277,6 +1292,7 @@ class MicwDecodePlan:
         for bk, entries in zzd_buckets.items():
             b = bk[1]
             geom = (bk[2], bk[3]) if bk[0] == "pdd" else None
+            vws = bk[2] // 128 if bk[0] == "vdd" else 0
             parsed_all = [e[0] for e in entries]
             tl = max(p[1] for p in parsed_all)
             S_real = len(entries)
@@ -1326,16 +1342,17 @@ class MicwDecodePlan:
             ops = (stack(0), stack(1), stack(2, pad_axis=1), stack(3, pad_axis=1),
                    stack(4), stack(5), jnp.asarray(ws))
 
-            def make_run(ops_full, steps, pad_to, tl, asweep, S_real, geom):
+            def make_run(ops_full, steps, pad_to, tl, asweep, S_real, geom, vws):
                 def run(ops_all=None):
                     return MicwDecodePlan._run_zzd_stacked(
                         ops_all if ops_all is not None else ops_full,
-                        steps, pad_to, tl, asweep, S_real, geom,
+                        steps, pad_to, tl, asweep, S_real, geom, vws,
                     )
                 run.ops = ops_full
                 return run
 
-            self.launches[bk] = make_run(ops, steps, pad_to, tl, asweep, S_real, geom)
+            self.launches[bk] = make_run(ops, steps, pad_to, tl, asweep, S_real,
+                                         geom, vws)
         for gk, entries in rle_groups.items():
             pred, width, strip_h, mid, delim = gk
             parsed = [e[0] for e in entries]
@@ -1345,10 +1362,11 @@ class MicwDecodePlan:
             )
 
     @staticmethod
-    def _run_zzd_stacked(ops, steps, chunk_s, tl, asweep, s_real, geom=None):
+    def _run_zzd_stacked(ops, steps, chunk_s, tl, asweep, s_real, geom=None,
+                         vdd_ws=0):
         out = _stacked_zzd_fused(
             ops, steps=steps, chunk_s=chunk_s, tl=tl, asweep=asweep,
-            pdd_geom=geom,
+            pdd_geom=geom, vdd_ws=vdd_ws,
         )
         return out.reshape(out.shape[0] * chunk_s, -1)[:s_real]
 
