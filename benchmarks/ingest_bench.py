@@ -8,9 +8,8 @@ and decoded many times.
 
 Also measures the round-3 device entropy stage (--tans): the pallas_tans
 kernel decoding the reference FF04 streams themselves, batched across
-strips — kernel-steady-state symbols/s (outputs stay device-resident;
-through this image's tunneled backend any d2h pull is pathologically
-slow and would measure the tunnel, not the kernel).
+strips — honest macro-loop symbols/s (n in-program iterations behind
+an optimization_barrier, synced by a data pull; see ROUND3_NOTES).
 
 Usage: python benchmarks/ingest_bench.py [--reps N] [--tans]
 """
@@ -72,15 +71,40 @@ def run_tans(reps: int) -> int:
     args_d = tuple(jnp.asarray(a) for a in ops)
     kw = dict(steps=steps, n_streams=len(parsed), n_states=4,
               table_log=tl_max, asweep=asweep)
-    out = tans_decode_pallas(*args_d, **kw).block_until_ready()
-    t0 = time.time()
-    for _ in range(reps):
-        out = tans_decode_pallas(*args_d, **kw)
-    out.block_until_ready()
-    dt = (time.time() - t0) / reps
+
+    # Honest macro-loop (ROUND3_NOTES: block_until_ready on the tunneled
+    # backend acknowledges enqueue, not execution): n in-program decode
+    # iterations behind an optimization_barrier, synced by a data pull.
+    @jax.jit
+    def run_n(n, args):
+        def cond(c):
+            return c[0] < n
+
+        def body(c):
+            i, probe = c
+            a_b, p_b = jax.lax.optimization_barrier((args, probe))
+            out = tans_decode_pallas(*a_b, **kw)
+            return (i + 1, p_b + out[0, 0, :8].astype(jnp.uint32).sum())
+
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.uint32(0)))[1]
+
+    _ = int(np.asarray(jnp.zeros((), jnp.uint32)))  # d2h handshake tax
+
+    def timed(n):
+        t = time.time()
+        int(np.asarray(run_n(jnp.int32(n), args_d)))
+        return time.time() - t
+
+    timed(0)
+    t_o = timed(0)
+    t_c = timed(4)
+    per = max((t_c - t_o) / 4, 1e-5)
+    n = int(min(400, max(8, 3.0 / per)))
+    dt = max((timed(n) - t_o) / n, 1e-7)
     print(json.dumps({
         "tans_streams": len(parsed),
         "tans_symbol_MBps": round(sym_bytes / dt / 1e6, 1),
+        "iters": n,
         "steps": steps,
     }))
     return 0
@@ -117,26 +141,52 @@ def main() -> int:
     ingest_dt = time.time() - t0
     total = sum(p.nbytes for p in raw)
 
-    # Exactness check on device (tunneled device->host can be very slow;
-    # host->device staging of the expected pixels is the cheap direction).
-    decoded0 = plan.run()
-    for bi, (want, name) in enumerate(zip(raw, names)):
-        assert plan.verify_against(decoded0, want, bi), f"ingest mismatch on {name}"
+    # Honest macro-loop steady-state with in-program verification (see
+    # ROUND3_NOTES: async dispatch cannot be awaited on this backend).
+    runner = plan.make_timed_runner(raw)
+    if runner is not None:
+        import jax.numpy as jnp
 
-    t0 = time.time()
-    for _ in range(args.reps):
-        decoded = plan.run()
-    for v in decoded.values():
-        if v is not None:
-            v.block_until_ready()
-    dec_dt = (time.time() - t0) / args.reps
+        _ = int(np.asarray(jnp.zeros((), jnp.uint32)))  # d2h handshake tax
+
+        def timed(n):
+            t = time.time()
+            m, p = runner(n)
+            m = int(m)
+            int(p)
+            return time.time() - t, m
+
+        timed(0)
+        t_o, _m = timed(0)
+        t_c, m_c = timed(4)
+        per = max((t_c - t_o) / 4, 1e-5)
+        n = int(min(400, max(8, 3.0 / per)))
+        t_n, m_n = timed(n)
+        dec_dt = max((t_n - t_o) / n, 1e-7)
+        bit_exact = (m_c == 0 and m_n == 0)
+    else:
+        # Small plans stage through paths without macro support: verify
+        # per-blob, report dispatch-bounded timing (labeled).
+        decoded0 = plan.run()
+        bit_exact = all(
+            plan.verify_against(decoded0, want, bi)
+            for bi, want in enumerate(raw)
+        )
+        t0 = time.time()
+        for _ in range(args.reps):
+            decoded = plan.run()
+        for v in decoded.values():
+            if v is not None:
+                v.block_until_ready()
+        dec_dt = (time.time() - t0) / args.reps
 
     result = {
         "ingest_MBps": round(total / ingest_dt / 1e6, 1),
         "steady_decode_GBps": round(total / dec_dt / 1e9, 3),
+        "honest_macro_loop": runner is not None,
         "blobs": len(ref_blobs),
         "pixel_bytes": total,
-        "bit_exact": True,
+        "bit_exact": bool(bit_exact),
     }
     print(json.dumps(result))
     return 0

@@ -441,18 +441,18 @@ def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ws
         )
         k = kf.astype(jnp.int32)
         total = k[:, 127:128] + nee[:, 127:128]
-        win0 = jnp.concatenate(
-            [words_ref[s, pl.ds(cur[s, 0] >> 7, 1), :] for s in range(S)], axis=0
-        )
-        win1 = jnp.concatenate(
-            [words_ref[s, pl.ds((cur[s, 0] >> 7) + 1, 1), :] for s in range(S)], axis=0
+        # One 2-row slice per strip (vs two 1-row slices): the slice
+        # count is per-step serial work the VPU cannot batch.
+        win = jnp.concatenate(
+            [words_ref[s, pl.ds(cur[s, 0] >> 7, 2), :].reshape(1, 256)
+             for s in range(S)], axis=0
         )
         idx = (cur & 127) + k
         idx0 = idx & 127
         wv = jnp.where(
             idx < 128,
-            jnp.take_along_axis(win0, idx0, axis=1),
-            jnp.take_along_axis(win1, idx0, axis=1),
+            jnp.take_along_axis(win[:, :128], idx0, axis=1),
+            jnp.take_along_axis(win[:, 128:], idx0, axis=1),
         )
         xn = jnp.where(need, (xn << jnp.uint32(16)) | wv, xn)
         si = sym.astype(jnp.int32)

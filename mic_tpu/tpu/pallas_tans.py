@@ -36,8 +36,13 @@ TPU mapping (the interesting part — a bit cursor is inherently serial):
 Throughput ceiling is ~N/128 of the wide-lane rANS kernel (the table
 sweep serves 128 lanes of which N are live) — the price of the byte
 format's 4-8-way ILP design on a 128-lane machine, and exactly why MICW
-exists; this kernel's job is serving/ingesting EXISTING reference blobs
-at multi-GB/s rather than ~0.5 GB/s host rates.
+exists.  Honest macro-loop measurement (benchmarks/ingest_bench.py
+--tans, real v5e): ~58 MB/s over 100 corpus strips — BELOW the native
+host tier's ~470 MB/s/core.  This kernel is therefore a capability
+(bit-exact device decode of reference blobs with no host in the loop,
+e.g. a device-resident serving pipeline), not the fast path; ingest
+defaults to the native tier and transcodes to MICW for device-rate
+decode.
 """
 
 from __future__ import annotations
