@@ -485,17 +485,19 @@ def _kernel_zzd(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref, ws
         rcnt = jnp.where(rcnt >= ws_ref[:, :1].astype(jnp.int32), jnp.zeros_like(rcnt), rcnt)
         return (xn, cur + total, rowc, rcnt), pix.astype(jnp.uint16)
 
+    UNROLL = 16 if steps % 16 == 0 else 8
+
     def body(tb, carry):
         outs = []
-        for j in range(8):
+        for j in range(UNROLL):
             carry, pix = step(carry, col=(j % vdd_ws) if vdd_ws else 0)
             outs.append(pix.reshape(S, 1, 128))
-        out_ref[:, pl.ds(tb * 8, 8), :] = jnp.concatenate(outs, axis=1)
+        out_ref[:, pl.ds(tb * UNROLL, UNROLL), :] = jnp.concatenate(outs, axis=1)
         return carry
 
     zero = jnp.zeros((S, 1), jnp.int32)
     rowc0 = jnp.zeros((S, vdd_ws * 128 if vdd_ws else 1), jnp.int32)
-    jax.lax.fori_loop(0, steps // 8, body, (init_ref[:], zero, rowc0, zero))
+    jax.lax.fori_loop(0, steps // UNROLL, body, (init_ref[:], zero, rowc0, zero))
 
 
 @partial(jax.jit, static_argnames=("steps", "n_strips", "table_log", "asweep", "vdd_ws"))
