@@ -126,6 +126,7 @@ def run_all(names: list[str]) -> None:
         # macro program lowers); drop the caches between images — the
         # service's executable cache keeps recompiles cheap.
         jax.clear_caches()
+        phase(f"{name}:cleanup")
 
     _encode_metric(phase)
 
