@@ -602,3 +602,26 @@ def test_micw_plan_verify_batch(rng, _jit_enabled):
         bad[bi] = bad[bi].copy()
         bad[bi][len(bad[bi]) // 2] ^= 1
         assert plan.verify_batch(decoded, bad) is False, bi
+
+
+def test_micw_fused_vdd_plan(rng, _jit_enabled):
+    """Fused-vdd kernel path (vdd_ws prev-row carry in the Pallas
+    kernel): a vertical-gradient image forces vdd strips; a 40-replica
+    plan routes them through the stacked fused bucket.  In-program
+    verification must pass and host/device must agree."""
+    from mic_tpu.tpu.strips import (
+        MicwDecodePlan,
+        micw_compress,
+        micw_decompress_host,
+    )
+
+    img = (np.arange(96)[:, None] * 37 + rng.integers(0, 6, (96, 256))).astype(np.int64)
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    blob = micw_compress(px, 256, 96, int(px.max()), num_strips=2, predictor="vdd")
+    a, *_ = micw_decompress_host(blob)
+    assert np.array_equal(a, px)
+    plan = MicwDecodePlan([blob] * 40)
+    runner = plan.make_timed_runner([px] * 40)
+    assert runner is not None
+    m, _p = runner(2)
+    assert int(m) == 0
