@@ -28,6 +28,7 @@ __all__ = [
     "decode_strips_sharded",
     "decode_strips_sharded_pallas",
     "decode_tans_sharded",
+    "encode_strips_sharded",
 ]
 
 
@@ -110,3 +111,26 @@ def decode_tans_sharded(mesh: Mesh, init, pos, cnt, tpk, alpha, words, **static)
         check_vma=False,
     )
     return jax.jit(fn)(init, pos, cnt, tpk, alpha, words)
+
+
+def encode_strips_sharded(mesh: Mesh, ranks, te1, te2, count, tls, **static):
+    """Device ENCODE (pallas_enc.rans_encode_pallas) with the strip axis
+    sharded over ``mesh`` — each chip encodes its local strips; the
+    ragged compressed outputs gather host-side from the per-shard word
+    planes (the offset table each container writes is exactly the
+    metadata this produces).  Strip count must divide the mesh size.
+    """
+    from .pallas_enc import rans_encode_pallas
+
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+    per_shard = ranks.shape[0] // mesh.devices.size
+    body = partial(rans_encode_pallas, **{**static, "n_strips": per_shard})
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(spec for _ in range(5)),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)(ranks, te1, te2, count, tls)

@@ -70,3 +70,52 @@ def test_sharded_pallas_decode():
     got = np.asarray(out).reshape(ns, -1)
     for i in range(ns):
         assert np.array_equal(got[i][: sh * width], px[i * sh * width : (i + 1) * sh * width])
+
+
+def test_sharded_encode():
+    """Device encode under shard_map: sharded outputs == single-program
+    outputs, strip axis split across the 8-device CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 devices")
+    from mic_tpu.ops.fse import histogram, normalize_count, optimal_table_log
+    from mic_tpu.tpu.device_rans import device_tables
+    from mic_tpu.tpu.mesh import encode_strips_sharded, make_strip_mesh
+    from mic_tpu.tpu.pallas_enc import build_enc_tables, rans_encode_pallas
+
+    rng = np.random.default_rng(21)
+    S = 8
+    n = 4096
+    specs, rks, cnts, tls_l = [], [], [], []
+    for s in range(S):
+        syms = (rng.standard_normal(n) * 12 + 80).clip(0, 511).astype(np.uint16)
+        counts, _mc, sl = histogram(syms)
+        tl = min(optimal_table_log(11, n, sl), 11)
+        norm = normalize_count(counts, n, tl, sl)
+        _sym, _fs, _bs, freq, cumul = device_tables(norm, tl)
+        alpha = np.nonzero(freq)[0]
+        lut = np.zeros(65536, np.uint16)
+        lut[alpha] = np.arange(len(alpha), dtype=np.uint16)
+        specs.append((freq[alpha].astype(np.uint32), cumul[alpha].astype(np.uint32)))
+        rks.append(lut[syms])
+        cnts.append(n)
+        tls_l.append(tl)
+    steps = (-(-n // 128) + 7) // 8 * 8
+    te1, te2, asweep = build_enc_tables(specs, 11)
+    rk = np.zeros((S, steps * 128), np.uint16)
+    cnt = np.zeros((S, 128), np.uint32)
+    tls = np.zeros((S, 128), np.uint32)
+    for i in range(S):
+        rk[i, : len(rks[i])] = rks[i]
+        cnt[i, :] = cnts[i]
+        tls[i, :] = tls_l[i]
+    args = (jnp.asarray(rk.reshape(S, steps, 128)), jnp.asarray(te1),
+            jnp.asarray(te2), jnp.asarray(cnt), jnp.asarray(tls))
+    kw = dict(steps=steps, asweep=asweep)
+    ref = rans_encode_pallas(*args, n_strips=S, **kw)
+    mesh = make_strip_mesh(jax.devices()[:8])
+    got = encode_strips_sharded(mesh, *args, **kw)
+    for a, b in zip(ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
