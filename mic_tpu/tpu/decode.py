@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .device_rans import RANS_L, device_tables, mict_parse
+from .device_rans import RANS_L, device_tables, mict_parse, slot_tables  # noqa: F401
 
 __all__ = ["rans_decode_jax", "mict_decode_device", "DecodePlan", "make_plan"]
 
@@ -51,8 +51,8 @@ class DecodePlan:
 
 
 def make_plan(blob: bytes) -> DecodePlan:
-    L, tl, count, states, words, norm, _sl = mict_parse(blob)
-    sym, freq_slot, bias_slot, _, _ = device_tables(norm, tl)
+    L, tl, count, states, words, norm, _sl, alias = mict_parse(blob)
+    sym, freq_slot, bias_slot, _, _ = slot_tables(norm, tl, alias)
     # Pad words by one sentinel so the gather of an exhausted cursor is safe.
     words_p = np.concatenate([words, np.zeros(1, dtype=np.uint16)])
     return DecodePlan(

@@ -54,15 +54,27 @@ from ..ops.fse import (
 
 __all__ = [
     "MICT_MAGIC",
+    "MICT_ALIAS_MAGIC",
     "RANS_L",
     "mict_encode",
     "mict_decode_numpy",
     "mict_parse",
     "device_tables",
+    "alias_construct",
+    "alias_slot_tables",
+    "slot_tables",
 ]
 
 MICT_MAGIC = b"\xffW"
+MICT_ALIAS_MAGIC = b"\xffA"  # alias-mapped slot permutation (see alias_construct)
 RANS_L = 1 << 16  # state lower bound / renorm threshold
+ALIAS_MAX_KEPT = 255  # kept symbols per alias stream (alphabet incl. ESC <= 256)
+
+
+class AliasInfeasible(ValueError):
+    """No 128-bucket/2-symbol alias layout exists for this normalized
+    distribution (alphabet > 256, or pairing strands a symbol) — the
+    encoder folds more of the tail into ESC and retries."""
 
 
 def _freqs_from_norm(norm: np.ndarray) -> np.ndarray:
@@ -95,18 +107,172 @@ def device_tables(norm: np.ndarray, table_log: int):
     return sym, freq_slot, bias_slot, freqs, cumul
 
 
+def alias_construct(norm: np.ndarray, table_log: int):
+    """Deterministic integer Vose alias layout over exactly 128 buckets.
+
+    The 2^tl decode slots are regrouped into 128 equal buckets of
+    K = 2^(tl-7) slots, each holding at most TWO symbols: a *primary*
+    occupying the first ``t`` slots and an *alias* filling the rest.
+    This is the classic alias-method construction (Vose '91; Giesen's
+    "rANS with static probability distributions" applies it to ANS) —
+    the TPU payoff is that the per-step table lookup becomes a single
+    ``take_along_axis`` over a 128-wide bucket row instead of a
+    2^tl/128-round masked sweep (pallas_rans._kernel_packed), because
+    bucket = slot >> (tl-7) always fits one hardware-gather row.
+
+    Both encoder and decoder derive the layout from the normalized
+    counts with THIS routine (stacks popped from the end, buckets filled
+    in ascending order), so nothing extra rides the stream header.
+
+    Returns a dict with per-bucket arrays (length 128) ``p``/``a``
+    (symbol values u16), ``t`` (primary slot count, 1..K), ``fp``/``fa``
+    (frequencies), ``sbp``/``sba`` (the running per-symbol slot index of
+    each bucket's first primary/alias slot — the decode bias base), plus
+    ``slot_of`` (u32[2^tl]): the encoder's permutation, mapping
+    cumul[s] + j -> slot for symbol s's j-th slot.
+    """
+    if table_log < 7:
+        raise ValueError("alias_construct: table_log must be >= 7")
+    M = 1 << table_log
+    K = M >> 7
+    freqs = _freqs_from_norm(norm)
+    if int(freqs.sum()) != M:
+        raise ValueError("alias_construct: freqs do not sum to table size")
+    syms = np.nonzero(freqs)[0]
+    if len(syms) > 256:
+        # 128 buckets x <=2 symbols: alphabets beyond 256 are infeasible
+        # by counting; the encoder escape-folds the tail first.
+        raise AliasInfeasible(f"alphabet {len(syms)} > 256")
+    w = freqs[syms].astype(np.int64).copy()
+    cumul = np.zeros(len(syms) + 1, np.int64)
+    np.cumsum(w, out=cumul[1:])
+    # Deterministic stacks: indices ascending, pop from the end.
+    small = [i for i in range(len(syms)) if w[i] < K]
+    large = [i for i in range(len(syms)) if w[i] >= K]
+    p_arr = np.zeros(128, np.int64)
+    a_arr = np.zeros(128, np.int64)
+    t_arr = np.zeros(128, np.int64)
+    sbp = np.zeros(128, np.int64)
+    sba = np.zeros(128, np.int64)
+    counter = np.zeros(len(syms), np.int64)  # slots assigned so far per symbol
+    slot_of = np.zeros(M, np.uint32)
+    for b in range(128):
+        if small:
+            p = small.pop()
+            t = int(w[p])
+            w[p] = 0
+            if large:
+                a = large[-1]
+                w[a] -= K - t
+                if w[a] == 0:
+                    large.pop()
+                elif w[a] < K:
+                    small.append(large.pop())
+            else:
+                # Alphabets in (128, 256] can exhaust larges while smalls
+                # remain; pair two smalls when their weights cover the
+                # bucket (deterministic: alias = max-weight small, lowest
+                # index on ties).  When no pairing covers K the layout is
+                # infeasible — the encoder retries with a smaller kept set.
+                if not small:
+                    raise AliasInfeasible("stranded small symbol")
+                ai = int(np.argmax([w[i] for i in small]))
+                a = small[ai]
+                if w[a] < K - t:
+                    raise AliasInfeasible("no alias covers the bucket")
+                w[a] -= K - t
+                if w[a] == 0:
+                    small.pop(ai)
+        else:
+            # No smalls left: take a whole-bucket run from a large symbol;
+            # a sub-K remainder re-enters the small stack for later buckets.
+            p = large[-1]
+            t = K
+            a = p
+            w[p] -= K
+            if w[p] == 0:
+                large.pop()
+            elif w[p] < K:
+                small.append(large.pop())
+        p_arr[b], a_arr[b], t_arr[b] = p, a, t
+        sbp[b] = counter[p]
+        slot_of[cumul[p] + counter[p] : cumul[p] + counter[p] + t] = (
+            b * K + np.arange(t, dtype=np.int64)
+        )
+        counter[p] += t
+        if t < K:
+            sba[b] = counter[a]
+            slot_of[cumul[a] + counter[a] : cumul[a] + counter[a] + (K - t)] = (
+                b * K + t + np.arange(K - t, dtype=np.int64)
+            )
+            counter[a] += K - t
+        else:
+            sba[b] = counter[a] if a != p else 0
+    f = freqs[syms]
+    return {
+        "syms": syms,
+        "cumul": cumul,
+        "p": syms[p_arr].astype(np.uint32),
+        "a": syms[a_arr].astype(np.uint32),
+        "t": t_arr.astype(np.uint32),
+        "fp": f[p_arr].astype(np.uint32),
+        "fa": f[a_arr].astype(np.uint32),
+        "sbp": sbp.astype(np.uint32),
+        "sba": sba.astype(np.uint32),
+        "slot_of": slot_of,
+    }
+
+
+def alias_slot_tables(norm: np.ndarray, table_log: int):
+    """Slot-indexed decode tables for an alias-mapped stream — the same
+    (sym, freq, bias) triple device_tables returns for the standard
+    layout, so every slot-table decoder (XLA scan, numpy, JS) handles
+    alias streams without structural changes."""
+    al = alias_construct(norm, table_log)
+    M = 1 << table_log
+    K = M >> 7
+    off = np.tile(np.arange(K, dtype=np.int64), 128)
+    bkt = np.repeat(np.arange(128, dtype=np.int64), K)
+    is_p = off < al["t"][bkt]
+    sym = np.where(is_p, al["p"][bkt], al["a"][bkt]).astype(np.uint16)
+    freq_slot = np.where(is_p, al["fp"][bkt], al["fa"][bkt]).astype(np.uint32)
+    bias_slot = np.where(
+        is_p, al["sbp"][bkt] + off, al["sba"][bkt] + off - al["t"][bkt]
+    ).astype(np.uint32)
+    freqs = _freqs_from_norm(norm)
+    cumul = np.concatenate(([0], np.cumsum(freqs)))[:-1]
+    return sym, freq_slot, bias_slot, freqs, cumul
+
+
+def slot_tables(norm: np.ndarray, table_log: int, alias: bool):
+    """Dispatch to the standard or alias slot-table builder."""
+    return (alias_slot_tables if alias else device_tables)(norm, table_log)
+
+
 def mict_encode(
     symbols,
     lanes: int = 512,
     table_log: int = DEFAULT_TABLE_LOG,
     max_table_log: int | None = None,
     max_bytes: int | None = None,
+    alias: bool = False,
 ) -> bytes:
     """Encode a u16 symbol stream into the MICT wide-lane rANS format.
 
     Fully vectorized across lanes (numpy): the per-step work is u64
     arithmetic on L-vectors; total host work is O(n) with n/L vector steps.
+
+    ``alias=True`` writes the alias-mapped variant (magic FF 41): the
+    same stream layout with slots permuted per alias_construct, which
+    the Pallas kernel decodes with 3 bucket gathers instead of a
+    2^tl/128-round table sweep.  Ratio is unchanged (same normalized
+    frequencies, same renorm); tableLog must be >= 7 (128 buckets).
     """
+    if alias:
+        return mict_encode_alias(
+            symbols, lanes=lanes, table_log=table_log,
+            max_table_log=max_table_log, max_bytes=max_bytes,
+        )
     symbols = np.asarray(symbols, dtype=np.uint16)
     n = len(symbols)
     if n == 0:
@@ -131,10 +297,30 @@ def mict_encode(
         # same inputs the host FSE formats reject with an error.
         raise IncompressibleError(str(e)) from e
     header = write_count(norm, symbol_len, tl)
-    freq_of = freq
-    cumul_of = cumul
 
-    L = int(lanes)
+    states, words = _lane_encode(symbols.astype(np.int64), n, int(lanes), tl, freq, cumul)
+
+    out = bytearray()
+    out += MICT_MAGIC
+    out += struct.pack("<BB", int(np.log2(int(lanes))), tl)
+    out += struct.pack("<II", n, len(words))
+    out += header
+    out += states.astype("<u4").tobytes()
+    out += words.astype("<u2").tobytes()
+    # Reject when the blob exceeds the caller's byte budget (default:
+    # the stream's own raw size; MICW's r-modes pass the STRIP's raw
+    # size instead — their SoA stream is already much shorter than the
+    # pixel count, so a locally "incompressible" blob can still beat
+    # raw pixels by a wide margin).
+    if len(out) >= (n * 2 if max_bytes is None else max_bytes):
+        raise IncompressibleError
+    return bytes(out)
+
+
+def _lane_encode(sym_i64, n, L, tl, freq_of, cumul_of, slot_of=None):
+    """Reverse lane-interleaved rANS encode shared by the standard and
+    alias paths (slot written = cumul+j, or slot_of[cumul+j] when the
+    alias permutation is given).  Returns (states u64[L], words u16)."""
     n_steps = (n + L - 1) // L
     states = np.full(L, RANS_L, dtype=np.uint64)
     # Renorm bound: emit while x >= freq << (32 - tl)  (single-word renorm).
@@ -143,7 +329,6 @@ def mict_encode(
     step_words: list[np.ndarray] = []
     lane_idx = np.arange(L)
 
-    sym_i64 = symbols.astype(np.int64)
     for t in range(n_steps - 1, -1, -1):
         base = t * L
         cnt = min(L, n - base)
@@ -170,7 +355,10 @@ def mict_encode(
             # end, yielding (step asc, lane asc) = decoder order.
             step_words.append((x[need] & np.uint64(0xFFFF)).astype(np.uint16))
             x = np.where(need, x >> np.uint64(16), x)
-        x_new = ((x // f) << np.uint64(tl)) + (x % f) + c
+        if slot_of is not None:
+            x_new = ((x // f) << np.uint64(tl)) + slot_of[(x % f) + c]
+        else:
+            x_new = ((x // f) << np.uint64(tl)) + (x % f) + c
         if active is not None:
             x_new = np.where(active, x_new, x)
         states = x_new
@@ -178,33 +366,126 @@ def mict_encode(
     words = (
         np.concatenate(step_words[::-1]) if step_words else np.zeros(0, dtype=np.uint16)
     )
+    return states, words
+
+
+def _alias_fold(symbols, counts, symbol_len, kept: int):
+    """Escape-fold a symbol stream's tail: keep the ``kept`` most frequent
+    values (count desc, value asc) and recode every other occurrence as
+    ``esc_val`` (the smallest value with zero count), whose true values
+    ride the blob's uncoded u16 side stream in stream order.
+
+    Returns (recoded i64[n], counts2, symbol_len2, esc_val, esc_values)."""
+    nzv = np.nonzero(counts)[0]
+    order = np.lexsort((nzv, -counts[nzv]))  # count desc, value asc
+    kept_vals = np.sort(nzv[order[:kept]])
+    zero = np.nonzero(counts == 0)[0]
+    if len(zero):
+        esc_val = int(zero[0])
+    elif symbol_len <= 65535:
+        esc_val = symbol_len
+    else:
+        raise IncompressibleError("alias: no free symbol value for ESC")
+    sl2 = max(int(kept_vals.max()), esc_val) + 1
+    counts2 = np.zeros(sl2, np.int64)
+    counts2[kept_vals] = counts[kept_vals]
+    is_kept = np.zeros(65536, bool)
+    is_kept[kept_vals] = True
+    rare_mask = ~is_kept[symbols]
+    counts2[esc_val] = int(rare_mask.sum())
+    esc_values = symbols[rare_mask].astype(np.uint16)
+    recoded = np.where(rare_mask, esc_val, symbols).astype(np.int64)
+    return recoded, counts2, sl2, esc_val, esc_values
+
+
+def mict_encode_alias(
+    symbols,
+    lanes: int = 128,
+    table_log: int = DEFAULT_TABLE_LOG,
+    max_table_log: int | None = None,
+    max_bytes: int | None = None,
+) -> bytes:
+    """Encode into the alias-mapped MICT variant (magic FF 41).
+
+    Layout:  FF 41 | log2_lanes u8 | table_log u8 | count u32 |
+    n_words u32 | n_esc u32 | esc_val u16 | ncount | init states |
+    renorm words | esc values u16[n_esc].
+
+    The slot permutation follows alias_construct (both sides derive it
+    from the ncount header), so the Pallas kernel decodes with three
+    128-wide bucket gathers per step instead of a 2^tl/128-round sweep.
+    Alphabets beyond 256 are escape-folded: rare values become one ESC
+    symbol and their true values ride the uncoded side stream (measured
+    ~1% corpus stream-size cost at 255 kept, see docs/formats.md)."""
+    symbols = np.asarray(symbols, dtype=np.uint16)
+    n = len(symbols)
+    if n == 0:
+        raise IncompressibleError
+    counts, max_count, symbol_len = histogram(symbols)
+    if max_count == n:
+        raise UseRLEError
+    if max_count == 1 or max_count < (n >> 15):
+        raise IncompressibleError
+    counts = np.asarray(counts[:symbol_len], dtype=np.int64)
+
+    kept = min(int((counts > 0).sum()), ALIAS_MAX_KEPT)
+    while True:
+        recoded, counts2, sl2, esc_val, esc_values = _alias_fold(
+            symbols, counts, symbol_len, kept
+        )
+        tl = optimal_table_log(table_log, n, sl2)
+        if max_table_log is not None:
+            tl = min(tl, max_table_log)
+        tl = max(tl, 7)  # 128 buckets need at least 128 slots
+        norm = normalize_count(counts2, n, tl, sl2)
+        try:
+            _s, _f, _b, freq, cumul = device_tables(norm, tl)
+            al = alias_construct(norm, tl)
+            break
+        except AliasInfeasible:
+            kept -= 64
+            if kept < 8:
+                raise IncompressibleError("alias layout infeasible")
+        except ValueError as e:
+            raise IncompressibleError(str(e)) from e
+
+    states, words = _lane_encode(
+        recoded, n, int(lanes), tl, freq, cumul,
+        slot_of=al["slot_of"].astype(np.uint64),
+    )
 
     out = bytearray()
-    out += MICT_MAGIC
-    out += struct.pack("<BB", int(np.log2(L)), tl)
+    out += MICT_ALIAS_MAGIC
+    out += struct.pack("<BB", int(np.log2(int(lanes))), tl)
     out += struct.pack("<II", n, len(words))
-    out += header
+    out += struct.pack("<IH", len(esc_values), esc_val)
+    out += write_count(norm, sl2, tl)
     out += states.astype("<u4").tobytes()
     out += words.astype("<u2").tobytes()
-    # Reject when the blob exceeds the caller's byte budget (default:
-    # the stream's own raw size; MICW's r-modes pass the STRIP's raw
-    # size instead — their SoA stream is already much shorter than the
-    # pixel count, so a locally "incompressible" blob can still beat
-    # raw pixels by a wide margin).
+    out += esc_values.astype("<u2").tobytes()
     if len(out) >= (n * 2 if max_bytes is None else max_bytes):
         raise IncompressibleError
     return bytes(out)
 
 
 def mict_parse(blob: bytes):
-    """Parse a MICT blob.  Returns
-    (lanes, table_log, count, init_states u32[L], words u16[W], norm, symbol_len)."""
-    if len(blob) < 12 or blob[:2] != MICT_MAGIC:
+    """Parse a MICT blob.  Returns (lanes, table_log, count,
+    init_states u32[L], words u16[W], norm, symbol_len, alias) — alias
+    is None for standard streams, or (esc_val, esc_values u16[n_esc])
+    for the FF 41 alias-mapped variant (see mict_encode_alias; the
+    tuple is truthy even with no escapes)."""
+    if len(blob) < 12 or blob[:2] not in (MICT_MAGIC, MICT_ALIAS_MAGIC):
         raise ValueError("MICT: missing magic bytes")
+    is_alias = blob[:2] == MICT_ALIAS_MAGIC
     log2_lanes, tl_hdr = struct.unpack_from("<BB", blob, 2)
     count, n_words = struct.unpack_from("<II", blob, 4)
     L = 1 << log2_lanes
-    body = blob[12:]
+    hdr = 12
+    n_esc = esc_val = 0
+    if is_alias:
+        n_esc, esc_val = struct.unpack_from("<IH", blob, 12)
+        hdr = 18
+    body = blob[hdr:]
     # Native header reader when built (~1ms/strip in pure Python — it
     # dominated batch-decode latency); falls back to ops.fse.read_ncount.
     from ..native import read_ncount_native
@@ -216,18 +497,25 @@ def mict_parse(blob: bytes):
         norm, symbol_len, table_log, consumed = read_ncount(body)
     if table_log != tl_hdr:
         raise ValueError("MICT: header tableLog mismatch")
-    pos = 12 + consumed
+    pos = hdr + consumed
     states = np.frombuffer(blob, dtype="<u4", count=L, offset=pos).copy()
     pos += 4 * L
     words = np.frombuffer(blob, dtype="<u2", count=n_words, offset=pos).copy()
-    return L, table_log, count, states, words, norm, symbol_len
+    alias = None
+    if is_alias:
+        pos += 2 * n_words
+        if pos + 2 * n_esc > len(blob):
+            raise ValueError("MICT: escape stream out of bounds")
+        esc_values = np.frombuffer(blob, dtype="<u2", count=n_esc, offset=pos).copy()
+        alias = (esc_val, esc_values)
+    return L, table_log, count, states, words, norm, symbol_len, alias
 
 
 def mict_decode_numpy(blob: bytes) -> np.ndarray:
     """Host (numpy) reference decoder — bit-exact mirror of the device
     decoder in mic_tpu.tpu.decode; used for cross-tier equality tests."""
-    L, tl, count, states, words, norm, _symbol_len = mict_parse(blob)
-    sym, freq_slot, bias_slot, _, _ = device_tables(norm, tl)
+    L, tl, count, states, words, norm, _symbol_len, alias = mict_parse(blob)
+    sym, freq_slot, bias_slot, _, _ = slot_tables(norm, tl, alias)
     mask = (1 << tl) - 1
 
     n_steps = (count + L - 1) // L
@@ -255,4 +543,21 @@ def mict_decode_numpy(blob: bytes) -> np.ndarray:
         raise ValueError("MICT: final state mismatch (corrupt stream)")
     if cursor != len(words):
         raise ValueError("MICT: word count mismatch (corrupt stream)")
-    return out[:count]
+    out = out[:count]
+    if alias is not None:
+        out = alias_substitute_escapes(out, alias)
+    return out
+
+
+def alias_substitute_escapes(syms: np.ndarray, alias) -> np.ndarray:
+    """Replace decoded ESC symbols with their true values from the alias
+    side stream, in stream order (shared by every slot-table decoder)."""
+    esc_val, esc_values = alias
+    if not len(esc_values):
+        return syms
+    idx = np.nonzero(syms == esc_val)[0]
+    if len(idx) != len(esc_values):
+        raise ValueError("MICT: escape count mismatch (corrupt stream)")
+    syms = syms.copy()
+    syms[idx] = esc_values
+    return syms

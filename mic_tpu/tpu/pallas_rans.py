@@ -178,7 +178,7 @@ def build_pallas_tables(parsed, table_log: int, min_steps: int = 0):
     its own 2^tl in the low bits... the tiling makes any higher bits map
     to the same entries).  ``min_steps`` pads the scan length up to a
     caller-chosen bucket (program sharing across chunks/images)."""
-    from .device_rans import device_tables
+    from .device_rans import slot_tables
 
     S = len(parsed)
     TS = 1 << table_log
@@ -198,10 +198,10 @@ def build_pallas_tables(parsed, table_log: int, min_steps: int = 0):
     shift = np.zeros((S, 128), np.uint32)
     counts = []
     for i, p in enumerate(parsed):
-        L, tl, count, states, wrds, norm, _sl = p
+        L, tl, count, states, wrds, norm, _sl, alias = p
         if L != 128:
             raise ValueError("pallas rANS kernel requires 128 lanes per strip")
-        sym, fs, bs, _, _ = device_tables(norm, tl)
+        sym, fs, bs, _, _ = slot_tables(norm, tl, alias)
         reps = TS // (1 << tl)
         tsym[i] = np.tile(sym.astype(np.uint32), reps)
         tfb[i] = np.tile((fs.astype(np.uint32) << 16) | bs.astype(np.uint32), reps)
@@ -337,7 +337,7 @@ def build_packed_tables(parsed, table_log: int, min_steps: int = 0):
     with tpk[slot] = bias<<12 | rank and alpha[rank] = (freq-1)<<16 | sym.
     ``min_steps`` pads the scan length (and the word-stream margins that
     depend on it) up to a caller-chosen bucket size."""
-    from .device_rans import device_tables
+    from .device_rans import slot_tables
 
     S = len(parsed)
     if table_log > 12:
@@ -357,14 +357,14 @@ def build_packed_tables(parsed, table_log: int, min_steps: int = 0):
     counts = []
     alphas = []
     for i, p in enumerate(parsed):
-        L, tl, count, states, wrds, norm, _sl = p
+        L, tl, count, states, wrds, norm, _sl, alias = p
         if L != 128:
             raise ValueError("pallas rANS kernel requires 128 lanes per strip")
         norm = np.asarray(norm)
         alpha_syms = np.nonzero(norm)[0].astype(np.uint32)
         if len(alpha_syms) > 4096:
             return None
-        sym, fs, bs, _, _ = device_tables(norm, tl)
+        sym, fs, bs, _, _ = slot_tables(norm, tl, alias)
         rank = np.searchsorted(alpha_syms, sym).astype(np.uint32)
         packed = (bs.astype(np.uint32) << 12) | rank
         reps = TS // (1 << tl)

@@ -50,7 +50,7 @@ import numpy as np
 from ..ops.fse import IncompressibleError, UseRLEError
 from ..ops.predictors import delta_params
 from ..ops.rle import soa_encode, soa_expand
-from .device_rans import device_tables, mict_encode, mict_parse
+from .device_rans import mict_encode, mict_parse, slot_tables
 from .pipeline import (
     avg_delta_inverse_device,
     pdd_inverse_device,
@@ -607,8 +607,8 @@ def build_strip_batch(parsed, strips, table_log, pad_strips_to: int = 0):
     tb = np.zeros((S_pad, 1 << table_log), dtype=np.uint32)
     init = np.zeros((S_pad, L), dtype=np.uint32)
     words = np.zeros((S_pad, w_max), dtype=np.uint32)
-    for i, (Lp, tl, count, states, wrds, norm, _sl) in enumerate(parsed):
-        sym, fs, bs, _, _ = device_tables(norm, tl)
+    for i, (Lp, tl, count, states, wrds, norm, _sl, alias) in enumerate(parsed):
+        sym, fs, bs, _, _ = slot_tables(norm, tl, alias)
         ts[i], tf[i], tb[i] = sym, fs, bs
         init[i] = states
         words[i, : len(wrds)] = wrds

@@ -52,7 +52,7 @@ def test_mict_magic_and_counts(rng):
     data = (rng.standard_normal(5000) * 20 + 200).clip(0, 1023).astype(np.uint16)
     blob = mict_encode(data, lanes=128)
     assert blob[:2] == b"\xffW"
-    L, tl, count, states, words, norm, sl = mict_parse(blob)
+    L, tl, count, states, words, norm, sl, _alias = mict_parse(blob)
     assert L == 128 and count == 5000
     assert len(states) == 128
 
