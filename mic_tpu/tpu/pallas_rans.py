@@ -36,8 +36,10 @@ __all__ = [
     "rans_decode_pallas",
     "rans_decode_pallas_packed",
     "rans_decode_pallas_zzd",
+    "rans_decode_pallas_alias",
     "build_pallas_tables",
     "build_packed_tables",
+    "build_alias_bucket_tables",
     "supports_pallas_rans",
 ]
 
@@ -543,3 +545,231 @@ def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, ws, *, steps, n
         out_specs=pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
         interpret=not supports_pallas_rans(),
     )(init, tpk, alpha, words, mask, shift, ws)
+
+# ---------------------------------------------------------------------------
+# Alias-bucket fused decode: the FF 41 alias-mapped streams
+# (device_rans.mict_encode_alias) resolve each slot with THREE gathers
+# from 128-wide bucket tables — bucket = slot >> (tl-7) always fits one
+# hardware-gather row — instead of the packed kernel's 2^tl/128-round
+# sweep + alphabet sweep.  ESC symbols (escape-folded rare values)
+# substitute from an uncoded side stream consumed with the same
+# MXU-prefix-sum + window machinery as the renorm words.  The kernel has
+# NO tableLog/alphabet statics at all, so every alias strip of a
+# geometry shares one compiled program.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
+                  shift_ref, escv_ref, esides_ref, ws_ref, out_ref, *,
+                  steps, n_strips, vdd_ws=0, fused=True):
+    S = n_strips
+    ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    M = (ri < ci).astype(jnp.bfloat16)
+    Mi = (ri <= ci).astype(jnp.float32)
+    # Pad-step escape reads clamp to the side array's tail (valid strips
+    # never reach it: their total escapes stay 256+ entries below).
+    emax = esides_ref.shape[1] * 128 - 256
+
+    def step(carry, col=0):
+        x, cur, ecur, rowc, rcnt = carry
+        slot = x & mask_ref[:]
+        bucket = jax.lax.shift_right_logical(slot, shift_ref[:] - jnp.uint32(7))
+        o = slot & (mask_ref[:] >> jnp.uint32(7))
+        bi = bucket.astype(jnp.int32)
+        g0 = jnp.take_along_axis(w0_ref[:], bi, axis=1)
+        g1 = jnp.take_along_axis(w1_ref[:], bi, axis=1)
+        g2 = jnp.take_along_axis(w2_ref[:], bi, axis=1)
+        t = g1 >> jnp.uint32(24)
+        is_p = o < t
+        fm1 = jnp.where(is_p, (g1 >> jnp.uint32(12)), (g2 >> jnp.uint32(12))) & jnp.uint32(0xFFF)
+        sb = jnp.where(is_p, g1, g2) & jnp.uint32(0xFFF)
+        j = sb + o - jnp.where(is_p, jnp.uint32(0), t)
+        sym = jnp.where(is_p, g0 >> jnp.uint32(16), g0 & jnp.uint32(0xFFFF))
+        xn = (fm1 + jnp.uint32(1)) * jax.lax.shift_right_logical(x, shift_ref[:]) + j
+
+        # Escape substitution: rank escaping lanes with an MXU exclusive
+        # prefix sum, pull their true values from the side-stream window.
+        is_esc = sym == escv_ref[:]
+        ne = is_esc.astype(jnp.int32)
+        ke = jax.lax.dot_general(
+            ne.astype(jnp.bfloat16), M, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        etot = ke[:, 127:128] + ne[:, 127:128]
+        ecl = jnp.minimum(ecur, emax)
+        ewin = jnp.concatenate(
+            [esides_ref[s, pl.ds(ecl[s, 0] >> 7, 2), :].reshape(1, 256)
+             for s in range(S)], axis=0
+        )
+        eidx = (ecl & 127) + ke
+        ei0 = eidx & 127
+        ev = jnp.where(
+            eidx < 128,
+            jnp.take_along_axis(ewin[:, :128], ei0, axis=1),
+            jnp.take_along_axis(ewin[:, 128:], ei0, axis=1),
+        )
+        sym = jnp.where(is_esc, ev, sym)
+
+        # Renorm (same machinery as _kernel_zzd).
+        need = xn < jnp.uint32(1 << 16)
+        nee = need.astype(jnp.int32)
+        kf = jax.lax.dot_general(
+            nee.astype(jnp.bfloat16), M, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k = kf.astype(jnp.int32)
+        total = k[:, 127:128] + nee[:, 127:128]
+        win = jnp.concatenate(
+            [words_ref[s, pl.ds(cur[s, 0] >> 7, 2), :].reshape(1, 256)
+             for s in range(S)], axis=0
+        )
+        idx = (cur & 127) + k
+        idx0 = idx & 127
+        wv = jnp.where(
+            idx < 128,
+            jnp.take_along_axis(win[:, :128], idx0, axis=1),
+            jnp.take_along_axis(win[:, 128:], idx0, axis=1),
+        )
+        xn = jnp.where(need, (xn << jnp.uint32(16)) | wv, xn)
+
+        carry_tail = (cur + total, ecur + etot)
+        if not fused:
+            return (xn, *carry_tail, rowc, rcnt), sym.astype(jnp.uint16)
+        si = sym.astype(jnp.int32)
+        dz = (si >> 1) ^ (-(si & 1))
+        if vdd_ws:
+            # vdd: previous-row carry (see _kernel_zzd).
+            c0 = col * 128
+            pix = (rowc[:, c0 : c0 + 128] + dz) & 0xFFFF
+            parts = [p for p in (rowc[:, :c0], pix, rowc[:, c0 + 128 :])
+                     if p.shape[1]]
+            rowc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            return (xn, *carry_tail, rowc, rcnt), pix.astype(jnp.uint16)
+        ps = jax.lax.dot_general(
+            dz.astype(jnp.float32), Mi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        rowc = jnp.where(rcnt == 0, jnp.zeros_like(rowc), rowc)
+        pix = (rowc + ps) & 0xFFFF
+        rowc = pix[:, 127:128]
+        rcnt = rcnt + 1
+        rcnt = jnp.where(rcnt >= ws_ref[:, :1].astype(jnp.int32), jnp.zeros_like(rcnt), rcnt)
+        return (xn, *carry_tail, rowc, rcnt), pix.astype(jnp.uint16)
+
+    UNROLL = 16 if steps % 16 == 0 else 8
+
+    def body(tb, carry):
+        outs = []
+        for jj in range(UNROLL):
+            carry, pix = step(carry, col=(jj % vdd_ws) if vdd_ws else 0)
+            outs.append(pix.reshape(S, 1, 128))
+        out_ref[:, pl.ds(tb * UNROLL, UNROLL), :] = jnp.concatenate(outs, axis=1)
+        return carry
+
+    zero = jnp.zeros((S, 1), jnp.int32)
+    rowc0 = jnp.zeros((S, vdd_ws * 128 if vdd_ws else 1), jnp.int32)
+    jax.lax.fori_loop(0, steps // UNROLL, body,
+                      (init_ref[:], zero, zero, rowc0, zero))
+
+
+@partial(jax.jit, static_argnames=("steps", "n_strips", "vdd_ws", "fused"))
+def rans_decode_pallas_alias(init, w0, w1, w2, words, mask, shift, escv,
+                             esides, ws, *, steps, n_strips, vdd_ws=0,
+                             fused=True):
+    """Fused alias-bucket decode (FF 41 streams): 3-gather slot lookup +
+    escape substitution + the zzd/vdd predictor inverse of
+    rans_decode_pallas_zzd.  With fused=False returns raw SYMBOLS
+    (uint16[S, steps, 128]) for the non-direct post paths.
+
+    w0/w1/w2: uint32[S,128] bucket tables (sym_p<<16|sym_a;
+    t<<24|(f_p-1)<<12|sb_p; (f_a-1)<<12|sb_a).  escv: uint32[S,128] ESC
+    compare value (0xFFFFFFFF when the strip has no escapes).  esides:
+    uint32[S, E/128, 128] side-stream values.  ws: width/128 per strip
+    (fused zzd row reset).  No tableLog/alphabet statics — every alias
+    strip of a geometry shares one compiled program.
+    """
+    S = init.shape[0]
+    if S % GROUP() != 0:
+        pad = GROUP() - S % GROUP()
+        init, w0, w1, w2, words, mask, shift, escv, esides, ws = (
+            jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            for a in (init, w0, w1, w2, words, mask, shift, escv, esides, ws)
+        )
+        full = rans_decode_pallas_alias(
+            init, w0, w1, w2, words, mask, shift, escv, esides, ws,
+            steps=steps, n_strips=S + pad, vdd_ws=vdd_ws, fused=fused,
+        )
+        return full[:S]
+    grid = S // GROUP()
+    return pl.pallas_call(
+        partial(_kernel_alias, steps=steps, n_strips=GROUP(), vdd_ws=vdd_ws,
+                fused=fused),
+        out_shape=jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), words.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), esides.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
+        interpret=not supports_pallas_rans(),
+    )(init, w0, w1, w2, words, mask, shift, escv, esides, ws)
+
+
+def build_alias_bucket_tables(parsed, min_steps: int = 0):
+    """Bucket-table build for alias-mapped strips (mict_parse outputs
+    whose ``alias`` element is a (esc_val, esc_values) tuple).  Returns
+    (init, w0, w1, w2, words, mask, shift, escv, esides, counts, steps).
+    ``min_steps`` pads the scan length like build_packed_tables."""
+    from .device_rans import alias_construct
+
+    S = len(parsed)
+    init = np.zeros((S, 128), np.uint32)
+    w0 = np.zeros((S, 128), np.uint32)
+    w1 = np.zeros((S, 128), np.uint32)
+    w2 = np.zeros((S, 128), np.uint32)
+    steps = max(min_steps, max((p[2] + 127) // 128 for p in parsed))
+    steps = (steps + 7) // 8 * 8
+    # Renorm margin: see build_pallas_tables.
+    margin = max(steps * 128 - p[2] for p in parsed) + 256
+    wmax = ((max(len(p[4]) for p in parsed) + margin + 127) // 128) * 128
+    words = np.zeros((S, wmax), np.uint32)
+    mask = np.zeros((S, 128), np.uint32)
+    shift = np.zeros((S, 128), np.uint32)
+    escv = np.full((S, 128), 0xFFFFFFFF, np.uint32)
+    # Side-stream margin: pad-step escape reads clamp in-kernel, so the
+    # allocation only needs the clamp headroom (384 >= 256 + window).
+    emax = ((max(len(p[7][1]) for p in parsed) + 384 + 127) // 128) * 128
+    esides = np.zeros((S, emax), np.uint32)
+    counts = []
+    for i, p in enumerate(parsed):
+        L, tl, count, states, wrds, norm, _sl, alias = p
+        if L != 128:
+            raise ValueError("alias kernel requires 128 lanes per strip")
+        if alias is None:
+            raise ValueError("build_alias_bucket_tables: standard-magic strip")
+        al = alias_construct(norm, tl)
+        w0[i] = (al["p"] << 16) | al["a"]
+        w1[i] = (al["t"] << 24) | ((al["fp"] - 1) << 12) | al["sbp"]
+        w2[i] = ((al["fa"] - 1) << 12) | al["sba"]
+        init[i] = states
+        words[i, : len(wrds)] = wrds
+        mask[i, :] = (1 << tl) - 1
+        shift[i, :] = tl
+        esc_val, esc_values = alias
+        if len(esc_values):
+            escv[i, :] = esc_val
+            esides[i, : len(esc_values)] = esc_values
+        counts.append(count)
+    words = words.reshape(S, -1, 128)
+    esides = esides.reshape(S, -1, 128)
+    return init, w0, w1, w2, words, mask, shift, escv, esides, counts, steps

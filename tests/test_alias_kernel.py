@@ -1,0 +1,107 @@
+"""Alias-bucket fused decode kernel (FF 41 streams).
+
+Bit-exactness of ``rans_decode_pallas_alias`` against the numpy tier:
+raw-symbols mode across table logs / alphabets / escape shares, and the
+fused zzd / vdd predictor-inverse modes.  Runs in interpret mode on CPU
+(the device_compiled gate covers the Mosaic-compiled kernel)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from mic_tpu.tpu import device_rans as dr  # noqa: E402
+from mic_tpu.tpu.pallas_rans import (  # noqa: E402
+    build_alias_bucket_tables,
+    rans_decode_pallas_alias,
+)
+from mic_tpu.tpu.strips import _vdd_syms, _zzd_syms  # noqa: E402
+
+
+def _decode_raw(parsed, vdd_ws=0, fused=False, ws_arr=None):
+    S = len(parsed)
+    (init, w0, w1, w2, words, mask, shift, escv, esides, counts,
+     steps) = build_alias_bucket_tables(parsed)
+    ws = ws_arr if ws_arr is not None else np.zeros((S, 128), np.uint32)
+    out = rans_decode_pallas_alias(
+        jnp.asarray(init), jnp.asarray(w0), jnp.asarray(w1), jnp.asarray(w2),
+        jnp.asarray(words), jnp.asarray(mask), jnp.asarray(shift),
+        jnp.asarray(escv), jnp.asarray(esides), jnp.asarray(ws),
+        steps=steps, n_strips=S, vdd_ws=vdd_ws, fused=fused,
+    )
+    return np.asarray(out), counts
+
+
+def test_alias_kernel_raw_bit_exact():
+    rng = np.random.default_rng(0)
+    parsed, expected = [], []
+    for n, alpha, esc_heavy in [
+        (5000, 40, False), (8192, 300, False), (3000, 12, False),
+        (6000, 500, True), (4096, 64, False),
+    ]:
+        if esc_heavy:
+            base = np.minimum(rng.geometric(0.15, n), 30).astype(np.uint16)
+            tail = rng.integers(0, 4000, n).astype(np.uint16)
+            data = np.where(rng.random(n) < 0.08, tail, base)
+        else:
+            data = np.minimum(rng.geometric(0.08, n), alpha - 1).astype(np.uint16)
+        blob = dr.mict_encode_alias(data, table_log=12)
+        assert np.array_equal(dr.mict_decode_numpy(blob), data)
+        parsed.append(dr.mict_parse(blob))
+        expected.append(data)
+    out, counts = _decode_raw(parsed)
+    for i, data in enumerate(expected):
+        got = out[i].reshape(-1)[: counts[i]].astype(np.uint16)
+        assert np.array_equal(got, data), f"strip {i}"
+
+
+def test_alias_kernel_fused_zzd():
+    rng = np.random.default_rng(1)
+    sh, width = 24, 256
+    parsed, pixels = [], []
+    for s in range(2):
+        img = (rng.standard_normal((sh, width)).cumsum(axis=1) * 9 + 600)
+        px = img.clip(0, 4095).astype(np.uint16).ravel()
+        syms = _zzd_syms(px, width, sh)
+        blob = dr.mict_encode_alias(syms, table_log=11)
+        parsed.append(dr.mict_parse(blob))
+        pixels.append(px)
+    ws = np.full((2, 128), width // 128, np.uint32)
+    out, counts = _decode_raw(parsed, fused=True, ws_arr=ws)
+    for i, px in enumerate(pixels):
+        got = out[i].reshape(-1)[: counts[i]].astype(np.uint16)
+        assert np.array_equal(got, px), f"strip {i}"
+
+
+def test_alias_kernel_fused_vdd():
+    rng = np.random.default_rng(2)
+    sh, width = 16, 256
+    img = (rng.standard_normal((sh, width)).cumsum(axis=0) * 7 + 900)
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    syms = _vdd_syms(px, width, sh)
+    blob = dr.mict_encode_alias(syms, table_log=10)
+    parsed = [dr.mict_parse(blob)]
+    ws = np.full((1, 128), width // 128, np.uint32)
+    out, counts = _decode_raw(parsed, vdd_ws=width // 128, fused=True, ws_arr=ws)
+    got = out[0].reshape(-1)[: counts[0]].astype(np.uint16)
+    assert np.array_equal(got, px)
+
+
+def test_alias_kernel_shares_program_across_tls():
+    """The headline property: strips of DIFFERENT table logs decode in
+    ONE launch of one program (no tl static) — impossible for the
+    packed/two-table kernels."""
+    rng = np.random.default_rng(3)
+    parsed, expected = [], []
+    for tl, n in [(9, 4000), (11, 6000), (12, 8000)]:
+        data = np.minimum(rng.geometric(0.05, n), 900).astype(np.uint16)
+        blob = dr.mict_encode_alias(data, table_log=tl)
+        parsed.append(dr.mict_parse(blob))
+        expected.append(data)
+    tls = {p[1] for p in parsed}
+    assert len(tls) > 1, "trial set degenerated to one table log"
+    out, counts = _decode_raw(parsed)
+    for i, data in enumerate(expected):
+        got = out[i].reshape(-1)[: counts[i]].astype(np.uint16)
+        assert np.array_equal(got, data), f"strip {i}"
