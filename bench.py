@@ -137,7 +137,10 @@ def _measure_one(name, entry, phase) -> None:
     from mic_tpu.tpu.strips import MicwDecodePlan, micw_compress, micw_parse
 
     _n, px, w, h, mx = entry
-    blob = micw_compress(px, w, h, mx)
+    # MIC_BENCH_ENTROPY=alias measures the FF 41 alias-bucket kernel
+    # (tableLog-independent decode) instead of the packed-sweep kernel.
+    blob = micw_compress(px, w, h, mx,
+                         entropy=os.environ.get("MIC_BENCH_ENTROPY", "standard"))
     n_strips = micw_parse(blob)[2]
     k = max(1, min(MAX_REPLICAS, TARGET_STRIPS // max(1, n_strips)))
     t0 = time.time()

@@ -27,6 +27,7 @@ __all__ = [
     "make_strip_mesh",
     "decode_strips_sharded",
     "decode_strips_sharded_pallas",
+    "decode_alias_sharded",
     "decode_tans_sharded",
     "encode_strips_sharded",
 ]
@@ -40,7 +41,7 @@ def make_strip_mesh(devices=None, axis: str = "strips") -> Mesh:
 def decode_strips_sharded(mesh: Mesh, *arrays, **static):
     """Decode a strip batch with the strip axis sharded over ``mesh``.
 
-    ``arrays`` are the 9 operands of decode_strip_batch_impl (leading
+    ``arrays`` are the 11 operands of decode_strip_batch_impl (leading
     strip dimension divisible by the mesh size — pad with dummy strips if
     needed); ``static`` are its keyword parameters.  Returns
     uint16[S, width*strip_h] with the same sharding.
@@ -86,6 +87,31 @@ def decode_strips_sharded_pallas(mesh: Mesh, init, tpk, alpha, words, mask, shif
         check_vma=False,
     )
     return jax.jit(fn)(init, tpk, alpha, words, mask, shift, ws)
+
+
+def decode_alias_sharded(mesh: Mesh, *arrays, **static):
+    """Alias-bucket (FF 41) fused decode with the strip axis sharded over
+    ``mesh``.  ``arrays`` are the 10 operands of
+    rans_decode_pallas_alias (strip count divisible by the mesh size);
+    ``static`` its keyword parameters except n_strips, which is derived
+    per shard.  The kernel has no tableLog/alphabet statics, so one
+    sharded executable serves mixed-table-log archives.
+    """
+    from .pallas_rans import rans_decode_pallas_alias
+
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+    per_shard = arrays[0].shape[0] // mesh.devices.size
+    body = partial(rans_decode_pallas_alias,
+                   **{**static, "n_strips": per_shard})
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(spec for _ in arrays),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)(*arrays)
 
 
 def decode_tans_sharded(mesh: Mesh, init, pos, cnt, tpk, alpha, words, **static):

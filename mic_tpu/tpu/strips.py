@@ -50,7 +50,7 @@ import numpy as np
 from ..ops.fse import IncompressibleError, UseRLEError
 from ..ops.predictors import delta_params
 from ..ops.rle import soa_encode, soa_expand
-from .device_rans import mict_encode, mict_parse, slot_tables
+from .device_rans import ALIAS_MAX_KEPT, mict_encode, mict_parse, slot_tables
 from .pipeline import (
     avg_delta_inverse_device,
     pdd_inverse_device,
@@ -113,6 +113,9 @@ MAX_TABLE_LOG = 11  # decode-speed sweet spot: the packed kernel's table
 # 1024 slots and strips fall to slower paths).  Format still reads
 # tl<=12 blobs (the packed-slot layout is bias<<12|rank).
 MAX_ALPHABET = 4096  # packed-kernel cap (12-bit rank)
+ALIAS_TABLE_LOG = 12  # alias-kernel tl cap: decode cost is tableLog-
+# independent (3 bucket gathers/step), so alias blobs take the ratio
+# benefit of tl=12 that the packed sweep gives up for speed.
 MICW_BAND_W = 512  # column-band width for FLAG_BANDED containers
 MID_DIRECT = 16383  # RLE midCount for the r-modes: the direct symbol
 #                     alphabet is the full u16 range regardless of bit
@@ -252,26 +255,41 @@ def _escaped_tokens(strip_px, width, sh, max_value, pred) -> np.ndarray:
     )
 
 
-def _encode_candidate(syms: np.ndarray, lanes: int, max_bytes: int | None = None):
+def _encode_candidate(syms: np.ndarray, lanes: int, max_bytes: int | None = None,
+                      alias: bool = False):
     """mict_encode with the packed-kernel eligibility guard; returns None
-    when the strip should fall through to other candidates / raw."""
+    when the strip should fall through to other candidates / raw.
+    ``alias=True`` writes the FF 41 alias-mapped variant instead — its
+    decode cost is tableLog-independent (3 bucket gathers/step), so it
+    affords tl<=12 where the packed sweep is capped at 11."""
     try:
-        return mict_encode(syms, lanes=lanes, max_table_log=MAX_TABLE_LOG,
-                           max_bytes=max_bytes)
+        return mict_encode(syms, lanes=lanes,
+                           max_table_log=ALIAS_TABLE_LOG if alias else MAX_TABLE_LOG,
+                           max_bytes=max_bytes, alias=alias)
     except (IncompressibleError, UseRLEError, ValueError):
         return None
 
 
-def _estimate_bytes(syms: np.ndarray) -> float:
+def _estimate_bytes(syms: np.ndarray, alias: bool = False) -> float:
     """Zeroth-order entropy size estimate for ranking candidates (the
     rANS stream is within ~1% of H0 at these table sizes; the ncount
     header scales with the alphabet).  Returns +inf for packed-kernel-
-    ineligible alphabets so they never outrank an eligible candidate."""
+    ineligible alphabets so they never outrank an eligible candidate.
+    For alias streams, alphabets beyond the 255 kept symbols fold into
+    ESC + a 2-byte/occurrence side stream (mict_encode_alias), so the
+    estimate models the folded distribution instead of going infinite."""
     counts = np.bincount(syms)
     nz = counts[counts > 0]
-    if len(nz) > MAX_ALPHABET:
-        return float("inf")
     n = len(syms)
+    if alias and len(nz) > ALIAS_MAX_KEPT:
+        kept = np.sort(nz)[::-1][:ALIAS_MAX_KEPT].astype(np.int64)
+        esc = n - int(kept.sum())
+        parts = np.concatenate([kept, [esc]]) if esc else kept
+        p = parts / n
+        h_bits = float(-(p * np.log2(p)).sum()) * n
+        return h_bits / 8 + 1.2 * len(parts) + 2.0 * esc
+    if len(nz) > (MAX_ALPHABET if not alias else 65536):
+        return float("inf")
     p = nz / n
     h_bits = float(-(p * np.log2(p)).sum()) * n
     return h_bits / 8 + 1.2 * len(nz)  # ~ncount header cost per symbol
@@ -285,6 +303,7 @@ def micw_compress(
     num_strips: int = 0,
     lanes: int = 128,
     predictor: str = "auto-fast",
+    entropy: str = "standard",
 ) -> bytes:
     """Compress into MICW.  Encoding is host-side (vectorized numpy; the
     TPU encode path is tpu.pallas_enc.micw_compress_device).
@@ -301,7 +320,15 @@ def micw_compress(
     are stored banded (FLAG_BANDED): column bands stacked vertically, so
     every strip row is <= 512 wide and all images share one compiled
     decode-program family.
+
+    entropy "standard" writes FF 40 strips (packed-kernel decode, tl<=11);
+    "alias" writes FF 41 alias-mapped strips whose Pallas decode is
+    tableLog-independent (3 bucket gathers/step) — it affords tl<=12 and
+    collapses the decode-program family across table logs.
     """
+    if entropy not in ("standard", "alias"):
+        raise ValueError(f"micw: unknown entropy {entropy!r}")
+    use_alias = entropy == "alias"
     pixels = np.asarray(pixels, dtype=np.uint16)
     if len(pixels) != width * height:
         raise ValueError("micw: pixel count mismatch")
@@ -368,7 +395,7 @@ def micw_compress(
                 tokens = _escaped_tokens(strip_px, width, sh, max_value, pred)
                 syms, n_runs, n_same = soa_encode(tokens, mid)
                 meta = (len(syms), len(tokens), n_runs, n_same)
-            est = _estimate_bytes(syms)
+            est = _estimate_bytes(syms, alias=use_alias)
             if est != float("inf"):  # keep the strip packed-kernel eligible
                 candidates.append((est, syms, meta, _PRED_MODE[pred]))
         # Rank by the H0 estimate and entropy-encode only the top five —
@@ -379,7 +406,8 @@ def micw_compress(
         candidates.sort(key=lambda c: c[0])
         best = None  # (len, blob, meta, mode)
         for est, syms, meta, mode in candidates[: 5 if len(trials) > 1 else 1]:
-            blob = _encode_candidate(syms, lanes, max_bytes=strip_px.nbytes)
+            blob = _encode_candidate(syms, lanes, max_bytes=strip_px.nbytes,
+                                     alias=use_alias)
             if blob is not None and (best is None or len(blob) < best[0]):
                 best = (len(blob), blob, meta, mode)
         raw = strip_px.astype("<u2").tobytes()
@@ -494,6 +522,8 @@ def decode_strip_batch_impl(
     n_tokens,  # [S] i32
     n_runs,  # [S] i32
     n_same,  # [S] i32
+    esc_vals,  # [S] i32  (alias ESC compare value; -1 = standard strip)
+    esc_sides,  # [S, E] u16 (alias escape side stream, zero-padded)
     *,
     table_log: int,
     n_steps: int,
@@ -539,6 +569,18 @@ def decode_strip_batch_impl(
         return syms.reshape(-1)  # [n_steps * L]
 
     rle_syms = jax.vmap(rans_one)(init_states, words, tab_sym, tab_freq, tab_bias, counts)
+
+    def subst_one(syms, ev, side):
+        # Alias escape substitution (FF 41 strips): ESC symbols take
+        # their true values from the side stream in stream order.
+        # ev = -1 for standard strips -> identity (one cumsum + gather,
+        # negligible vs the rANS scan).
+        m = syms.astype(jnp.int32) == ev
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        sv = jnp.take(side, jnp.clip(rank, 0, side.shape[0] - 1), mode="clip")
+        return jnp.where(m, sv.astype(syms.dtype), syms)
+
+    rle_syms = jax.vmap(subst_one)(rle_syms, esc_vals, esc_sides)
 
     def post_one(soa, n_tok, nr, nsm):
         if predictor == "zzd":
@@ -589,9 +631,11 @@ def build_strip_batch(parsed, strips, table_log, pad_strips_to: int = 0):
     """Pad a group of same-tableLog parsed MICT strips to common shapes.
 
     Returns ``(arrays, meta)`` where arrays = (init, words, ts, tf, tb,
-    counts, n_tokens, n_runs, n_same) and meta = dict(n_steps, max_runs,
-    max_tokens).  ``pad_strips_to`` appends replicas of strip 0 so the
-    batch divides a mesh size.
+    counts, n_tokens, n_runs, n_same, esc_vals, esc_sides) and meta =
+    dict(n_steps, max_runs, max_tokens).  ``pad_strips_to`` appends
+    replicas of strip 0 so the batch divides a mesh size.  Alias (FF 41)
+    and standard strips mix freely: esc_vals is -1 for standard strips,
+    so the in-program escape substitution is the identity for them.
     """
     S = len(parsed)
     L = parsed[0][0]
@@ -607,11 +651,19 @@ def build_strip_batch(parsed, strips, table_log, pad_strips_to: int = 0):
     tb = np.zeros((S_pad, 1 << table_log), dtype=np.uint32)
     init = np.zeros((S_pad, L), dtype=np.uint32)
     words = np.zeros((S_pad, w_max), dtype=np.uint32)
+    e_max = max(
+        [1] + [len(p[7][1]) for p in parsed if p[7] is not None]
+    )
+    esc_vals = np.full(S_pad, -1, dtype=np.int32)
+    esc_sides = np.zeros((S_pad, e_max), dtype=np.uint16)
     for i, (Lp, tl, count, states, wrds, norm, _sl, alias) in enumerate(parsed):
         sym, fs, bs, _, _ = slot_tables(norm, tl, alias)
         ts[i], tf[i], tb[i] = sym, fs, bs
         init[i] = states
         words[i, : len(wrds)] = wrds
+        if alias is not None and len(alias[1]):
+            esc_vals[i] = alias[0]
+            esc_sides[i, : len(alias[1])] = alias[1]
     if S_pad > S:
         pad = S_pad - S
         counts = np.concatenate([counts, np.full(pad, counts[0], np.int32)])
@@ -623,12 +675,15 @@ def build_strip_batch(parsed, strips, table_log, pad_strips_to: int = 0):
         tb[S:] = tb[0]
         init[S:] = init[0]
         words[S:] = words[0]
+        esc_vals[S:] = esc_vals[0]
+        esc_sides[S:] = esc_sides[0]
     meta = {
         "n_steps": n_steps,
         "max_runs": int(_round_up(int(n_runs.max()) + 1, 128)),
         "max_tokens": int(_round_up(int(n_tokens.max()) + 1, 128)),
     }
-    return (init, words, ts, tf, tb, counts, n_tokens, n_runs, n_same), meta
+    return (init, words, ts, tf, tb, counts, n_tokens, n_runs, n_same,
+            esc_vals, esc_sides), meta
 
 
 def micw_decompress_device(blob: bytes) -> tuple[np.ndarray, int, int]:
@@ -754,7 +809,10 @@ def micw_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
                 pool.setdefault("raw", []).append((bi, si, None, strip))
                 continue
             p = mict_parse(strip[0])
-            key = (p[1], width, strip_h, mid, delim, pred)
+            # _post_params here (not raw mid/delim): the r-modes expand
+            # with the format constant MID_DIRECT, and the zeroed direct
+            # params also collapse the executable family across depths.
+            key = (p[1], width, strip_h, *_post_params(pred, mid, delim), pred)
             pool.setdefault(key, []).append((bi, si, p, strip))
 
     outs = [np.empty(m[0] * m[1], dtype=np.uint16) for m in metas]
@@ -873,6 +931,176 @@ def _stacked_post_run(ops, n_tokens, n_runs, n_same, *, steps, chunk_s, tl,
         )
 
     return jax.lax.map(body, ops + (n_tokens, n_runs, n_same))
+
+
+@partial(jax.jit, static_argnames=("steps", "chunk_s", "pdd_geom", "vdd_ws"))
+def _stacked_alias_fused(ops, *, steps, chunk_s, pdd_geom=None, vdd_ws=0):
+    """lax.map of the alias-bucket fused kernel over stacked chunks.  No
+    tableLog/alphabet statics — ONE executable serves every alias group
+    of a geometry regardless of per-strip table logs."""
+    from .pallas_rans import rans_decode_pallas_alias
+
+    def body(o):
+        pix = rans_decode_pallas_alias(
+            *o, steps=steps, n_strips=chunk_s, vdd_ws=vdd_ws, fused=True,
+        )
+        out = pix.reshape(chunk_s, -1)
+        if pdd_geom is not None:
+            w, sh = pdd_geom
+            need = w * sh
+            if out.shape[1] < need:
+                out = jnp.pad(out, ((0, 0), (0, need - out.shape[1])))
+            img = jnp.cumsum(
+                out[:, :need].astype(jnp.int32).reshape(chunk_s, sh, w), axis=1
+            )
+            out = (img & 0xFFFF).astype(jnp.uint16).reshape(chunk_s, -1)
+        return out
+
+    return jax.lax.map(body, ops)
+
+
+@partial(jax.jit, static_argnames=(
+    "steps", "chunk_s", "width", "strip_h", "max_runs", "max_tokens",
+    "mid", "delim", "pred", "pad_to",
+))
+def _stacked_alias_post_run(ops, n_tokens, n_runs, n_same, *, steps, chunk_s,
+                            width, strip_h, max_runs, max_tokens, mid, delim,
+                            pred, pad_to):
+    """lax.map of (alias entropy kernel + post program) over stacked
+    chunks — the alias analog of _stacked_post_run."""
+    from .pallas_rans import rans_decode_pallas_alias
+
+    def body(o):
+        args, nt, nr, nsm = o[:10], o[10], o[11], o[12]
+        ent = rans_decode_pallas_alias(
+            *args, steps=steps, n_strips=chunk_s, fused=False,
+        )
+        ent = ent.reshape(chunk_s, -1)
+        if pad_to and ent.shape[1] < pad_to:
+            ent = jnp.pad(ent, ((0, 0), (0, pad_to - ent.shape[1])))
+        return _micw_post_batch(
+            ent, nt, nr, nsm, width=width, strip_h=strip_h,
+            max_runs=max_runs, max_tokens=max_tokens,
+            mid_count=mid, delim=delim, predictor=pred,
+        )
+
+    return jax.lax.map(body, ops + (n_tokens, n_runs, n_same))
+
+
+def _alias_chunks(entries, min_steps: int = 0):
+    """Chunk a list of alias-strip entries and build stacked kernel
+    operands.  ``entries`` is a list of (parsed, width) pairs; returns
+    (ops10, steps, n_chunks, pad_to) where ops10 is the 10-tuple of
+    stacked jnp operands of rans_decode_pallas_alias (incl. the ws
+    operand built from each entry's width)."""
+    from .pallas_rans import build_alias_bucket_tables
+
+    S_real = len(entries)
+    steps_g = max(min_steps, _pow2_at_least(
+        max((e[0][2] + 127) // 128 for e in entries), 8))
+    pad_to = _CHUNK_S if S_real > _CHUNK_S else _pow2_at_least(S_real, 1)
+    chunk_idx = []
+    for c0 in range(0, S_real, _CHUNK_S):
+        ix = list(range(c0, min(c0 + _CHUNK_S, S_real)))
+        while len(ix) < pad_to:
+            ix.append(ix[0])
+        chunk_idx.append(ix)
+    n_chunks = _pow2_at_least(len(chunk_idx), 1)
+    while len(chunk_idx) < n_chunks:
+        chunk_idx.append(chunk_idx[0])
+    chunks = [[entries[i] for i in ix] for ix in chunk_idx]
+    built = []
+    memo: dict[tuple, object] = {}
+    for ch in chunks:
+        ck = tuple(id(e[0]) for e in ch)  # replica chunks repeat
+        b = memo.get(ck)
+        if b is None:
+            b = build_alias_bucket_tables([e[0] for e in ch], min_steps=steps_g)
+            memo[ck] = b
+        built.append(b)
+    steps = max(b[10] for b in built)
+
+    def stack(idx, pad_axis=None):
+        arrs = [b[idx] for b in built]
+        if pad_axis is not None:
+            m = max(a.shape[pad_axis] for a in arrs)
+            arrs = [
+                np.pad(a, [(0, 0)] * pad_axis
+                       + [(0, m - a.shape[pad_axis])]
+                       + [(0, 0)] * (a.ndim - pad_axis - 1))
+                for a in arrs
+            ]
+        return jnp.asarray(np.stack(arrs))
+
+    ws = np.zeros((n_chunks, pad_to, 128), np.uint32)
+    for ci, ch in enumerate(chunks):
+        for i, (_p, w) in enumerate(ch):
+            ws[ci, i, :] = w // 128
+    ops = (stack(0), stack(1), stack(2), stack(3), stack(4, pad_axis=1),
+           stack(5), stack(6), stack(7), stack(8, pad_axis=1),
+           jnp.asarray(ws))
+    return ops, steps, n_chunks, pad_to, chunk_idx
+
+
+def _stage_alias_fused_bucket(entries, *, geom=None, vws=0, min_steps: int = 0):
+    """Stage a fused (direct-predictor) alias bucket: chunked stacked
+    operands + ONE jitted lax.map program.  ``entries`` = list of
+    (parsed, width); widths may mix for the zzd mode (ws operand).
+    Returns a closure with ``.ops`` returning uint16[S_real, steps*128]
+    (or the pdd-cumsum'd pixels when ``geom`` is set)."""
+    S_real = len(entries)
+    ops, steps, n_chunks, pad_to, _ci = _alias_chunks(entries, min_steps=min_steps)
+
+    def run(ops_all=None):
+        out = _stacked_alias_fused(
+            ops_all if ops_all is not None else ops,
+            steps=steps, chunk_s=pad_to, pdd_geom=geom, vdd_ws=vws,
+        )
+        return out.reshape(out.shape[0] * pad_to, -1)[:S_real]
+
+    run.ops = ops
+    return run
+
+
+def _stage_alias_post_group(parsed, strips, pred, width, strip_h, mid, delim,
+                            min_steps: int = 0, min_runs: int = 0,
+                            min_tokens: int = 0):
+    """Stage an alias group whose decode needs the post program (r-modes,
+    escaped zz/avg): alias entropy kernel (fused=False) + post, chunked.
+    Returns a closure with ``.ops``."""
+    S_real = len(parsed)
+    entries = [(p, width) for p in parsed]
+    ops, steps, n_chunks, pad_to, chunk_idx = _alias_chunks(
+        entries, min_steps=min_steps)
+    if pred in _DIRECT_PREDS:
+        post_kw = dict(max_runs=128, max_tokens=128, pad_to=strip_h * width)
+        zeros = np.zeros((n_chunks, pad_to), np.int32)
+        nt_np = nr_np = nsm_np = zeros
+    else:
+        runs_g = max(min_runs, _runs_floor(pred, width, strip_h),
+                     128 * _pow2_at_least((max(st[3] for st in strips) + 128) // 128))
+        tokens_g = max(min_tokens, 128 * _pow2_at_least(
+            (max(st[2] for st in strips) + 128) // 128))
+        post_kw = dict(max_runs=runs_g, max_tokens=tokens_g, pad_to=0)
+
+        def meta_arr(j):
+            return np.array(
+                [[strips[i][j] for i in ix] for ix in chunk_idx], np.int32)
+
+        nt_np, nr_np, nsm_np = meta_arr(2), meta_arr(3), meta_arr(4)
+    nt, nr, nsm = (jnp.asarray(a) for a in (nt_np, nr_np, nsm_np))
+    mid_s, delim_s = _post_params(pred, mid, delim)
+
+    def run(ops_all=None):
+        o, t, r, sm = ops_all if ops_all is not None else (ops, nt, nr, nsm)
+        out = _stacked_alias_post_run(
+            o, t, r, sm, steps=steps, chunk_s=pad_to, width=width,
+            strip_h=strip_h, mid=mid_s, delim=delim_s, pred=pred, **post_kw,
+        )
+        return out.reshape(out.shape[0] * pad_to, -1)[:S_real]
+
+    run.ops = (ops, nt, nr, nsm)
+    return run
 
 
 def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
@@ -1021,6 +1249,31 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
         rans_decode_pallas_zzd,
     )
 
+    if parsed and parsed[0][7] is not None:
+        # Alias-mapped (FF 41) group — the kernel has no tableLog or
+        # alphabet statics, so one executable serves the whole family.
+        if any(p[7] is None for p in parsed):
+            raise ValueError("alias group mixed with standard strips")
+        fused_vdd = (pred == "vdd" and width % 128 == 0
+                     and (width // 128) in (1, 2, 4, 8))
+        if (pred in ("zzd", "pdd") or fused_vdd) and width % 128 == 0:
+            geom = (width, strip_h) if pred == "pdd" else None
+            vws = width // 128 if fused_vdd else 0
+            inner = _stage_alias_fused_bucket(
+                [(p, width) for p in parsed], geom=geom, vws=vws,
+                min_steps=min_steps,
+            )
+
+            def run_alias(ops_all=None):
+                return inner(ops_all)[:, : strip_h * width]
+
+            run_alias.ops = inner.ops
+            return run_alias
+        return _stage_alias_post_group(
+            parsed, strips, pred, width, strip_h, mid, delim,
+            min_steps=min_steps, min_runs=min_runs, min_tokens=min_tokens,
+        )
+
     S_real = len(parsed)
     if S_real > _CHUNK_S:
         return _stage_mict_group_stacked(
@@ -1127,7 +1380,7 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
     _thr, delim = delta_params(max_value)
     mid = _rle_mid(max_value)
     out = np.empty(width * height, dtype=np.uint16)
-    groups: dict[str, list[int]] = {}
+    groups: dict[tuple, list[int]] = {}
     parsed = {}
     for i, st in enumerate(strips):
         pred = strip_predictor(gpred, st[5])
@@ -1142,8 +1395,8 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
                 )
             continue
         parsed[i] = mict_parse(st[0])
-        groups.setdefault(pred, []).append(i)
-    for pred, idxs in groups.items():
+        groups.setdefault((pred, parsed[i][7] is not None), []).append(i)
+    for (pred, _is_alias), idxs in groups.items():
         sub = _decode_mict_group(
             [parsed[i] for i in idxs], [strips[i] for i in idxs],
             pred, width, strip_h, mid, delim,
@@ -1265,6 +1518,7 @@ class MicwDecodePlan:
                 if p is None:
                     p = mict_parse(st[0])
                     mict_memo[id(st[0])] = p
+                is_alias = p[7] is not None
                 fused_vdd = (pred == "vdd" and width % 128 == 0
                              and (width // 128) in (1, 2, 4, 8))
                 if (pred in ("zzd", "pdd") or fused_vdd) and width % 128 == 0:
@@ -1273,24 +1527,28 @@ class MicwDecodePlan:
                     # images don't pad to the largest image's scan length.
                     # pdd buckets also key on geometry (its column cumsum
                     # needs a static width); zzd mixes widths via the ws
-                    # operand.
+                    # operand.  Alias (FF 41) strips bucket separately
+                    # ("a" prefix) — their kernel has no tableLog static,
+                    # so alias buckets mix table logs freely.
                     need = max(8, -(-p[2] // 128))
                     b = 8
                     while b < need:
                         b *= 2
+                    a = "a" if is_alias else ""
                     if pred == "pdd":
-                        bk = ("pdd", b, width, strip_h)
+                        bk = (a + "pdd", b, width, strip_h)
                     elif pred == "vdd":
-                        bk = ("vdd", b, width)
+                        bk = (a + "vdd", b, width)
                     else:
-                        bk = ("zzd", b)
+                        bk = (a + "zzd", b)
                     keys.append((bk, len(zzd_buckets.setdefault(bk, []))))
                     zzd_buckets[bk].append((p, width))
                 else:
                     # mid/delim as they reach the post program: zeroed
                     # for direct modes, format-constant for r-modes —
                     # program keys collapse across maxValues.
-                    gk = (pred, width, strip_h, *_post_params(pred, mid, delim))
+                    gk = (pred, width, strip_h,
+                          *_post_params(pred, mid, delim), is_alias)
                     keys.append((("rle", gk), len(rle_groups.setdefault(gk, []))))
                     rle_groups[gk].append((p, st))
             self.keys_per_blob[bi] = keys
@@ -1304,6 +1562,12 @@ class MicwDecodePlan:
         self.launches = {}  # key -> closure returning device array [S, cols]
         for bk, entries in zzd_buckets.items():
             b = bk[1]
+            if bk[0].startswith("a"):
+                geom = (bk[2], bk[3]) if bk[0] == "apdd" else None
+                vws = bk[2] // 128 if bk[0] == "avdd" else 0
+                self.launches[bk] = _stage_alias_fused_bucket(
+                    entries, geom=geom, vws=vws, min_steps=b)
+                continue
             geom = (bk[2], bk[3]) if bk[0] == "pdd" else None
             vws = bk[2] // 128 if bk[0] == "vdd" else 0
             parsed_all = [e[0] for e in entries]
@@ -1372,7 +1636,7 @@ class MicwDecodePlan:
             self.launches[bk] = make_run(ops, steps, pad_to, tl, asweep, S_real,
                                          geom, vws)
         for gk, entries in rle_groups.items():
-            pred, width, strip_h, mid, delim = gk
+            pred, width, strip_h, mid, delim, _is_alias = gk
             parsed = [e[0] for e in entries]
             strips_g = [e[1] for e in entries]
             self.launches[("rle", gk)] = _stage_mict_group(

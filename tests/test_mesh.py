@@ -119,3 +119,44 @@ def test_sharded_encode():
     got = encode_strips_sharded(mesh, *args, **kw)
     for a, b in zip(ref, got):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_alias_decode():
+    """Alias-bucket (FF 41) kernel under shard_map, MIXED table logs in
+    one sharded executable (no tl static)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mic_tpu.tpu.device_rans import mict_encode_alias, mict_parse
+    from mic_tpu.tpu.mesh import decode_alias_sharded, make_strip_mesh
+    from mic_tpu.tpu.pallas_rans import build_alias_bucket_tables
+
+    devs = jax.devices()[:8]
+    if len(devs) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(9)
+    # Alternate stream shapes so optimal_table_log lands on DIFFERENT
+    # table logs (2048/alpha-400 -> tl 8, 8192/alpha-60 -> tl 10).
+    shapes = [(2048, 400, 9), (8192, 60, 10)]
+    datas, parsed = [], []
+    for s in range(8):
+        n, alpha, req = shapes[s % 2]
+        d = np.minimum(rng.geometric(2.0 / alpha, n), alpha).astype(np.uint16)
+        datas.append(d)
+        parsed.append(mict_parse(mict_encode_alias(d, table_log=req)))
+    assert len({p[1] for p in parsed}) > 1
+    (init, w0, w1, w2, words, mask, shift, escv, esides, _counts,
+     steps) = build_alias_bucket_tables(parsed)
+    ws = np.zeros((8, 128), np.uint32)
+    mesh = make_strip_mesh(devs)
+    out = decode_alias_sharded(
+        mesh,
+        *[jnp.asarray(a) for a in (init, w0, w1, w2, words, mask, shift,
+                                   escv, esides, ws)],
+        steps=steps, vdd_ws=0, fused=False,
+    )
+    got = np.asarray(out)
+    for s, d in enumerate(datas):
+        assert np.array_equal(got[s].reshape(-1)[: len(d)], d)

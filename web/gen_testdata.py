@@ -109,6 +109,16 @@ def main() -> int:
         add(f"{nm}_dev.micw", micw_compress(px, w, h, mx), "micw",
             px.astype("<u2"), width=w, height=h)
     if images:
+        # Alias-entropy (FF 41) and ratio-first ("auto": r-modes + escaped)
+        # containers so the JS harness covers every stream/mode family.
+        nm, px, w, h, mx = images[0]
+        add(f"{nm}_dev_alias.micw",
+            micw_compress(px, w, h, mx, entropy="alias"), "micw",
+            px.astype("<u2"), width=w, height=h)
+        add(f"{nm}_dev_auto.micw",
+            micw_compress(px, w, h, mx, predictor="auto"), "micw",
+            px.astype("<u2"), width=w, height=h)
+    if images:
         nm, px, w, h, mx = images[-1]
         img = px.reshape(h, w)
         frames = [img.ravel(), np.roll(img, 1, 0).ravel(), np.roll(img, 2, 1).ravel()]

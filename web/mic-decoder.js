@@ -886,22 +886,104 @@ function decodeMIC3Region(bytes, hdr, level, x, y, w, h) {
  * | normalized-count header | initStates L*u32 | words nWords*u16.
  */
 function mictParse(bytes) {
-  if (bytes.length < 12 || bytes[0] !== 0xFF || bytes[1] !== 0x57) {
+  const isAlias = bytes.length >= 2 && bytes[0] === 0xFF && bytes[1] === 0x41;
+  if (bytes.length < 12 || bytes[0] !== 0xFF ||
+      (bytes[1] !== 0x57 && bytes[1] !== 0x41)) {
     throw new Error('MICT: missing magic');
   }
   const lanes = 1 << bytes[2];
   const tlHdr = bytes[3];
   const count = readU32(bytes, 4);
   const nWords = readU32(bytes, 8);
-  const h = readNCount(bytes.subarray(12));
+  let hdr = 12, nEsc = 0, escVal = 0;
+  if (isAlias) {            // FF 41: | nEsc u32 | escVal u16 | ...
+    nEsc = readU32(bytes, 12);
+    escVal = readU16(bytes, 16);
+    hdr = 18;
+  }
+  const h = readNCount(bytes.subarray(hdr));
   if (h.tableLog !== tlHdr) throw new Error('MICT: tableLog mismatch');
-  let pos = 12 + h.consumed;
+  let pos = hdr + h.consumed;
   const states = new Float64Array(lanes); // u32 values; Number math below
   for (let l = 0; l < lanes; l++) { states[l] = readU32(bytes, pos); pos += 4; }
   const words = new Uint16Array(nWords);
   for (let w = 0; w < nWords; w++) { words[w] = readU16(bytes, pos); pos += 2; }
+  let escValues = null;
+  if (isAlias) {
+    if (pos + 2 * nEsc > bytes.length) throw new Error('MICT: escape stream out of bounds');
+    escValues = new Uint16Array(nEsc);
+    for (let i = 0; i < nEsc; i++) { escValues[i] = readU16(bytes, pos); pos += 2; }
+  }
   return { lanes, tableLog: h.tableLog, count, states, words,
-           norm: h.norm, symbolLen: h.symbolLen };
+           norm: h.norm, symbolLen: h.symbolLen,
+           alias: isAlias ? { escVal, escValues } : null };
+}
+
+/**
+ * Per-slot (sym, freq, bias) tables for an alias-mapped (FF 41) stream:
+ * the deterministic integer Vose layout of device_rans.alias_construct
+ * (128 buckets of K = 2^(tl-7) slots, primary run then alias run),
+ * expanded to slot-indexed arrays so the decode loop is unchanged.
+ */
+function aliasSlotTables(norm, symbolLen, tableLog) {
+  const M = 1 << tableLog;
+  const K = M >> 7;
+  const syms = [], w = [];
+  for (let s = 0; s < symbolLen; s++) {
+    const f = norm[s] === -1 ? 1 : norm[s];
+    if (f > 0) { syms.push(s); w.push(f); }
+  }
+  if (syms.length > 256) throw new Error('MICT alias: alphabet > 256');
+  const small = [], large = [];
+  for (let i = 0; i < syms.length; i++) (w[i] < K ? small : large).push(i);
+  const counter = new Float64Array(syms.length);
+  const sym = new Uint16Array(M);
+  const freq = new Uint32Array(M);
+  const bias = new Uint32Array(M);
+  const fOf = w.slice();  // original freqs (w is mutated below)
+  for (let b = 0; b < 128; b++) {
+    let p, a = -1, t;
+    if (small.length) {
+      p = small.pop();
+      t = w[p];
+      w[p] = 0;
+      if (large.length) {
+        a = large[large.length - 1];
+        w[a] -= K - t;
+        if (w[a] === 0) large.pop();
+        else if (w[a] < K) small.push(large.pop());
+      } else {
+        if (!small.length) throw new Error('MICT alias: stranded small symbol');
+        let ai = 0;
+        for (let i = 1; i < small.length; i++) if (w[small[i]] > w[small[ai]]) ai = i;
+        a = small[ai];
+        if (w[a] < K - t) throw new Error('MICT alias: no alias covers the bucket');
+        w[a] -= K - t;
+        if (w[a] === 0) small.splice(ai, 1);
+      }
+    } else {
+      p = large[large.length - 1];
+      t = K;
+      a = p;
+      w[p] -= K;
+      if (w[p] === 0) large.pop();
+      else if (w[p] < K) small.push(large.pop());
+    }
+    const base = b * K;
+    for (let j = 0; j < t; j++) {
+      sym[base + j] = syms[p]; freq[base + j] = fOf[p];
+      bias[base + j] = counter[p] + j;
+    }
+    counter[p] += t;
+    if (t < K) {
+      for (let j = 0; j < K - t; j++) {
+        sym[base + t + j] = syms[a]; freq[base + t + j] = fOf[a];
+        bias[base + t + j] = counter[a] + j;
+      }
+      counter[a] += K - t;
+    }
+  }
+  return { sym, freq, bias };
 }
 
 /**
@@ -914,18 +996,24 @@ function mictDecode(bytes) {
   const p = mictParse(bytes);
   const tsize = 1 << p.tableLog;
   const mask = tsize - 1;
-  // Slot tables from norm: freqs in symbol order, low-prob (-1) = 1.
-  const sym = new Uint16Array(tsize);
-  const freq = new Uint32Array(tsize);
-  const bias = new Uint32Array(tsize);
-  let slot = 0;
-  for (let s = 0; s < p.symbolLen; s++) {
-    const f = p.norm[s] === -1 ? 1 : p.norm[s];
-    for (let j = 0; j < f; j++) {
-      sym[slot] = s; freq[slot] = f; bias[slot] = j; slot++;
+  let sym, freq, bias;
+  if (p.alias) {
+    // FF 41: the slots are permuted into the 128-bucket alias layout.
+    ({ sym, freq, bias } = aliasSlotTables(p.norm, p.symbolLen, p.tableLog));
+  } else {
+    // Slot tables from norm: freqs in symbol order, low-prob (-1) = 1.
+    sym = new Uint16Array(tsize);
+    freq = new Uint32Array(tsize);
+    bias = new Uint32Array(tsize);
+    let slot = 0;
+    for (let s = 0; s < p.symbolLen; s++) {
+      const f = p.norm[s] === -1 ? 1 : p.norm[s];
+      for (let j = 0; j < f; j++) {
+        sym[slot] = s; freq[slot] = f; bias[slot] = j; slot++;
+      }
     }
+    if (slot !== tsize) throw new Error('MICT: freqs do not sum to table size');
   }
-  if (slot !== tsize) throw new Error('MICT: freqs do not sum to table size');
 
   const L = p.lanes;
   const x = p.states; // Float64Array of u32 values (exact Number math)
@@ -955,7 +1043,56 @@ function mictDecode(bytes) {
     if (x[l] !== 65536) throw new Error('MICT: final state mismatch');
   }
   if (cursor !== p.words.length) throw new Error('MICT: word count mismatch');
+  if (p.alias && p.alias.escValues.length) {
+    // Escape substitution: decoded ESC symbols take their true values
+    // from the side stream in stream order (alias_substitute_escapes).
+    let e = 0;
+    for (let i = 0; i < out.length; i++) {
+      if (out[i] === p.alias.escVal) {
+        if (e >= p.alias.escValues.length) throw new Error('MICT: escape count mismatch');
+        out[i] = p.alias.escValues[e++];
+      }
+    }
+    if (e !== p.alias.escValues.length) throw new Error('MICT: escape count mismatch');
+  }
   return out;
+}
+
+/**
+ * Direct-mode predictor inverses (strips.py _zzd/_vdd/_pdd_syms
+ * inverted): un-ZigZag then mod-2^16 cumsum over rows (zzd), columns
+ * (vdd), or both (pdd — the separable W+N-NW plane difference).
+ * Writes sh*width pixels at out[base..].
+ */
+function micwDirectInverse(syms, out, base, width, sh, pred) {
+  if (pred === 'zzd' || pred === 'pdd') {
+    for (let y = 0; y < sh; y++) {
+      let acc = 0;
+      for (let xx = 0; xx < width; xx++) {
+        const v = syms[y * width + xx];
+        acc = (acc + ((v >>> 1) ^ -(v & 1))) & 0xFFFF;
+        out[base + y * width + xx] = acc;
+      }
+    }
+    if (pred === 'pdd') {
+      for (let xx = 0; xx < width; xx++) {
+        let acc = 0;
+        for (let y = 0; y < sh; y++) {
+          acc = (acc + out[base + y * width + xx]) & 0xFFFF;
+          out[base + y * width + xx] = acc;
+        }
+      }
+    }
+  } else { // vdd
+    for (let xx = 0; xx < width; xx++) {
+      let acc = 0;
+      for (let y = 0; y < sh; y++) {
+        const v = syms[y * width + xx];
+        acc = (acc + ((v >>> 1) ^ -(v & 1))) & 0xFFFF;
+        out[base + y * width + xx] = acc;
+      }
+    }
+  }
 }
 
 /** SoA-RLE expansion (ops/rle.py soa_expand): soa = [counts][same
@@ -1043,31 +1180,21 @@ function decodeMICW(bytes) {
     } else if (e.mode === 0) {
       pred = h.globalPred;
     } else {
-      pred = { 2: 'zzd', 3: 'zz', 4: 'avg', 6: 'vdd' }[e.mode];
+      pred = { 2: 'zzd', 3: 'zz', 4: 'avg', 6: 'vdd', 7: 'pdd',
+               8: 'zzr', 9: 'vdr', 10: 'pdr' }[e.mode];
       if (!pred) throw new Error('MICW: unknown strip mode ' + e.mode);
     }
-    const syms = mictDecode(blob);
-    if (pred === 'zzd' || pred === 'vdd') {
-      // Direct mod-2^16 ZigZag deltas: rows (zzd) or columns (vdd).
-      if (pred === 'zzd') {
-        for (let y = 0; y < sh; y++) {
-          let acc = 0;
-          for (let xx = 0; xx < h.width; xx++) {
-            const v = syms[y * h.width + xx];
-            acc = (acc + ((v >>> 1) ^ -(v & 1))) & 0xFFFF;
-            out[base + y * h.width + xx] = acc;
-          }
-        }
-      } else {
-        for (let xx = 0; xx < h.width; xx++) {
-          let acc = 0;
-          for (let y = 0; y < sh; y++) {
-            const v = syms[y * h.width + xx];
-            acc = (acc + ((v >>> 1) ^ -(v & 1))) & 0xFFFF;
-            out[base + y * h.width + xx] = acc;
-          }
-        }
-      }
+    let syms = mictDecode(blob);
+    if (pred === 'zzr' || pred === 'vdr' || pred === 'pdr') {
+      // RLE'd-direct (v5): SoA-RLE with the format-constant midCount
+      // 16383 (MID_DIRECT) over bijective direct symbols, then the base
+      // direct inverse.
+      syms = soaExpand(syms, e.nRuns, e.nSame, 16383);
+      if (syms.length !== e.nTokens) throw new Error('MICW: r-mode token count mismatch');
+      pred = { zzr: 'zzd', vdr: 'vdd', pdr: 'pdd' }[pred];
+    }
+    if (pred === 'zzd' || pred === 'vdd' || pred === 'pdd') {
+      micwDirectInverse(syms, out, base, h.width, sh, pred);
       continue;
     }
     // SoA-RLE modes: expand, then escaped-residual inversion.  tokens[0]
@@ -1138,7 +1265,8 @@ return {
   decodeMICR, decodeRGBBlob, decodePlane,
   parseMIC3Header, decodeMIC3Tile, decodeMIC3Level, decodeMIC3Region,
   // device formats
-  mictParse, mictDecode, micwParse, decodeMICW, decodeMWR3, soaExpand,
+  mictParse, mictDecode, aliasSlotTables, micwDirectInverse,
+  micwParse, decodeMICW, decodeMWR3, soaExpand,
   version: '2.0.0',
 };
 
