@@ -561,7 +561,7 @@ def rans_decode_pallas_zzd(init, tpk, alpha, words, mask, shift, ws, *, steps, n
 
 def _kernel_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
                   shift_ref, escv_ref, esides_ref, ws_ref, out_ref, *,
-                  steps, n_strips, vdd_ws=0, fused=True):
+                  steps, n_strips, vdd_ws=0, fused=True, esc=True):
     S = n_strips
     ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -590,26 +590,32 @@ def _kernel_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
 
         # Escape substitution: rank escaping lanes with an MXU exclusive
         # prefix sum, pull their true values from the side-stream window.
-        is_esc = sym == escv_ref[:]
-        ne = is_esc.astype(jnp.int32)
-        ke = jax.lax.dot_general(
-            ne.astype(jnp.bfloat16), M, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        etot = ke[:, 127:128] + ne[:, 127:128]
-        ecl = jnp.minimum(ecur, emax)
-        ewin = jnp.concatenate(
-            [esides_ref[s, pl.ds(ecl[s, 0] >> 7, 2), :].reshape(1, 256)
-             for s in range(S)], axis=0
-        )
-        eidx = (ecl & 127) + ke
-        ei0 = eidx & 127
-        ev = jnp.where(
-            eidx < 128,
-            jnp.take_along_axis(ewin[:, :128], ei0, axis=1),
-            jnp.take_along_axis(ewin[:, 128:], ei0, axis=1),
-        )
-        sym = jnp.where(is_esc, ev, sym)
+        # Compiled out (esc=False) for escape-free groups — the common
+        # case for the direct modes, saving one of the two per-step
+        # matmuls and the side-window slicing.
+        if esc:
+            is_esc = sym == escv_ref[:]
+            ne = is_esc.astype(jnp.int32)
+            ke = jax.lax.dot_general(
+                ne.astype(jnp.bfloat16), M, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            etot = ke[:, 127:128] + ne[:, 127:128]
+            ecl = jnp.minimum(ecur, emax)
+            ewin = jnp.concatenate(
+                [esides_ref[s, pl.ds(ecl[s, 0] >> 7, 2), :].reshape(1, 256)
+                 for s in range(S)], axis=0
+            )
+            eidx = (ecl & 127) + ke
+            ei0 = eidx & 127
+            ev = jnp.where(
+                eidx < 128,
+                jnp.take_along_axis(ewin[:, :128], ei0, axis=1),
+                jnp.take_along_axis(ewin[:, 128:], ei0, axis=1),
+            )
+            sym = jnp.where(is_esc, ev, sym)
+        else:
+            etot = jnp.zeros_like(ecur)
 
         # Renorm (same machinery as _kernel_zzd).
         need = xn < jnp.uint32(1 << 16)
@@ -674,10 +680,10 @@ def _kernel_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
                       (init_ref[:], zero, zero, rowc0, zero))
 
 
-@partial(jax.jit, static_argnames=("steps", "n_strips", "vdd_ws", "fused"))
+@partial(jax.jit, static_argnames=("steps", "n_strips", "vdd_ws", "fused", "esc"))
 def rans_decode_pallas_alias(init, w0, w1, w2, words, mask, shift, escv,
                              esides, ws, *, steps, n_strips, vdd_ws=0,
-                             fused=True):
+                             fused=True, esc=True):
     """Fused alias-bucket decode (FF 41 streams): 3-gather slot lookup +
     escape substitution + the zzd/vdd predictor inverse of
     rans_decode_pallas_zzd.  With fused=False returns raw SYMBOLS
@@ -700,12 +706,13 @@ def rans_decode_pallas_alias(init, w0, w1, w2, words, mask, shift, escv,
         full = rans_decode_pallas_alias(
             init, w0, w1, w2, words, mask, shift, escv, esides, ws,
             steps=steps, n_strips=S + pad, vdd_ws=vdd_ws, fused=fused,
+            esc=esc,
         )
         return full[:S]
     grid = S // GROUP()
     return pl.pallas_call(
         partial(_kernel_alias, steps=steps, n_strips=GROUP(), vdd_ws=vdd_ws,
-                fused=fused),
+                fused=fused, esc=esc),
         out_shape=jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
         grid=(grid,),
         in_specs=[

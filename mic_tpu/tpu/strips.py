@@ -933,16 +933,20 @@ def _stacked_post_run(ops, n_tokens, n_runs, n_same, *, steps, chunk_s, tl,
     return jax.lax.map(body, ops + (n_tokens, n_runs, n_same))
 
 
-@partial(jax.jit, static_argnames=("steps", "chunk_s", "pdd_geom", "vdd_ws"))
-def _stacked_alias_fused(ops, *, steps, chunk_s, pdd_geom=None, vdd_ws=0):
+@partial(jax.jit, static_argnames=("steps", "chunk_s", "pdd_geom", "vdd_ws", "esc"))
+def _stacked_alias_fused(ops, *, steps, chunk_s, pdd_geom=None, vdd_ws=0,
+                         esc=True):
     """lax.map of the alias-bucket fused kernel over stacked chunks.  No
     tableLog/alphabet statics — ONE executable serves every alias group
-    of a geometry regardless of per-strip table logs."""
+    of a geometry regardless of per-strip table logs.  esc=False compiles
+    the escape machinery out for escape-free groups (one of the two
+    per-step matmuls)."""
     from .pallas_rans import rans_decode_pallas_alias
 
     def body(o):
         pix = rans_decode_pallas_alias(
             *o, steps=steps, n_strips=chunk_s, vdd_ws=vdd_ws, fused=True,
+            esc=esc,
         )
         out = pix.reshape(chunk_s, -1)
         if pdd_geom is not None:
@@ -961,11 +965,11 @@ def _stacked_alias_fused(ops, *, steps, chunk_s, pdd_geom=None, vdd_ws=0):
 
 @partial(jax.jit, static_argnames=(
     "steps", "chunk_s", "width", "strip_h", "max_runs", "max_tokens",
-    "mid", "delim", "pred", "pad_to",
+    "mid", "delim", "pred", "pad_to", "esc",
 ))
 def _stacked_alias_post_run(ops, n_tokens, n_runs, n_same, *, steps, chunk_s,
                             width, strip_h, max_runs, max_tokens, mid, delim,
-                            pred, pad_to):
+                            pred, pad_to, esc=True):
     """lax.map of (alias entropy kernel + post program) over stacked
     chunks — the alias analog of _stacked_post_run."""
     from .pallas_rans import rans_decode_pallas_alias
@@ -973,7 +977,7 @@ def _stacked_alias_post_run(ops, n_tokens, n_runs, n_same, *, steps, chunk_s,
     def body(o):
         args, nt, nr, nsm = o[:10], o[10], o[11], o[12]
         ent = rans_decode_pallas_alias(
-            *args, steps=steps, n_strips=chunk_s, fused=False,
+            *args, steps=steps, n_strips=chunk_s, fused=False, esc=esc,
         )
         ent = ent.reshape(chunk_s, -1)
         if pad_to and ent.shape[1] < pad_to:
@@ -1039,7 +1043,8 @@ def _alias_chunks(entries, min_steps: int = 0):
     ops = (stack(0), stack(1), stack(2), stack(3), stack(4, pad_axis=1),
            stack(5), stack(6), stack(7), stack(8, pad_axis=1),
            jnp.asarray(ws))
-    return ops, steps, n_chunks, pad_to, chunk_idx
+    esc_any = any(e[0][7] is not None and len(e[0][7][1]) for e in entries)
+    return ops, steps, n_chunks, pad_to, chunk_idx, esc_any
 
 
 def _stage_alias_fused_bucket(entries, *, geom=None, vws=0, min_steps: int = 0):
@@ -1049,12 +1054,14 @@ def _stage_alias_fused_bucket(entries, *, geom=None, vws=0, min_steps: int = 0):
     Returns a closure with ``.ops`` returning uint16[S_real, steps*128]
     (or the pdd-cumsum'd pixels when ``geom`` is set)."""
     S_real = len(entries)
-    ops, steps, n_chunks, pad_to, _ci = _alias_chunks(entries, min_steps=min_steps)
+    ops, steps, n_chunks, pad_to, _ci, esc_any = _alias_chunks(
+        entries, min_steps=min_steps)
 
     def run(ops_all=None):
         out = _stacked_alias_fused(
             ops_all if ops_all is not None else ops,
             steps=steps, chunk_s=pad_to, pdd_geom=geom, vdd_ws=vws,
+            esc=esc_any,
         )
         return out.reshape(out.shape[0] * pad_to, -1)[:S_real]
 
@@ -1070,7 +1077,7 @@ def _stage_alias_post_group(parsed, strips, pred, width, strip_h, mid, delim,
     Returns a closure with ``.ops``."""
     S_real = len(parsed)
     entries = [(p, width) for p in parsed]
-    ops, steps, n_chunks, pad_to, chunk_idx = _alias_chunks(
+    ops, steps, n_chunks, pad_to, chunk_idx, esc_any = _alias_chunks(
         entries, min_steps=min_steps)
     if pred in _DIRECT_PREDS:
         post_kw = dict(max_runs=128, max_tokens=128, pad_to=strip_h * width)
@@ -1095,7 +1102,8 @@ def _stage_alias_post_group(parsed, strips, pred, width, strip_h, mid, delim,
         o, t, r, sm = ops_all if ops_all is not None else (ops, nt, nr, nsm)
         out = _stacked_alias_post_run(
             o, t, r, sm, steps=steps, chunk_s=pad_to, width=width,
-            strip_h=strip_h, mid=mid_s, delim=delim_s, pred=pred, **post_kw,
+            strip_h=strip_h, mid=mid_s, delim=delim_s, pred=pred,
+            esc=esc_any, **post_kw,
         )
         return out.reshape(out.shape[0] * pad_to, -1)[:S_real]
 

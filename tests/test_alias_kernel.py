@@ -19,7 +19,7 @@ from mic_tpu.tpu.pallas_rans import (  # noqa: E402
 from mic_tpu.tpu.strips import _vdd_syms, _zzd_syms  # noqa: E402
 
 
-def _decode_raw(parsed, vdd_ws=0, fused=False, ws_arr=None):
+def _decode_raw(parsed, vdd_ws=0, fused=False, ws_arr=None, esc=True):
     S = len(parsed)
     (init, w0, w1, w2, words, mask, shift, escv, esides, counts,
      steps) = build_alias_bucket_tables(parsed)
@@ -28,7 +28,7 @@ def _decode_raw(parsed, vdd_ws=0, fused=False, ws_arr=None):
         jnp.asarray(init), jnp.asarray(w0), jnp.asarray(w1), jnp.asarray(w2),
         jnp.asarray(words), jnp.asarray(mask), jnp.asarray(shift),
         jnp.asarray(escv), jnp.asarray(esides), jnp.asarray(ws),
-        steps=steps, n_strips=S, vdd_ws=vdd_ws, fused=fused,
+        steps=steps, n_strips=S, vdd_ws=vdd_ws, fused=fused, esc=esc,
     )
     return np.asarray(out), counts
 
@@ -72,6 +72,11 @@ def test_alias_kernel_fused_zzd():
     for i, px in enumerate(pixels):
         got = out[i].reshape(-1)[: counts[i]].astype(np.uint16)
         assert np.array_equal(got, px), f"strip {i}"
+    # Escape-free variant (esc=False compiles the substitution out):
+    # identical output when no strip has escapes.
+    assert all(len(p[7][1]) == 0 for p in parsed)
+    out2, _ = _decode_raw(parsed, fused=True, ws_arr=ws, esc=False)
+    assert np.array_equal(out2, out)
 
 
 def test_alias_kernel_fused_vdd():

@@ -78,6 +78,29 @@ def test_encode_kernel_compiled(rng):
     assert host == dev
 
 
+def test_alias_kernel_compiled(rng):
+    """FF 41 alias containers through the plan paths, Mosaic-compiled:
+    fused direct modes and the alias post path, plus the escape-folded
+    case (spiky content -> alphabet > 255 kept)."""
+    from mic_tpu.tpu.strips import micw_compress, micw_decompress_device_pallas
+
+    img = _tiny_image(rng, h=32)
+    px = img.ravel()
+    for pred in ("auto-fast", "zzr"):
+        blob = micw_compress(px, 128, 32, int(px.max()), num_strips=2,
+                             predictor=pred, entropy="alias")
+        out, _, _ = micw_decompress_device_pallas(blob)
+        assert np.array_equal(out, px), pred
+    spiky = img.astype(np.int32)
+    m = rng.random(img.shape) < 0.05
+    spiky = np.where(m, rng.integers(0, 4095, img.shape), spiky).astype(np.uint16)
+    px2 = spiky.ravel()
+    blob = micw_compress(px2, 128, 32, int(px2.max()), num_strips=2,
+                         predictor="zzd", entropy="alias")
+    out, _, _ = micw_decompress_device_pallas(blob)
+    assert np.array_equal(out, px2)
+
+
 def test_two_table_kernel_compiled():
     """tl=13 strip (packed-ineligible: the packed kernel caps at tl=12)
     through the two-table kernel, compiled.
