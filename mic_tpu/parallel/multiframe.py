@@ -169,7 +169,7 @@ def decompress_frame(data: bytes, frame_idx: int):
     return prev, hdr
 
 
-def compress_multi_frame_device(frames, width, height, max_value, lanes: int = 128, temporal: bool = False) -> bytes:
+def compress_multi_frame_device(frames, width, height, max_value, lanes: int = 128, temporal: bool = False, entropy: str = "standard") -> bytes:
     """MIC2 container whose frame payloads are MICW device-format blobs.
 
     Independent mode (default): O(1) random frame access, every frame's
@@ -188,7 +188,8 @@ def compress_multi_frame_device(frames, width, height, max_value, lanes: int = 1
         else:
             plane = f
             mv = max_value
-        blobs.append(micw_compress(plane, width, height, mv, lanes=lanes))
+        blobs.append(micw_compress(plane, width, height, mv, lanes=lanes,
+                                   entropy=entropy))
     return write_mic2(MIC2Header(width, height, len(frames), temporal=temporal), blobs)
 
 

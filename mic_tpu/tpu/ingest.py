@@ -78,11 +78,14 @@ def _decode_reference(blob: bytes, width: int, height: int, kind: int,
 def transcode_frame(
     blob: bytes, width: int, height: int, kind: int = 0,
     device_encode: bool = False, entropy: str = "native",
+    target_entropy: str = "standard",
 ) -> bytes:
     """Reference single-frame blob (Delta+RLE+FSE/rANS, any state count)
     → MICW.  ``kind`` is the predictor the frame was encoded with
     (0=avg, 1=grad, 2=med, 3=zz — native.PRED_*); ``entropy`` selects
-    the decode tier for the reference blob ("native" or "device")."""
+    the decode tier for the reference blob ("native" or "device");
+    ``target_entropy`` the MICW strip stream family ("standard" FF 57 or
+    "alias" FF 41 — host encode only)."""
     px, w, h = _decode_reference(blob, width, height, kind, entropy=entropy)
     px = np.asarray(px, dtype=np.uint16)
     mx = int(px.max())
@@ -90,7 +93,7 @@ def transcode_frame(
         from .pallas_enc import micw_compress_device
 
         return micw_compress_device(px, w, h, mx)
-    return micw_compress(px, w, h, mx)
+    return micw_compress(px, w, h, mx, entropy=target_entropy)
 
 
 def transcode_pics(blob: bytes, device_encode: bool = False,

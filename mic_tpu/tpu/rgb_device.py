@@ -27,7 +27,7 @@ MWR3_MAGIC = b"MWR3"
 
 
 def micwr_compress(rgb, width: int, height: int, num_strips: int = 0,
-                   predictor: str = "auto") -> bytes:
+                   predictor: str = "auto", entropy: str = "standard") -> bytes:
     """Interleaved RGB bytes -> MWR3 (three MICW plane blobs).
 
     Defaults to the ratio-first "auto" trial set: RGB/ultrasound planes
@@ -38,7 +38,7 @@ def micwr_compress(rgb, width: int, height: int, num_strips: int = 0,
     y, co, cg = ycocgr_forward(rgb, width, height)
     blobs = [
         micw_compress(p, width, height, int(p.max()), num_strips=num_strips,
-                      predictor=predictor)
+                      predictor=predictor, entropy=entropy)
         for p in (y, co, cg)
     ]
     out = bytearray()
