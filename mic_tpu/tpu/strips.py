@@ -321,12 +321,14 @@ def micw_compress(
     every strip row is <= 512 wide and all images share one compiled
     decode-program family.
 
-    entropy "standard" writes FF 40 strips (packed-kernel decode, tl<=11);
+    entropy "standard" writes FF 57 strips (packed-kernel decode, tl<=11);
     "alias" writes FF 41 alias-mapped strips whose Pallas decode is
     tableLog-independent (3 bucket gathers/step) — it affords tl<=12 and
-    collapses the decode-program family across table logs.
+    collapses the decode-program family across table logs.  "best"
+    encodes each winning candidate both ways and keeps the smaller strip
+    blob (mixed containers decode in one plan; 2x entropy-encode cost).
     """
-    if entropy not in ("standard", "alias"):
+    if entropy not in ("standard", "alias", "best"):
         raise ValueError(f"micw: unknown entropy {entropy!r}")
     use_alias = entropy == "alias"
     pixels = np.asarray(pixels, dtype=np.uint16)
@@ -408,6 +410,11 @@ def micw_compress(
         for est, syms, meta, mode in candidates[: 5 if len(trials) > 1 else 1]:
             blob = _encode_candidate(syms, lanes, max_bytes=strip_px.nbytes,
                                      alias=use_alias)
+            if entropy == "best":
+                blob_a = _encode_candidate(syms, lanes,
+                                           max_bytes=strip_px.nbytes, alias=True)
+                if blob_a is not None and (blob is None or len(blob_a) < len(blob)):
+                    blob = blob_a
             if blob is not None and (best is None or len(blob) < best[0]):
                 best = (len(blob), blob, meta, mode)
         raw = strip_px.astype("<u2").tobytes()

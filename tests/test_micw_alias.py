@@ -86,6 +86,21 @@ def test_mixed_standard_alias_plan(rng):
         assert np.array_equal(out, px)
 
 
+def test_best_entropy_mixed_container(rng):
+    """entropy="best" keeps the smaller of FF 57/FF 41 per strip; the
+    container must be <= both pure modes and decode exactly everywhere."""
+    h, w = 64, 256
+    px = _spiky(rng, h, w).ravel()
+    mx = int(px.max())
+    b_std = micw_compress(px, w, h, mx, num_strips=2)
+    b_al = micw_compress(px, w, h, mx, num_strips=2, entropy="alias")
+    b_best = micw_compress(px, w, h, mx, num_strips=2, entropy="best")
+    assert len(b_best) <= min(len(b_std), len(b_al)) + 8
+    for fn in (micw_decompress_host, micw_decompress_device_pallas):
+        out, _, _ = fn(b_best)
+        assert np.array_equal(out, px), fn.__name__
+
+
 def test_alias_ratio_within_one_pct(rng):
     """FF 41's alias layout preserves the normalized frequencies; with
     tl=12 vs the packed cap 11, the alias blob lands within ~1% of the
