@@ -47,9 +47,11 @@ def main(argv=None) -> int:
     ap.add_argument("-pics", type=int, default=0, help="PICS strip count")
     ap.add_argument("-pica", type=int, default=0, help="PICA adaptive strip count")
     ap.add_argument("-micw", action="store_true", help="TPU device strip format")
-    ap.add_argument("-entropy", default="standard", choices=["standard", "alias"],
-                    help="MICW strip entropy: standard FF 57 or alias-mapped "
-                         "FF 41 (tableLog-independent device decode)")
+    ap.add_argument("-entropy", default="standard",
+                    choices=["standard", "alias", "best"],
+                    help="MICW strip entropy: standard FF 57, alias-mapped "
+                         "FF 41 (tableLog-independent device decode), or "
+                         "best (smaller of the two per strip)")
     ap.add_argument("-wsi", action="store_true", help="MIC3 WSI (RGB input)")
     ap.add_argument("-wavelet", action="store_true", help="Wavelet V2 pipeline")
     ap.add_argument("-gap", action="store_true", help="gap-removal pipeline")

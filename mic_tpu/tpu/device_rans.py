@@ -434,8 +434,12 @@ def mict_encode_alias(
             symbols, counts, symbol_len, kept
         )
         tl = optimal_table_log(table_log, n, sl2)
-        if max_table_log is not None:
-            tl = min(tl, max_table_log)
+        # Hard cap 12 (overridable lower): the Pallas alias kernel packs
+        # (freq-1) and the slot-base biases into 12-bit fields of w1/w2
+        # (build_alias_bucket_tables) — tl=13 would silently overflow
+        # them.  optimal_table_log's density rule can otherwise bump past
+        # the request.
+        tl = min(tl, 12 if max_table_log is None else min(max_table_log, 12))
         tl = max(tl, 7)  # 128 buckets need at least 128 slots
         norm = normalize_count(counts2, n, tl, sl2)
         try:

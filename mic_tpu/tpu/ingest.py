@@ -97,30 +97,34 @@ def transcode_frame(
 
 
 def transcode_pics(blob: bytes, device_encode: bool = False,
-                   entropy: str = "native") -> bytes:
+                   entropy: str = "native",
+                   target_entropy: str = "standard") -> bytes:
     """Reference PICS container → MICW (threaded native strip decode, or
     device-batched entropy with entropy="device")."""
     if blob[:4] != b"PICS":
         raise ValueError("not a PICS container")
     return transcode_frame(blob, 0, 0, 0, device_encode=device_encode,
-                           entropy=entropy)
+                           entropy=entropy, target_entropy=target_entropy)
 
 
 def transcode_auto(
     blob: bytes, width: int = 0, height: int = 0, kind: int = 0,
     device_encode: bool = False, entropy: str = "native",
+    target_entropy: str = "standard",
 ) -> bytes:
     """Magic-sniffing transcode: PICS containers self-describe; bare
     frame blobs need (width, height)."""
     if blob[:4] == b"PICS":
         return transcode_pics(blob, device_encode=device_encode,
-                              entropy=entropy)
+                              entropy=entropy, target_entropy=target_entropy)
     return transcode_frame(blob, width, height, kind,
-                           device_encode=device_encode, entropy=entropy)
+                           device_encode=device_encode, entropy=entropy,
+                           target_entropy=target_entropy)
 
 
 def ingest_plan(ref_blobs, dims=None, kind: int = 0,
-                device_encode: bool = False, entropy: str = "native"):
+                device_encode: bool = False, entropy: str = "native",
+                target_entropy: str = "standard"):
     """Transcode a batch of reference blobs and stage them for repeated
     device decode.  ``dims`` supplies (width, height) per bare frame blob
     (ignored for PICS).  Returns a :class:`MicwDecodePlan`."""
@@ -128,11 +132,12 @@ def ingest_plan(ref_blobs, dims=None, kind: int = 0,
     for i, blob in enumerate(ref_blobs):
         if blob[:4] == b"PICS":
             micw_blobs.append(transcode_pics(blob, device_encode=device_encode,
-                                             entropy=entropy))
+                                             entropy=entropy,
+                                             target_entropy=target_entropy))
         else:
             w, h = dims[i]
             micw_blobs.append(
                 transcode_frame(blob, w, h, kind, device_encode=device_encode,
-                                entropy=entropy)
+                                entropy=entropy, target_entropy=target_entropy)
             )
     return MicwDecodePlan(micw_blobs)

@@ -762,6 +762,11 @@ def build_alias_bucket_tables(parsed, min_steps: int = 0):
         L, tl, count, states, wrds, norm, _sl, alias = p
         if L != 128:
             raise ValueError("alias kernel requires 128 lanes per strip")
+        if tl > 12:
+            # (freq-1)/sbp/sba overflow their 12-bit w1/w2 fields beyond
+            # tl=12 — the encoder never emits such streams (hard cap in
+            # mict_encode_alias); foreign blobs must take the scan path.
+            raise ValueError("alias kernel requires tableLog <= 12")
         if alias is None:
             raise ValueError("build_alias_bucket_tables: standard-magic strip")
         al = alias_construct(norm, tl)

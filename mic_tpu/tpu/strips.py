@@ -397,7 +397,10 @@ def micw_compress(
                 tokens = _escaped_tokens(strip_px, width, sh, max_value, pred)
                 syms, n_runs, n_same = soa_encode(tokens, mid)
                 meta = (len(syms), len(tokens), n_runs, n_same)
-            est = _estimate_bytes(syms, alias=use_alias)
+            # "best" must keep wide-alphabet candidates standard would
+            # drop: alias can escape-fold them (the standard encode then
+            # simply returns None for those and alias wins the strip).
+            est = _estimate_bytes(syms, alias=use_alias or entropy == "best")
             if est != float("inf"):  # keep the strip packed-kernel eligible
                 candidates.append((est, syms, meta, _PRED_MODE[pred]))
         # Rank by the H0 estimate and entropy-encode only the top five —
@@ -1410,6 +1413,10 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
                 )
             continue
         parsed[i] = mict_parse(st[0])
+        if parsed[i][7] is not None and parsed[i][1] > 12:
+            # Foreign tl>12 alias blob: no Pallas path (12-bit bucket
+            # fields) — the XLA scan tier decodes it.
+            return micw_decompress_device(blob)
         groups.setdefault((pred, parsed[i][7] is not None), []).append(i)
     for (pred, _is_alias), idxs in groups.items():
         sub = _decode_mict_group(
@@ -1534,6 +1541,12 @@ class MicwDecodePlan:
                     p = mict_parse(st[0])
                     mict_memo[id(st[0])] = p
                 is_alias = p[7] is not None
+                if is_alias and p[1] > 12:
+                    # Foreign tl>12 alias strip: no Pallas path — whole
+                    # blob falls back (scan tier via the fallback route).
+                    self.fallback.add(bi)
+                    keys = None
+                    break
                 fused_vdd = (pred == "vdd" and width % 128 == 0
                              and (width // 128) in (1, 2, 4, 8))
                 if (pred in ("zzd", "pdd") or fused_vdd) and width % 128 == 0:

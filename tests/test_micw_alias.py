@@ -101,6 +101,43 @@ def test_best_entropy_mixed_container(rng):
         assert np.array_equal(out, px), fn.__name__
 
 
+def test_best_keeps_wide_alphabet_alias_candidates(rng):
+    """Regression: wide-alphabet strips (> MAX_ALPHABET distinct deltas)
+    are alias-encodable via escape folding; "best" must not drop them to
+    raw just because the standard estimate is infeasible."""
+    h, w = 128, 256
+    img = np.full((h, w), 800, np.int32)
+    m = rng.random((h, w)) < 0.15
+    img = np.where(m, rng.integers(0, 40000, (h, w)), img).astype(np.uint16)
+    px = img.ravel()
+    b_al = micw_compress(px, w, h, int(px.max()), entropy="alias")
+    b_best = micw_compress(px, w, h, int(px.max()), entropy="best")
+    assert len(b_best) <= len(b_al) + 8
+    out, _, _ = micw_decompress_host(b_best)
+    assert np.array_equal(out, px)
+
+
+def test_alias_encoder_caps_table_log_at_12():
+    """Regression: optimal_table_log's density rule may bump past the
+    request; the alias encoder must hard-cap at 12 (the Pallas bucket
+    tables pack 12-bit freq/slot-base fields)."""
+    from mic_tpu.tpu.device_rans import mict_encode_alias, mict_parse
+    from mic_tpu.tpu.pallas_rans import build_alias_bucket_tables
+
+    lrng = np.random.default_rng(7)
+    d = (lrng.standard_normal(131072) * 600 + 2000).clip(0, 4095).astype(np.uint16)
+    p = mict_parse(mict_encode_alias(d, table_log=11))
+    assert p[1] <= 12
+    build_alias_bucket_tables([p])  # must not raise
+    # Defensive check: a hand-rolled tl>12 parse is rejected, not
+    # silently mispacked.
+    import pytest as _pytest
+
+    bogus = (128, 13, p[2], p[3], p[4], p[5], p[6], p[7])
+    with _pytest.raises(ValueError, match="tableLog"):
+        build_alias_bucket_tables([bogus])
+
+
 def test_alias_ratio_within_one_pct(rng):
     """FF 41's alias layout preserves the normalized frequencies; with
     tl=12 vs the packed cap 11, the alias blob lands within ~1% of the
