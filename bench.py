@@ -141,7 +141,19 @@ def _measure_one(name, entry, phase) -> None:
     # (tableLog-independent decode) instead of the packed-sweep kernel.
     blob = micw_compress(px, w, h, mx,
                          entropy=os.environ.get("MIC_BENCH_ENTROPY", "standard"))
-    n_strips = micw_parse(blob)[2]
+    bw, bh, n_strips, strip_h, _mv, _gp, _lanes, strips = micw_parse(blob)
+    # Honest byte accounting: raw/constant strips are materialized
+    # host-side at stage time — the timed macro program never touches
+    # them — so they must not count toward its throughput (NM1 has one
+    # constant strip, 12.5% of its pixels).
+    from mic_tpu.tpu.strips import STRIP_MODE_CONST, STRIP_MODE_RAW
+
+    timed_px = sum(
+        min(strip_h, bh - i * strip_h) * bw
+        for i, st in enumerate(strips)
+        if st[5] not in (STRIP_MODE_RAW, STRIP_MODE_CONST)
+    )
+    timed_bytes = timed_px * 2
     k = max(1, min(MAX_REPLICAS, TARGET_STRIPS // max(1, n_strips)))
     t0 = time.time()
     plan = MicwDecodePlan([blob] * k)
@@ -171,8 +183,8 @@ def _measure_one(name, entry, phase) -> None:
     verified = (m_c == 0 and m_n == 0)
     print(json.dumps({
         "name": name,
-        "GBps": round(k * px.nbytes / dt / 1e9, 3),
-        "cold_GBps": round(k * px.nbytes / (stage_dt + per) / 1e9, 3),
+        "GBps": round(k * timed_bytes / dt / 1e9, 3),
+        "cold_GBps": round(k * timed_bytes / (stage_dt + per) / 1e9, 3),
         "iters": n,
         "replicas": k,
         "ratio": round(px.nbytes / len(blob), 3),

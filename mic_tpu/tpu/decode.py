@@ -44,6 +44,7 @@ class DecodePlan:
         self.tab_sym = tab_sym
         self.tab_freq = tab_freq
         self.tab_bias = tab_bias
+        self.alias = None  # (esc_val, esc_values) for FF 41 streams
 
     @property
     def n_steps(self) -> int:
@@ -55,7 +56,7 @@ def make_plan(blob: bytes) -> DecodePlan:
     sym, freq_slot, bias_slot, _, _ = slot_tables(norm, tl, alias)
     # Pad words by one sentinel so the gather of an exhausted cursor is safe.
     words_p = np.concatenate([words, np.zeros(1, dtype=np.uint16)])
-    return DecodePlan(
+    plan = DecodePlan(
         L,
         tl,
         count,
@@ -65,6 +66,8 @@ def make_plan(blob: bytes) -> DecodePlan:
         freq_slot.astype(np.uint32),
         bias_slot.astype(np.uint32),
     )
+    plan.alias = alias  # (esc_val, esc_values) for FF 41, else None
+    return plan
 
 
 @partial(jax.jit, static_argnames=("table_log", "n_steps", "count"))
@@ -114,6 +117,8 @@ def rans_decode_jax(
 
 def mict_decode_device(blob: bytes) -> np.ndarray:
     """Parse + decode one MICT blob on the default JAX backend."""
+    from .device_rans import alias_substitute_escapes
+
     p = make_plan(blob)
     out = rans_decode_jax(
         jnp.asarray(p.init_states),
@@ -125,4 +130,9 @@ def mict_decode_device(blob: bytes) -> np.ndarray:
         n_steps=p.n_steps,
         count=p.count,
     )
-    return np.asarray(out)
+    out = np.asarray(out)
+    if p.alias is not None:
+        # FF 41: decoded ESC placeholders take their true values from
+        # the uncoded side stream (mirrors mict_decode_numpy).
+        out = alias_substitute_escapes(out, p.alias)
+    return out

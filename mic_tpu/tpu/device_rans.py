@@ -251,7 +251,7 @@ def slot_tables(norm: np.ndarray, table_log: int, alias: bool):
 
 def mict_encode(
     symbols,
-    lanes: int = 512,
+    lanes: int | None = None,
     table_log: int = DEFAULT_TABLE_LOG,
     max_table_log: int | None = None,
     max_bytes: int | None = None,
@@ -268,6 +268,11 @@ def mict_encode(
     2^tl/128-round table sweep.  Ratio is unchanged (same normalized
     frequencies, same renorm); tableLog must be >= 7 (128 buckets).
     """
+    # Default lane width per family: 512 for the scan-path FF 57 layout,
+    # 128 for FF 41 (the Pallas alias kernel's required width — a 512-
+    # lane default would produce blobs only the numpy/scan tiers decode).
+    if lanes is None:
+        lanes = 128 if alias else 512
     if alias:
         return mict_encode_alias(
             symbols, lanes=lanes, table_log=table_log,

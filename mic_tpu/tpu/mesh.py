@@ -144,7 +144,8 @@ def encode_strips_sharded(mesh: Mesh, ranks, te1, te2, count, tls, **static):
     sharded over ``mesh`` — each chip encodes its local strips; the
     ragged compressed outputs gather host-side from the per-shard word
     planes (the offset table each container writes is exactly the
-    metadata this produces).  Strip count must divide the mesh size.
+    metadata this produces).  The mesh size must divide the strip count
+    (pad with replica strips otherwise).
     """
     from .pallas_enc import rans_encode_pallas
 

@@ -522,6 +522,48 @@ def _post_params(pred: str, mid: int, delim: int) -> tuple[int, int]:
     return mid, delim
 
 
+def _post_one_strip(soa, n_tok, nr, nsm, *, width, strip_h, max_runs,
+                    max_tokens, mid_count, delim, predictor):
+    """Post-entropy stage of ONE strip (direct inverse / SoA-RLE expand +
+    direct inverse / escaped-residual inversion) — the single shared
+    implementation behind decode_strip_batch_impl and _micw_post_batch
+    (a third hand-synced copy of this dispatch once hid a midCount bug,
+    see micw_decode_batch)."""
+    if predictor == "zzd":
+        return zzd_inverse_device(soa, width, strip_h)
+    if predictor == "vdd":
+        return vdd_inverse_device(soa, width, strip_h)
+    if predictor == "pdd":
+        return pdd_inverse_device(soa, width, strip_h)
+    if predictor in _RLE_DIRECT_PREDS:
+        # SoA-RLE over bijective direct symbols: expand, then the base
+        # direct inverse — no escapes, scan-parallel throughout.
+        tokens, _nt = soa_rle_expand_device(
+            soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count),
+            max_runs, max_tokens,
+        )
+        need = width * strip_h
+        if tokens.shape[0] < need:
+            tokens = jnp.pad(tokens, (0, need - tokens.shape[0]))
+        if predictor == "zzr":
+            return zzd_inverse_device(tokens, width, strip_h)
+        if predictor == "vdr":
+            return vdd_inverse_device(tokens, width, strip_h)
+        return pdd_inverse_device(tokens, width, strip_h)
+    tokens, _nt = soa_rle_expand_device(
+        soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
+    )
+    # tokens[0] is the fused pipeline's maxValue token; pixels follow.
+    vals, is_raw = parse_escaped_device(
+        tokens[1:], n_tok - 1, jnp.int32(delim), width * strip_h
+    )
+    if predictor == "avg":
+        return avg_delta_inverse_device(
+            vals, is_raw, jnp.int32(delim >> 1), width, strip_h
+        )
+    return zz_delta_inverse_device(vals, is_raw, jnp.int32(0), width, strip_h)
+
+
 def decode_strip_batch_impl(
     init_states,  # [S, L] u32
     words,  # [S, W+1] u32
@@ -592,41 +634,11 @@ def decode_strip_batch_impl(
 
     rle_syms = jax.vmap(subst_one)(rle_syms, esc_vals, esc_sides)
 
-    def post_one(soa, n_tok, nr, nsm):
-        if predictor == "zzd":
-            return zzd_inverse_device(soa, width, strip_h)
-        if predictor == "vdd":
-            return vdd_inverse_device(soa, width, strip_h)
-        if predictor == "pdd":
-            return pdd_inverse_device(soa, width, strip_h)
-        if predictor in _RLE_DIRECT_PREDS:
-            # SoA-RLE over bijective direct symbols: expand, then the
-            # base direct inverse — no escapes, scan-parallel throughout.
-            tokens, _nt = soa_rle_expand_device(
-                soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count),
-                max_runs, max_tokens,
-            )
-            need = width * strip_h
-            if tokens.shape[0] < need:
-                tokens = jnp.pad(tokens, (0, need - tokens.shape[0]))
-            if predictor == "zzr":
-                return zzd_inverse_device(tokens, width, strip_h)
-            if predictor == "vdr":
-                return vdd_inverse_device(tokens, width, strip_h)
-            return pdd_inverse_device(tokens, width, strip_h)
-        tokens, _nt = soa_rle_expand_device(
-            soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
-        )
-        # tokens[0] is the fused pipeline's maxValue token; pixels follow.
-        vals, is_raw = parse_escaped_device(
-            tokens[1:], n_tok - 1, jnp.int32(delim), width * strip_h
-        )
-        if predictor == "avg":
-            return avg_delta_inverse_device(
-                vals, is_raw, jnp.int32(delim >> 1), width, strip_h
-            )
-        return zz_delta_inverse_device(vals, is_raw, jnp.int32(0), width, strip_h)
-
+    post_one = partial(
+        _post_one_strip, width=width, strip_h=strip_h, max_runs=max_runs,
+        max_tokens=max_tokens, mid_count=mid_count, delim=delim,
+        predictor=predictor,
+    )
     pixels = jax.vmap(post_one)(rle_syms, n_tokens, n_runs, n_same)
     return pixels  # [S, width*strip_h] uint16
 
@@ -1438,38 +1450,11 @@ def _micw_post_batch(
     width, strip_h, max_runs, max_tokens, mid_count, delim, predictor="zz",
 ):
     """Post-entropy stages as one jitted program, vmapped over strips."""
-    def post_one(soa, n_tok, nr, nsm):
-        if predictor == "zzd":
-            return zzd_inverse_device(soa, width, strip_h)
-        if predictor == "vdd":
-            return vdd_inverse_device(soa, width, strip_h)
-        if predictor == "pdd":
-            return pdd_inverse_device(soa, width, strip_h)
-        if predictor in _RLE_DIRECT_PREDS:
-            # SoA-RLE over bijective direct symbols: expand, then the
-            # base direct inverse — no escapes, scan-parallel throughout.
-            tokens, _nt = soa_rle_expand_device(
-                soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count),
-                max_runs, max_tokens,
-            )
-            need = width * strip_h
-            if tokens.shape[0] < need:
-                tokens = jnp.pad(tokens, (0, need - tokens.shape[0]))
-            if predictor == "zzr":
-                return zzd_inverse_device(tokens, width, strip_h)
-            if predictor == "vdr":
-                return vdd_inverse_device(tokens, width, strip_h)
-            return pdd_inverse_device(tokens, width, strip_h)
-        tokens, _nt = soa_rle_expand_device(
-            soa.astype(jnp.int32), nr, nsm, jnp.int32(mid_count), max_runs, max_tokens
-        )
-        vals, is_raw = parse_escaped_device(
-            tokens[1:], n_tok - 1, jnp.int32(delim), width * strip_h
-        )
-        if predictor == "avg":
-            return avg_delta_inverse_device(vals, is_raw, jnp.int32(delim >> 1), width, strip_h)
-        return zz_delta_inverse_device(vals, is_raw, jnp.int32(0), width, strip_h)
-
+    post_one = partial(
+        _post_one_strip, width=width, strip_h=strip_h, max_runs=max_runs,
+        max_tokens=max_tokens, mid_count=mid_count, delim=delim,
+        predictor=predictor,
+    )
     return jax.vmap(post_one)(rle_syms, n_tokens, n_runs, n_same)
 
 
@@ -1760,15 +1745,18 @@ class MicwDecodePlan:
         trace = trace or (lambda _tag: None)
         staged = []
         for k, segs in exp_buckets.items():
-            S = len(segs)
             cols = max(len(s) for s in segs.values())
             dev = decoded[k]
-            if dev.shape[0] != S or dev.shape[1] < cols:
+            # Rows can exceed the segment count when a FALLBACK blob's
+            # strips share this bucket (its segments verify via the
+            # fallback path above, leaving index holes here) — compare
+            # those rows with valid=0 instead of failing the batch.
+            S = dev.shape[0]
+            if S < len(segs) or max(segs) >= S or dev.shape[1] < cols:
                 return False, None
             exp = np.zeros((S, cols), np.uint16)
             valid = np.zeros((S, 1), np.int32)
-            for i in range(S):
-                s = segs[i]
+            for i, s in segs.items():
                 exp[i, : len(s)] = s
                 valid[i, 0] = len(s)
             trace(f"host_assemble[{S}x{cols}]")

@@ -93,6 +93,25 @@ def test_alias_kernel_fused_vdd():
     assert np.array_equal(got, px)
 
 
+def test_mict_decode_device_substitutes_escapes():
+    """Regression: the XLA scan single-blob decoder (decode.py) must
+    substitute FF 41 ESC placeholders like the numpy tier — it silently
+    returned esc_val at every escape position before."""
+    from mic_tpu.tpu.decode import mict_decode_device
+
+    rng = np.random.default_rng(5)
+    base = np.minimum(rng.geometric(0.1, 6000), 40).astype(np.uint16)
+    tail = rng.integers(0, 30000, 6000).astype(np.uint16)
+    data = np.where(rng.random(6000) < 0.1, tail, base)
+    blob = dr.mict_encode(data, alias=True)
+    p = dr.mict_parse(blob)
+    assert p[0] == 128  # alias default lane width is the kernel's 128
+    assert p[7] is not None and len(p[7][1]) > 0, "no escapes triggered"
+    assert np.array_equal(mict_decode := mict_decode_device(blob), data), (
+        f"{int((mict_decode != data).sum())} mismatches"
+    )
+
+
 def test_alias_kernel_shares_program_across_tls():
     """The headline property: strips of DIFFERENT table logs decode in
     ONE launch of one program (no tl static) — impossible for the
