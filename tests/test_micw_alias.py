@@ -138,6 +138,24 @@ def test_alias_encoder_caps_table_log_at_12():
         build_alias_bucket_tables([bogus])
 
 
+def test_alias_timed_runner(rng):
+    """The honest-bench harness (MicwDecodePlan.make_timed_runner) must
+    stage alias and best containers without falling back, and the
+    in-program verification must pass — the official A/B rides this."""
+    from mic_tpu.tpu.strips import MicwDecodePlan
+
+    h, w = 32, 256
+    px = _smooth(rng, h, w).ravel()
+    for entropy in ("alias", "best"):
+        blob = micw_compress(px, w, h, int(px.max()), num_strips=2,
+                             entropy=entropy)
+        plan = MicwDecodePlan([blob, blob])
+        runner = plan.make_timed_runner([px, px])
+        assert runner is not None, entropy
+        m, _p = runner(2)
+        assert int(m) == 0, entropy
+
+
 def test_alias_ratio_within_one_pct(rng):
     """FF 41's alias layout preserves the normalized frequencies; with
     tl=12 vs the packed cap 11, the alias blob lands within ~1% of the
