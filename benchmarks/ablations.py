@@ -121,6 +121,32 @@ def mict_sweep(corpus):
 SWEEP = [(1, 256), (1, 512), (1, 1024), (2, 1024), (8, 256)]
 
 
+def entropy_family_ablation(corpus):
+    """Stream-family axis: standard FF 57 (packed sweep, tl<=11) vs
+    alias FF 41 (3-gather buckets, tl<=12) vs per-strip best-of, for
+    both trial sets (docs/formats.md 'MICT alias-mapped')."""
+    import math
+
+    from mic_tpu.tpu.strips import micw_compress
+
+    print("\n== MICW entropy family (ratio) ==")
+    cols = [("auto-fast", "standard"), ("auto-fast", "alias"),
+            ("auto-fast", "best"), ("auto", "standard"), ("auto", "best")]
+    lbl = {"auto-fast": "fast", "auto": "auto"}
+    print(f"{'Image':6} " + " ".join(f"{lbl[p]}/{e[:4]}".rjust(10) for p, e in cols))
+    geos = [[] for _ in cols]
+    for name, px, w, h, mx in corpus:
+        row = [name.ljust(6)]
+        for i, (p, e) in enumerate(cols):
+            blob = micw_compress(px, w, h, mx, predictor=p, entropy=e)
+            r = px.nbytes / len(blob)
+            geos[i].append(math.log(r))
+            row.append(f"{r:>9.3f}x")
+        print(" ".join(row))
+    print("geomean " + " ".join(
+        f"{math.exp(sum(g)/len(g)):>9.3f}x" for g in geos if g))
+
+
 def table_memory_report():
     """FSE working-set: dynamic table sizing vs fixed (reference
     BenchmarkFSETableMemory; README 'symbolTT+stateTable ~4-8 KB typical')."""
@@ -152,6 +178,7 @@ def main() -> int:
     tablelog_ablation(corpus)
     predictor_ablation(corpus)
     mict_sweep(corpus)
+    entropy_family_ablation(corpus)
     table_memory_report()
     return 0
 
