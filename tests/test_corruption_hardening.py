@@ -139,3 +139,39 @@ def test_native_strips_bad_geometry_rejected(rng):
     blob[16:20] = int(0xF0000000).to_bytes(4, "little")
     with pytest.raises(ValueError):
         native.decompress_strips_native(bytes(blob))
+
+
+def test_alias_corrupt_escape_stream_rejected(rng):
+    """FF 41 hardening: truncated or mis-counted escape side streams must
+    fail loudly (bounds check in mict_parse, count check in the
+    substitution), never read out of bounds or silently corrupt."""
+    import struct
+
+    import pytest
+
+    from mic_tpu.tpu import device_rans as dr
+
+    base = np.minimum(rng.geometric(0.1, 4000), 40).astype(np.uint16)
+    tail = rng.integers(0, 30000, 4000).astype(np.uint16)
+    data = np.where(rng.random(4000) < 0.1, tail, base)
+    blob = dr.mict_encode_alias(data, table_log=11)
+    p = dr.mict_parse(blob)
+    assert p[7] is not None and len(p[7][1]) > 0
+
+    # Truncated blob: the side stream no longer fits.
+    with pytest.raises(ValueError):
+        dr.mict_parse(blob[:-10])
+
+    # Inflated nEsc: the claimed side stream overruns the blob.
+    b2 = bytearray(blob)
+    n_esc = struct.unpack_from("<I", b2, 12)[0]
+    struct.pack_into("<I", b2, 12, n_esc + 5)
+    with pytest.raises(ValueError):
+        dr.mict_parse(bytes(b2))
+
+    # Deflated nEsc parses (stream still in bounds) but the decoded ESC
+    # count no longer matches the side stream: substitution must raise.
+    b3 = bytearray(blob)
+    struct.pack_into("<I", b3, 12, n_esc - 1)
+    with pytest.raises(ValueError):
+        dr.mict_decode_numpy(bytes(b3))
