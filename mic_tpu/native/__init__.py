@@ -22,6 +22,8 @@ __all__ = [
     "entropy_decompress_native",
     "decompress_strips_native",
     "read_ncount_native",
+    "lane_encode_native",
+    "normalize_write_count_native",
     "PRED_AVG",
     "PRED_GRAD",
     "PRED_MED",
@@ -75,6 +77,23 @@ def _load():
         lib.mic_decompress_strips.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_int,
+        ]
+    except AttributeError:
+        pass
+    try:
+        lib.mic_normalize_write_count.restype = ctypes.c_size_t
+        lib.mic_normalize_write_count.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+    except AttributeError:
+        pass
+    try:
+        lib.mic_lane_encode.restype = ctypes.c_size_t
+        lib.mic_lane_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
         ]
     except AttributeError:
         pass
@@ -177,3 +196,59 @@ def decompress_strips_native(blob: bytes, kind: int = PRED_AVG, n_threads: int =
     if rc != 0:
         raise ValueError(f"native strips decode failed (code {rc})")
     return out, width, height
+
+
+def lane_encode_native(syms: np.ndarray, lanes: int, table_log: int,
+                       freq_of: np.ndarray, cumul_of: np.ndarray,
+                       slot_of: np.ndarray | None = None):
+    """Reverse lane-interleaved rANS encode (the MICT/FF 41 hot loop);
+    returns (states u32[lanes], words u16[n_words]) or None when the
+    library lacks the symbol.  Mirrors device_rans._lane_encode bit for
+    bit — cross-checked by tests/test_native.py."""
+    lib = _load()
+    if not lib or not hasattr(lib, "mic_lane_encode"):
+        return None
+    syms = np.ascontiguousarray(syms, dtype=np.uint16)
+    freq_of = np.ascontiguousarray(freq_of, dtype=np.uint32)
+    cumul_of = np.ascontiguousarray(cumul_of, dtype=np.uint32)
+    n = len(syms)
+    if n and int(syms.max()) >= len(freq_of):
+        raise ValueError("lane encode: symbol beyond table range")
+    states = np.empty(lanes, dtype=np.uint32)
+    words = np.empty(max(n, 1), dtype=np.uint16)
+    sl_ptr = None
+    if slot_of is not None:
+        slot_of = np.ascontiguousarray(slot_of, dtype=np.uint32)
+        sl_ptr = slot_of.ctypes.data
+    n_words = lib.mic_lane_encode(
+        syms.ctypes.data, n, lanes, table_log,
+        freq_of.ctypes.data, cumul_of.ctypes.data, sl_ptr,
+        states.ctypes.data, words.ctypes.data, len(words),
+    )
+    if n_words == ctypes.c_size_t(-1).value:
+        raise ValueError("native lane encode failed (corrupt tables)")
+    return states, words[:n_words].copy()
+
+
+def normalize_write_count_native(counts: np.ndarray, total: int,
+                                 table_log: int, symbol_len: int):
+    """Combined normalize_count + write_count (bit-identical to the
+    Python pair — same Go-derived algorithm both sides, pinned by
+    tests/test_native.py).  Returns (norm int64[symbol_len], header
+    bytes) or None when the library lacks the symbol or normalization
+    needs a retry the caller handles (returns None on native failure so
+    the Python path decides)."""
+    lib = _load()
+    if not lib or not hasattr(lib, "mic_normalize_write_count"):
+        return None
+    c = np.ascontiguousarray(counts[:symbol_len], dtype=np.uint32)
+    norm = np.empty(symbol_len, dtype=np.int32)
+    cap = 2 * symbol_len + 64
+    hdr = np.empty(cap, dtype=np.uint8)
+    n = lib.mic_normalize_write_count(
+        c.ctypes.data, total, table_log, symbol_len,
+        norm.ctypes.data, hdr.ctypes.data, cap,
+    )
+    if n == 0:
+        return None
+    return norm.astype(np.int64), hdr[:n].tobytes()

@@ -1095,6 +1095,84 @@ size_t mic_entropy_decompress(const uint8_t* blob, size_t len, uint16_t* out,
 
 int mic_native_version() { return 1; }
 
+// Normalize counts to 2^table_log and emit the ncount header in one
+// call — the Python tiers' per-strip encode setup (normalize_count +
+// write_count dominated micw_compress once the lane loop went native).
+// out_norm: i32[symbol_len]; out_hdr: header bytes (cap out_cap).
+// Returns header length, or 0 on failure (infeasible normalization /
+// header overflow).
+size_t mic_normalize_write_count(const uint32_t* counts, int64_t total,
+                                 int table_log, int symbol_len,
+                                 int32_t* out_norm, uint8_t* out_hdr,
+                                 size_t out_cap) {
+  if (symbol_len <= 0 || total <= 0 || table_log < kMinTableLog ||
+      table_log > kMaxTableLog)
+    return 0;
+  Norm nm;
+  nm.symbol_len = symbol_len;
+  nm.table_log = table_log;
+  nm.norm.assign((size_t)symbol_len, 0);
+  if (!normalize(counts, total, nm)) return 0;
+  std::vector<uint8_t> hdr;
+  if (!write_count(nm, hdr)) return 0;
+  if (hdr.size() > out_cap) return 0;
+  std::memcpy(out_norm, nm.norm.data(), (size_t)symbol_len * 4);
+  std::memcpy(out_hdr, hdr.data(), hdr.size());
+  return hdr.size();
+}
+
+// Reverse lane-interleaved rANS encode — the MICT (FF 57) / alias
+// (FF 41) hot loop, mirroring device_rans._lane_encode bit for bit
+// (same renorm discipline, same word order: steps ascending, lanes
+// ascending within a step).  The numpy form pays per-step vector-call
+// overhead (~3.5 MB/s whole-pipeline); this scalar loop removes the
+// transcode-ingest bottleneck.
+//
+// syms: u16[n]; freq_of/cumul_of: u32 indexed BY SYMBOL VALUE;
+// slot_of: u32[2^tl] alias permutation or NULL for the standard
+// layout.  out_states: u32[lanes]; out_words: u16[max_words]
+// (max_words >= n is always sufficient: <=1 word per symbol).
+// Returns the word count, or (size_t)-1 on error (zero frequency =
+// corrupt tables, or word-buffer overflow).
+size_t mic_lane_encode(const uint16_t* syms, size_t n, int lanes, int tl,
+                       const uint32_t* freq_of, const uint32_t* cumul_of,
+                       const uint32_t* slot_of, uint32_t* out_states,
+                       uint16_t* out_words, size_t max_words) {
+  if (lanes <= 0 || lanes > 4096 || tl < 1 || tl > 15) return (size_t)-1;
+  const int L = lanes;
+  const uint32_t shift = 32 - (uint32_t)tl;
+  std::vector<uint32_t> x((size_t)L, 1u << 16);
+  const size_t n_steps = (n + (size_t)L - 1) / (size_t)L;
+  size_t wpos = max_words;  // fill backward; blocks land steps-ascending
+  std::vector<uint16_t> wtmp((size_t)L);
+  for (size_t t = n_steps; t-- > 0;) {
+    const size_t base = t * (size_t)L;
+    const int cnt = (int)(n - base < (size_t)L ? n - base : (size_t)L);
+    int k = 0;
+    for (int l = 0; l < cnt; l++) {
+      const uint32_t s = syms[base + l];
+      const uint32_t f = freq_of[s];
+      if (f == 0) return (size_t)-1;
+      uint32_t xv = x[l];
+      if ((uint64_t)xv >= ((uint64_t)f << shift)) {  // single-word renorm
+        wtmp[k++] = (uint16_t)(xv & 0xFFFF);
+        xv >>= 16;
+      }
+      const uint32_t q = xv / f, r = xv - q * f;
+      const uint32_t st = slot_of ? slot_of[r + cumul_of[s]]
+                                  : r + cumul_of[s];
+      x[l] = (q << tl) + st;
+    }
+    if ((size_t)k > wpos) return (size_t)-1;
+    wpos -= (size_t)k;
+    std::memcpy(out_words + wpos, wtmp.data(), (size_t)k * 2);
+  }
+  const size_t n_words = max_words - wpos;
+  std::memmove(out_words, out_words + wpos, n_words * 2);
+  std::memcpy(out_states, x.data(), (size_t)L * 4);
+  return n_words;
+}
+
 
 // Threaded PICS container decode (reference mic_parallel.c pthreads /
 // parallelstrips.go:270 worker pool).  kind selects the predictor

@@ -143,9 +143,13 @@ def alias_construct(norm: np.ndarray, table_log: int):
         # 128 buckets x <=2 symbols: alphabets beyond 256 are infeasible
         # by counting; the encoder escape-folds the tail first.
         raise AliasInfeasible(f"alphabet {len(syms)} > 256")
-    w = freqs[syms].astype(np.int64).copy()
+    # Plain-int loop state (numpy scalar indexing at 128x2 pops measured
+    # ~1ms/call and dominated alias encode); slot_of fills once at the
+    # end from the collected runs.
+    w = [int(v) for v in freqs[syms]]
     cumul = np.zeros(len(syms) + 1, np.int64)
-    np.cumsum(w, out=cumul[1:])
+    np.cumsum(freqs[syms], out=cumul[1:])
+    cm = [int(v) for v in cumul[:-1]]
     # Deterministic stacks: indices ascending, pop from the end.
     small = [i for i in range(len(syms)) if w[i] < K]
     large = [i for i in range(len(syms)) if w[i] >= K]
@@ -154,12 +158,12 @@ def alias_construct(norm: np.ndarray, table_log: int):
     t_arr = np.zeros(128, np.int64)
     sbp = np.zeros(128, np.int64)
     sba = np.zeros(128, np.int64)
-    counter = np.zeros(len(syms), np.int64)  # slots assigned so far per symbol
-    slot_of = np.zeros(M, np.uint32)
+    counter = [0] * len(syms)  # slots assigned so far per symbol
+    run_src = []  # (standard-layout start, alias-slot start, length)
     for b in range(128):
         if small:
             p = small.pop()
-            t = int(w[p])
+            t = w[p]
             w[p] = 0
             if large:
                 a = large[-1]
@@ -176,7 +180,7 @@ def alias_construct(norm: np.ndarray, table_log: int):
                 # infeasible — the encoder retries with a smaller kept set.
                 if not small:
                     raise AliasInfeasible("stranded small symbol")
-                ai = int(np.argmax([w[i] for i in small]))
+                ai = max(range(len(small)), key=lambda i: w[small[i]])
                 a = small[ai]
                 if w[a] < K - t:
                     raise AliasInfeasible("no alias covers the bucket")
@@ -196,18 +200,24 @@ def alias_construct(norm: np.ndarray, table_log: int):
                 small.append(large.pop())
         p_arr[b], a_arr[b], t_arr[b] = p, a, t
         sbp[b] = counter[p]
-        slot_of[cumul[p] + counter[p] : cumul[p] + counter[p] + t] = (
-            b * K + np.arange(t, dtype=np.int64)
-        )
+        run_src.append((cm[p] + counter[p], b * K, t))
         counter[p] += t
         if t < K:
             sba[b] = counter[a]
-            slot_of[cumul[a] + counter[a] : cumul[a] + counter[a] + (K - t)] = (
-                b * K + t + np.arange(K - t, dtype=np.int64)
-            )
+            run_src.append((cm[a] + counter[a], b * K + t, K - t))
             counter[a] += K - t
         else:
             sba[b] = counter[a] if a != p else 0
+    # slot_of[std_start + j] = alias_start + j for each run, vectorized:
+    # repeat the per-run (alias_start - std_start) delta across its
+    # length and add the global ramp restarted at each std_start.
+    starts = np.array([r[0] for r in run_src], np.int64)
+    dsts = np.array([r[1] for r in run_src], np.int64)
+    lens = np.array([r[2] for r in run_src], np.int64)
+    order = np.argsort(starts, kind="stable")  # std-layout order
+    starts, dsts, lens = starts[order], dsts[order], lens[order]
+    delta = np.repeat(dsts - starts, lens)
+    slot_of = (np.arange(M, dtype=np.int64) + delta).astype(np.uint32)
     f = freqs[syms]
     return {
         "syms": syms,
@@ -294,14 +304,13 @@ def mict_encode(
         # (bias, rank) entry fits one u32 gather.  tl=13 measured ~0 gain
         # on the corpus (see results/).
         tl = max_table_log
-    norm = normalize_count(counts, n, tl, symbol_len)
     try:
+        norm, header = _norm_and_header(counts, n, tl, symbol_len)
         _sym, _fs, _bs, freq, cumul = device_tables(norm, tl)
     except ValueError as e:
         # Alphabet too wide for the clamped tableLog (tiny inputs) — the
         # same inputs the host FSE formats reject with an error.
         raise IncompressibleError(str(e)) from e
-    header = write_count(norm, symbol_len, tl)
 
     states, words = _lane_encode(symbols.astype(np.int64), n, int(lanes), tl, freq, cumul)
 
@@ -322,10 +331,38 @@ def mict_encode(
     return bytes(out)
 
 
+def _norm_and_header(counts, n, tl, sl):
+    """normalize_count + write_count pair, native when built (the two
+    dominated micw_compress once the lane loop went native — same
+    Go-derived algorithms both sides, bit-identity pinned by
+    tests/test_native.py)."""
+    from ..native import normalize_write_count_native
+
+    nat = normalize_write_count_native(counts, n, tl, sl)
+    if nat is not None:
+        return nat
+    norm = normalize_count(counts, n, tl, sl)
+    return norm, write_count(norm, sl, tl)
+
+
 def _lane_encode(sym_i64, n, L, tl, freq_of, cumul_of, slot_of=None):
     """Reverse lane-interleaved rANS encode shared by the standard and
     alias paths (slot written = cumul+j, or slot_of[cumul+j] when the
-    alias permutation is given).  Returns (states u64[L], words u16)."""
+    alias permutation is given).  Returns (states u64[L], words u16).
+
+    Dispatches to the native C++ loop when built (mic_lane_encode,
+    bit-identical; the numpy per-step vector calls are ~100x slower and
+    dominated the whole transcode-ingest pipeline)."""
+    from ..native import lane_encode_native
+
+    nat = lane_encode_native(
+        np.asarray(sym_i64[:n], dtype=np.uint16), int(L), int(tl),
+        freq_of, cumul_of, slot_of,
+    )
+    if nat is not None:
+        states, words = nat
+        return states.astype(np.uint64), words
+
     n_steps = (n + L - 1) // L
     states = np.full(L, RANS_L, dtype=np.uint64)
     # Renorm bound: emit while x >= freq << (32 - tl)  (single-word renorm).
@@ -374,13 +411,14 @@ def _lane_encode(sym_i64, n, L, tl, freq_of, cumul_of, slot_of=None):
     return states, words
 
 
-def _alias_fold(symbols, counts, symbol_len, kept: int):
-    """Escape-fold a symbol stream's tail: keep the ``kept`` most frequent
-    values (count desc, value asc) and recode every other occurrence as
-    ``esc_val`` (the smallest value with zero count), whose true values
-    ride the blob's uncoded u16 side stream in stream order.
+def _alias_plan(counts, symbol_len, kept: int):
+    """Folding PLAN for a symbol stream's tail: keep the ``kept`` most
+    frequent values (count desc, value asc); rare occurrences recode as
+    ``esc_val`` (the smallest value with zero count).  O(alphabet) — the
+    O(n) stream recode (:func:`_alias_apply`) runs once, only after a
+    feasible layout is found, not on every kept-reduction retry.
 
-    Returns (recoded i64[n], counts2, symbol_len2, esc_val, esc_values)."""
+    Returns (kept_vals, counts2, symbol_len2, esc_val)."""
     nzv = np.nonzero(counts)[0]
     order = np.lexsort((nzv, -counts[nzv]))  # count desc, value asc
     kept_vals = np.sort(nzv[order[:kept]])
@@ -394,12 +432,28 @@ def _alias_fold(symbols, counts, symbol_len, kept: int):
     sl2 = max(int(kept_vals.max()), esc_val) + 1
     counts2 = np.zeros(sl2, np.int64)
     counts2[kept_vals] = counts[kept_vals]
+    n_rare = int(counts[nzv].sum() - counts[kept_vals].sum())
+    counts2[esc_val] = n_rare
+    return kept_vals, counts2, sl2, esc_val
+
+
+def _alias_apply(symbols, kept_vals, esc_val):
+    """Apply a fold plan to the stream: (recoded i64[n], esc_values
+    u16 in stream order)."""
     is_kept = np.zeros(65536, bool)
     is_kept[kept_vals] = True
     rare_mask = ~is_kept[symbols]
-    counts2[esc_val] = int(rare_mask.sum())
     esc_values = symbols[rare_mask].astype(np.uint16)
     recoded = np.where(rare_mask, esc_val, symbols).astype(np.int64)
+    return recoded, esc_values
+
+
+def _alias_fold(symbols, counts, symbol_len, kept: int):
+    """Escape-fold a symbol stream's tail (plan + apply in one call;
+    kept for tests/direct callers).  Returns (recoded i64[n], counts2,
+    symbol_len2, esc_val, esc_values)."""
+    kept_vals, counts2, sl2, esc_val = _alias_plan(counts, symbol_len, kept)
+    recoded, esc_values = _alias_apply(symbols, kept_vals, esc_val)
     return recoded, counts2, sl2, esc_val, esc_values
 
 
@@ -435,9 +489,7 @@ def mict_encode_alias(
 
     kept = min(int((counts > 0).sum()), ALIAS_MAX_KEPT)
     while True:
-        recoded, counts2, sl2, esc_val, esc_values = _alias_fold(
-            symbols, counts, symbol_len, kept
-        )
+        kept_vals, counts2, sl2, esc_val = _alias_plan(counts, symbol_len, kept)
         tl = optimal_table_log(table_log, n, sl2)
         # Hard cap 12 (overridable lower): the Pallas alias kernel packs
         # (freq-1) and the slot-base biases into 12-bit fields of w1/w2
@@ -446,8 +498,8 @@ def mict_encode_alias(
         # the request.
         tl = min(tl, 12 if max_table_log is None else min(max_table_log, 12))
         tl = max(tl, 7)  # 128 buckets need at least 128 slots
-        norm = normalize_count(counts2, n, tl, sl2)
         try:
+            norm, header = _norm_and_header(counts2, n, tl, sl2)
             _s, _f, _b, freq, cumul = device_tables(norm, tl)
             al = alias_construct(norm, tl)
             break
@@ -458,6 +510,7 @@ def mict_encode_alias(
         except ValueError as e:
             raise IncompressibleError(str(e)) from e
 
+    recoded, esc_values = _alias_apply(symbols, kept_vals, esc_val)
     states, words = _lane_encode(
         recoded, n, int(lanes), tl, freq, cumul,
         slot_of=al["slot_of"].astype(np.uint64),
@@ -468,7 +521,7 @@ def mict_encode_alias(
     out += struct.pack("<BB", int(np.log2(int(lanes))), tl)
     out += struct.pack("<II", n, len(words))
     out += struct.pack("<IH", len(esc_values), esc_val)
-    out += write_count(norm, sl2, tl)
+    out += header
     out += states.astype("<u4").tobytes()
     out += words.astype("<u2").tobytes()
     out += esc_values.astype("<u2").tobytes()

@@ -137,3 +137,74 @@ def test_native_rle_amplification_bounded():
     # Either a bounded garbage frame or an error -- never an OOM/stall.
     decompress_frame_native(bytes(blob), 128, 128, PRED_AVG)
     assert time.time() - t0 < 2.0
+
+
+def test_native_lane_encode_bit_identity(rng):
+    """mic_lane_encode must mirror the numpy _lane_encode bit for bit
+    for both the standard (FF 57) and alias (FF 41) slot layouts."""
+    import mic_tpu.native as native
+    from mic_tpu.tpu import device_rans as dr
+
+    if not native.available() or not hasattr(native._load(), "mic_lane_encode"):
+        import pytest
+
+        pytest.skip("native library lacks mic_lane_encode")
+    for trial in range(4):
+        n = int(rng.integers(500, 40000))
+        data = np.minimum(rng.geometric(0.06, n), 800).astype(np.uint16)
+        for alias in (False, True):
+            blob_nat = dr.mict_encode(data, lanes=128, alias=alias)
+            real = native.lane_encode_native
+            native.lane_encode_native = lambda *a, **k: None
+            try:
+                blob_np = dr.mict_encode(data, lanes=128, alias=alias)
+            finally:
+                native.lane_encode_native = real
+            assert blob_nat == blob_np, f"trial {trial} alias={alias}"
+            assert np.array_equal(dr.mict_decode_numpy(blob_nat), data)
+
+
+def test_native_normalize_write_count_bit_identity(rng):
+    """mic_normalize_write_count must reproduce the Python
+    normalize_count + write_count pair exactly across distribution
+    shapes (incl. the normalizeCount2 fallback)."""
+    from mic_tpu.native import _load, available, normalize_write_count_native
+    from mic_tpu.ops.fse import (
+        histogram,
+        normalize_count,
+        optimal_table_log,
+        write_count,
+    )
+
+    if not available() or not hasattr(_load(), "mic_normalize_write_count"):
+        import pytest
+
+        pytest.skip("native library lacks mic_normalize_write_count")
+    checked = 0
+    for t in range(80):
+        n = int(rng.integers(100, 50000))
+        kind = t % 3
+        if kind == 0:
+            d = np.minimum(rng.geometric(rng.uniform(0.01, 0.5), n), 2000).astype(np.uint16)
+        elif kind == 1:
+            d = (rng.standard_normal(n) * rng.uniform(5, 700) + 1000).clip(0, 4095).astype(np.uint16)
+        else:
+            d = rng.integers(0, int(rng.integers(2, 300)), n).astype(np.uint16)
+        counts, mc, sl = histogram(d)
+        if mc == len(d) or sl < 2:
+            continue
+        tl = optimal_table_log(11, len(d), sl)
+        counts = np.asarray(counts[:sl], dtype=np.int64)
+        try:
+            norm_py = normalize_count(counts, len(d), tl, sl)
+            hdr_py = write_count(norm_py, sl, tl)
+        except Exception:
+            assert normalize_write_count_native(counts, len(d), tl, sl) is None
+            continue
+        nat = normalize_write_count_native(counts, len(d), tl, sl)
+        assert nat is not None
+        norm_nat, hdr_nat = nat
+        assert np.array_equal(norm_nat, norm_py), f"trial {t}"
+        assert bytes(hdr_nat) == bytes(hdr_py), f"trial {t}"
+        checked += 1
+    assert checked > 40
