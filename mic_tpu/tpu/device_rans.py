@@ -218,6 +218,9 @@ def alias_construct(norm: np.ndarray, table_log: int):
     starts, dsts, lens = starts[order], dsts[order], lens[order]
     delta = np.repeat(dsts - starts, lens)
     slot_of = (np.arange(M, dtype=np.int64) + delta).astype(np.uint32)
+    # Run table for the device ENCODER (pallas_enc alias mode): <=256
+    # affine runs partitioning the standard slot space, sorted by start.
+    enc_runs = (starts.astype(np.uint32), dsts.astype(np.uint32))
     f = freqs[syms]
     return {
         "syms": syms,
@@ -230,6 +233,7 @@ def alias_construct(norm: np.ndarray, table_log: int):
         "sbp": sbp.astype(np.uint32),
         "sba": sba.astype(np.uint32),
         "slot_of": slot_of,
+        "enc_runs": enc_runs,
     }
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "decode_alias_sharded",
     "decode_tans_sharded",
     "encode_strips_sharded",
+    "encode_alias_sharded",
 ]
 
 
@@ -161,3 +162,24 @@ def encode_strips_sharded(mesh: Mesh, ranks, te1, te2, count, tls, **static):
         check_vma=False,
     )
     return jax.jit(fn)(ranks, te1, te2, count, tls)
+
+
+def encode_alias_sharded(mesh: Mesh, ranks, te1, te2, ar1, ar2, count, tls,
+                         **static):
+    """Alias-layout (FF 41) device ENCODE under shard_map — the 7
+    operands of pallas_enc.rans_encode_pallas_alias with the strip axis
+    sharded; the mesh size must divide the strip count."""
+    from .pallas_enc import rans_encode_pallas_alias
+
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+    per_shard = ranks.shape[0] // mesh.devices.size
+    body = partial(rans_encode_pallas_alias, **{**static, "n_strips": per_shard})
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(spec for _ in range(7)),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)(ranks, te1, te2, ar1, ar2, count, tls)

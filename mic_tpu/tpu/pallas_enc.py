@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 
 from .pallas_rans import GROUP, supports_pallas_rans
 
-__all__ = ["rans_encode_pallas", "build_enc_tables", "magicu"]
+__all__ = ["rans_encode_pallas", "rans_encode_pallas_alias", "build_enc_tables", "magicu"]
 
 
 def magicu(d: int):
@@ -112,8 +112,29 @@ def build_enc_tables(parsed_norms, table_log: int):
     return te1, te2, asweep
 
 
-def _kernel_enc(ranks_ref, te1_ref, te2_ref, count_ref, tl_ref, out_w_ref, out_f_ref, out_x_ref, *, steps, n_strips, asweep):
+def _kernel_enc(ranks_ref, te1_ref, te2_ref, *rest, steps, n_strips, asweep,
+                alias=False):
+    if alias:
+        # FF 41: ar1/ar2 are the 256-entry (2x128) run tables mapping the
+        # standard slot space to the alias layout — runs sorted by
+        # standard start; a branchless binary search resolves the run.
+        (ar1_ref, ar2_ref, count_ref, tl_ref,
+         out_w_ref, out_f_ref, out_x_ref) = rest
+    else:
+        count_ref, tl_ref, out_w_ref, out_f_ref, out_x_ref = rest
     S = n_strips
+
+    def _runs_at(idx):
+        """Gather ar1/ar2 at per-lane indices idx in [0, 256)."""
+        hi = idx >> 7
+        lo = idx & 127
+        v1 = jnp.zeros((S, 128), jnp.uint32)
+        v2 = jnp.zeros((S, 128), jnp.uint32)
+        for h in range(2):
+            m = hi == h
+            v1 = jnp.where(m, jnp.take_along_axis(ar1_ref[:, h, :], lo, axis=1), v1)
+            v2 = jnp.where(m, jnp.take_along_axis(ar2_ref[:, h, :], lo, axis=1), v2)
+        return v1, v2
 
     def substep(t, x, rk):
         active = (t * 128 + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)) < count_ref[:].astype(jnp.int32)
@@ -151,7 +172,26 @@ def _kernel_enc(ranks_ref, te1_ref, te2_ref, count_ref, tl_ref, out_w_ref, out_f
         q = jnp.where(add == 1, q_add, q_noadd)
         q = jnp.where(is1 == 1, x1, q)
         rem = x1 - q * f
-        x2 = jax.lax.shift_left(q, tl_ref[:]) + rem + c
+        if alias:
+            # Standard slot -> alias slot via the run table: cnt =
+            # #starts <= sIdx (9 branchless binary-search rounds over
+            # 256 sorted entries, pad = 0xFFFFFFFF), then
+            # alias_slot = base[cnt-1] + (sIdx - start[cnt-1]).
+            s_idx = rem + c
+            cnt = jnp.zeros((S, 128), jnp.int32)
+            step_sz = 256
+            while step_sz:
+                cand = cnt + step_sz
+                v1, _ = _runs_at(jnp.minimum(cand - 1, 255))
+                take = (cand <= 256) & (v1 <= s_idx)
+                cnt = jnp.where(take, cand, cnt)
+                step_sz >>= 1
+            r = jnp.maximum(cnt - 1, 0)
+            st_v, base_v = _runs_at(r)
+            slot = base_v + (s_idx - st_v)
+            x2 = jax.lax.shift_left(q, tl_ref[:]) + slot
+        else:
+            x2 = jax.lax.shift_left(q, tl_ref[:]) + rem + c
         x2 = jnp.where(active, x2, x1)
         return x2, w, need
 
@@ -223,12 +263,66 @@ def rans_encode_pallas(ranks, te1, te2, count, tls, *, steps, n_strips, asweep):
     )(ranks, te1, te2, count, tls)
 
 
-def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = None, max_table_log: int = 12, on_error: str = "raise"):
+@partial(jax.jit, static_argnames=("steps", "n_strips", "asweep"))
+def rans_encode_pallas_alias(ranks, te1, te2, ar1, ar2, count, tls, *,
+                             steps, n_strips, asweep):
+    """Alias-layout (FF 41) variant of rans_encode_pallas: identical
+    state machine, but the written slot is the alias permutation of
+    cumul+rem, resolved in-kernel from the 256-entry run tables ar1
+    (standard-layout run starts, sorted, pad 0xFFFFFFFF) / ar2 (alias
+    slot of each run's start), both uint32[S, 2, 128]."""
+    S = ranks.shape[0]
+    if S % GROUP() != 0:
+        pad = GROUP() - S % GROUP()
+        ranks, te1, te2, ar1, ar2, count, tls = (
+            jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            for a in (ranks, te1, te2, ar1, ar2, count, tls)
+        )
+        w, f, x = rans_encode_pallas_alias(
+            ranks, te1, te2, ar1, ar2, count, tls,
+            steps=steps, n_strips=S + pad, asweep=asweep,
+        )
+        return w[:S], f[:S], x[:S]
+    grid = S // GROUP()
+    AW = te1.shape[1]
+    return pl.pallas_call(
+        partial(_kernel_enc, steps=steps, n_strips=GROUP(), asweep=asweep,
+                alias=True),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
+            jax.ShapeDtypeStruct((S, steps, 128), jnp.uint16),
+            jax.ShapeDtypeStruct((S, 128), jnp.uint32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), AW), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), AW), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 2, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), 2, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), steps, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP(), 128), lambda i: (i, 0)),
+        ),
+        interpret=not supports_pallas_rans(),
+    )(ranks, te1, te2, ar1, ar2, count, tls)
+
+
+def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = None, max_table_log: int = 12, on_error: str = "raise", alias: bool = False):
     """Encode many u16 symbol streams into MICT blobs with the Pallas
     encode kernel (one launch for the whole batch).  Blobs are
     byte-identical to device_rans.mict_encode(stream, lanes=128,
     max_table_log=12) — reference semantics: fseu16.go normalization +
     adaptive tableLog, capped for the packed decode kernel.
+
+    ``alias=True`` writes the FF 41 alias-mapped variant instead
+    (byte-identical to mict_encode_alias): host does the escape-fold
+    plan + table build; the kernel maps each written slot through the
+    256-run alias permutation in-kernel (rans_encode_pallas_alias).
 
     Returns a list of bytes.  Raises the same sentinel errors as the host
     encoder per stream (caller handles fallback per strip); streams whose
@@ -243,11 +337,19 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
         IncompressibleError,
         UseRLEError,
         histogram,
-        normalize_count,
         optimal_table_log,
-        write_count,
     )
-    from .device_rans import MICT_MAGIC, device_tables
+    from .device_rans import (
+        ALIAS_MAX_KEPT,
+        MICT_ALIAS_MAGIC,
+        MICT_MAGIC,
+        AliasInfeasible,
+        _alias_apply,
+        _alias_plan,
+        _norm_and_header,
+        alias_construct,
+        device_tables,
+    )
 
     if lanes != 128:
         raise ValueError("device encode requires 128 lanes")
@@ -255,6 +357,7 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
 
     specs = []
     metas = []
+    runs = []  # per-stream (starts, bases) for the alias kernel
     slot_of = []  # output position per encodable stream
     failed = [None] * len(streams)
     for si, symbols in enumerate(streams):
@@ -268,13 +371,39 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
                 raise UseRLEError
             if max_count == 1 or max_count < (n >> 15):
                 raise IncompressibleError
-            tl = optimal_table_log(tl_hint, n, symbol_len)
-            tl = min(tl, max_table_log)
-            try:
-                norm = normalize_count(counts, n, tl, symbol_len)
-                _sym, _fs, _bs, freq, cumul = device_tables(norm, tl)
-            except ValueError as e:
-                raise IncompressibleError(str(e)) from e
+            esc_info = None
+            if alias:
+                counts = np.asarray(counts[:symbol_len], dtype=np.int64)
+                kept = min(int((counts > 0).sum()), ALIAS_MAX_KEPT)
+                while True:
+                    kept_vals, counts2, sl2, esc_val = _alias_plan(
+                        counts, symbol_len, kept)
+                    tl = optimal_table_log(tl_hint, n, sl2)
+                    tl = max(min(tl, min(max_table_log, 12)), 7)
+                    try:
+                        norm, header = _norm_and_header(counts2, n, tl, sl2)
+                        _s, _f, _b, freq, cumul = device_tables(norm, tl)
+                        al = alias_construct(norm, tl)
+                        break
+                    except AliasInfeasible:
+                        kept -= 64
+                        if kept < 8:
+                            raise IncompressibleError("alias layout infeasible")
+                    except ValueError as e:
+                        raise IncompressibleError(str(e)) from e
+                recoded, esc_values = _alias_apply(symbols, kept_vals, esc_val)
+                symbols = recoded.astype(np.uint16)
+                esc_info = (esc_val, esc_values)
+                run_se = al["enc_runs"]
+            else:
+                tl = optimal_table_log(tl_hint, n, symbol_len)
+                tl = min(tl, max_table_log)
+                try:
+                    norm, header = _norm_and_header(counts, n, tl, symbol_len)
+                    _sym, _fs, _bs, freq, cumul = device_tables(norm, tl)
+                except ValueError as e:
+                    raise IncompressibleError(str(e)) from e
+                run_se = None
             alphabet = np.nonzero(freq)[0]
             if len(alphabet) > 4096:
                 raise IncompressibleError("alphabet too wide for device encode")
@@ -285,9 +414,9 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
         lut = np.zeros(65536, np.uint16)
         lut[alphabet] = np.arange(len(alphabet), dtype=np.uint16)
         ranks = lut[symbols]
-        header = write_count(norm, symbol_len, tl)
         specs.append((freq[alphabet].astype(np.uint32), cumul[alphabet].astype(np.uint32)))
-        metas.append((n, tl, header, ranks))
+        metas.append((n, tl, header, ranks, esc_info))
+        runs.append(run_se)
         slot_of.append(si)
     if not specs:
         return failed
@@ -300,33 +429,60 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
     rk = np.zeros((S, steps * 128), np.uint16)
     cnt = np.zeros((S, 128), np.uint32)
     tls = np.zeros((S, 128), np.uint32)
-    for i, (n, tl_i, _h, ranks) in enumerate(metas):
+    for i, (n, tl_i, _h, ranks, _e) in enumerate(metas):
         rk[i, :n] = ranks
         cnt[i, :] = n
         tls[i, :] = tl_i
 
-    w, f, x = rans_encode_pallas(
-        jnp.asarray(rk.reshape(S, steps, 128)),
-        jnp.asarray(te1),
-        jnp.asarray(te2),
-        jnp.asarray(cnt),
-        jnp.asarray(tls),
-        steps=steps, n_strips=S, asweep=asweep,
-    )
+    if alias:
+        ar1 = np.full((S, 256), 0xFFFFFFFF, np.uint32)
+        ar2 = np.zeros((S, 256), np.uint32)
+        for i, rse in enumerate(runs):
+            starts, bases = rse
+            ar1[i, : len(starts)] = starts
+            ar2[i, : len(bases)] = bases
+        w, f, x = rans_encode_pallas_alias(
+            jnp.asarray(rk.reshape(S, steps, 128)),
+            jnp.asarray(te1),
+            jnp.asarray(te2),
+            jnp.asarray(ar1.reshape(S, 2, 128)),
+            jnp.asarray(ar2.reshape(S, 2, 128)),
+            jnp.asarray(cnt),
+            jnp.asarray(tls),
+            steps=steps, n_strips=S, asweep=asweep,
+        )
+    else:
+        w, f, x = rans_encode_pallas(
+            jnp.asarray(rk.reshape(S, steps, 128)),
+            jnp.asarray(te1),
+            jnp.asarray(te2),
+            jnp.asarray(cnt),
+            jnp.asarray(tls),
+            steps=steps, n_strips=S, asweep=asweep,
+        )
     w = np.asarray(w).reshape(S, -1)
     f = np.asarray(f).reshape(S, -1)
     x = np.asarray(x)
 
     blobs = list(failed)
-    for i, (n, tl, header, _ranks) in enumerate(metas):
+    for i, (n, tl, header, _ranks, esc_info) in enumerate(metas):
         words = w[i][f[i] == 1].astype(np.uint16)
         out = bytearray()
-        out += MICT_MAGIC
-        out += struct.pack("<BB", 7, tl)
-        out += struct.pack("<II", n, len(words))
+        if alias:
+            esc_val, esc_values = esc_info
+            out += MICT_ALIAS_MAGIC
+            out += struct.pack("<BB", 7, tl)
+            out += struct.pack("<II", n, len(words))
+            out += struct.pack("<IH", len(esc_values), esc_val)
+        else:
+            out += MICT_MAGIC
+            out += struct.pack("<BB", 7, tl)
+            out += struct.pack("<II", n, len(words))
         out += header
         out += x[i].astype("<u4").tobytes()
         out += words.astype("<u2").tobytes()
+        if alias:
+            out += esc_info[1].astype("<u2").tobytes()
         if len(out) >= n * 2:
             if on_error == "raise":
                 raise IncompressibleError
@@ -335,14 +491,18 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
     return blobs
 
 
-def micw_compress_device(pixels, width: int, height: int, max_value: int, num_strips: int = 0):
+def micw_compress_device(pixels, width: int, height: int, max_value: int, num_strips: int = 0, entropy: str = "standard"):
     """MICW compression with the entropy stage on the TPU (zzd predictor).
 
     Byte-identical to strips.micw_compress(..., predictor="zzd"): the
     zigzag row-delta transform is a vectorized host pass (negligible),
     every strip's rANS encode runs in ONE Pallas launch, and strips the
     entropy coder rejects fall back to raw — same container either way.
+    ``entropy="alias"`` writes FF 41 strips (rans_encode_pallas_alias,
+    byte-identical to the host alias encoder).
     """
+    if entropy not in ("standard", "alias"):
+        raise ValueError(f"micw device encode: unknown entropy {entropy!r}")
     import struct as _struct
 
     from .strips import (
@@ -388,7 +548,8 @@ def micw_compress_device(pixels, width: int, height: int, max_value: int, num_st
         raws.append(strip_px)
 
     encoded = mict_encode_device_batch(
-        [s for s, c in zip(streams, consts) if not c], on_error="none"
+        [s for s, c in zip(streams, consts) if not c], on_error="none",
+        alias=entropy == "alias",
     )
     enc_iter = iter(encoded)
     blobs = []

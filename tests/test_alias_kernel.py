@@ -129,3 +129,32 @@ def test_alias_kernel_shares_program_across_tls():
     for i, data in enumerate(expected):
         got = out[i].reshape(-1)[: counts[i]].astype(np.uint16)
         assert np.array_equal(got, data), f"strip {i}"
+
+
+def test_device_alias_encode_byte_identity(rng):
+    """mict_encode_device_batch(alias=True) must be byte-identical to the
+    host alias encoder (incl. escape-folded streams), and
+    micw_compress_device(entropy="alias") to the host container."""
+    from mic_tpu.tpu.pallas_enc import mict_encode_device_batch, micw_compress_device
+    from mic_tpu.tpu.strips import micw_compress
+
+    streams = []
+    for n, alpha, esc in [(5000, 40, 0), (3000, 12, 0), (6000, 30, 0.1)]:
+        base = np.minimum(rng.geometric(0.08, n), alpha - 1).astype(np.uint16)
+        if esc:
+            tail = rng.integers(0, 30000, n).astype(np.uint16)
+            base = np.where(rng.random(n) < esc, tail, base)
+        streams.append(base)
+    host = [dr.mict_encode_alias(s, table_log=12) for s in streams]
+    dev = mict_encode_device_batch(streams, alias=True)
+    for i, (hb, db) in enumerate(zip(host, dev)):
+        assert hb == db, f"stream {i}"
+        assert np.array_equal(dr.mict_decode_numpy(db), streams[i])
+
+    img = (rng.standard_normal((32, 128)).cumsum(axis=1) * 9 + 700)
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    hostc = micw_compress(px, 128, 32, int(px.max()), num_strips=2,
+                          predictor="zzd", entropy="alias")
+    devc = micw_compress_device(px, 128, 32, int(px.max()), num_strips=2,
+                                entropy="alias")
+    assert hostc == devc

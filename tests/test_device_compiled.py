@@ -101,6 +101,22 @@ def test_alias_kernel_compiled(rng):
     assert np.array_equal(out, px2)
 
 
+def test_alias_encode_kernel_compiled(rng):
+    """Device alias ENCODE (rans_encode_pallas_alias), Mosaic-compiled:
+    blobs must be byte-identical to the host alias encoder."""
+    from mic_tpu.tpu.device_rans import mict_encode_alias
+    from mic_tpu.tpu.pallas_enc import mict_encode_device_batch
+
+    streams = []
+    for n, alpha in [(4096, 60), (6000, 300)]:
+        streams.append(
+            np.minimum(rng.geometric(2.0 / alpha, n), alpha).astype(np.uint16))
+    host = [mict_encode_alias(s, table_log=12) for s in streams]
+    dev = mict_encode_device_batch(streams, alias=True)
+    for hb, db in zip(host, dev):
+        assert hb == db
+
+
 def test_two_table_kernel_compiled():
     """tl=13 strip (packed-ineligible: the packed kernel caps at tl=12)
     through the two-table kernel, compiled.

@@ -160,3 +160,61 @@ def test_sharded_alias_decode():
     got = np.asarray(out)
     for s, d in enumerate(datas):
         assert np.array_equal(got[s].reshape(-1)[: len(d)], d)
+
+
+def test_sharded_alias_encode():
+    """rans_encode_pallas_alias under shard_map must equal the
+    single-program kernel bit for bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from mic_tpu.ops.fse import histogram, normalize_count, optimal_table_log
+    from mic_tpu.tpu.device_rans import alias_construct, device_tables
+    from mic_tpu.tpu.mesh import encode_alias_sharded, make_strip_mesh
+    from mic_tpu.tpu.pallas_enc import (
+        build_enc_tables,
+        rans_encode_pallas_alias,
+    )
+
+    devs = jax.devices()[:8]
+    if len(devs) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(21)
+    n_e, S = 1024, 8
+    specs, rks, runs = [], [], []
+    for _s in range(S):
+        syms = (rng.standard_normal(n_e) * 9 + 60).clip(0, 255).astype(np.uint16)
+        counts, _mc, sl = histogram(syms)
+        tl = min(optimal_table_log(11, n_e, sl), 11)
+        norm = normalize_count(counts, n_e, tl, sl)
+        _sy, _fs, _bs, freq, cumul = device_tables(norm, tl)
+        al = alias_construct(norm, tl)
+        alpha = np.nonzero(freq)[0]
+        lut = np.zeros(65536, np.uint16)
+        lut[alpha] = np.arange(len(alpha), dtype=np.uint16)
+        specs.append((freq[alpha].astype(np.uint32), cumul[alpha].astype(np.uint32)))
+        rks.append((lut[syms], tl))
+        runs.append(al["enc_runs"])
+    steps = (-(-n_e // 128) + 7) // 8 * 8
+    te1, te2, asweep = build_enc_tables(specs, 11)
+    rk = np.zeros((S, steps * 128), np.uint16)
+    tls = np.zeros((S, 128), np.uint32)
+    ar1 = np.full((S, 256), 0xFFFFFFFF, np.uint32)
+    ar2 = np.zeros((S, 256), np.uint32)
+    for i, ((r, tl_i), (st, ba)) in enumerate(zip(rks, runs)):
+        rk[i, :n_e] = r
+        tls[i, :] = tl_i
+        ar1[i, : len(st)] = st
+        ar2[i, : len(ba)] = ba
+    cnt = np.full((S, 128), n_e, np.uint32)
+    args = (jnp.asarray(rk.reshape(S, steps, 128)), jnp.asarray(te1),
+            jnp.asarray(te2), jnp.asarray(ar1.reshape(S, 2, 128)),
+            jnp.asarray(ar2.reshape(S, 2, 128)), jnp.asarray(cnt),
+            jnp.asarray(tls))
+    ref = rans_encode_pallas_alias(*args, steps=steps, n_strips=S, asweep=asweep)
+    got = encode_alias_sharded(make_strip_mesh(devs), *args,
+                               steps=steps, asweep=asweep)
+    for a, b in zip(ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
