@@ -461,6 +461,34 @@ def _alias_fold(symbols, counts, symbol_len, kept: int):
     return recoded, counts2, sl2, esc_val, esc_values
 
 
+def alias_encode_plan(counts, symbol_len, n, table_log, max_table_log=None):
+    """The FULL byte-format-defining alias encode setup, shared by the
+    host encoder (mict_encode_alias) and the device batch encoder
+    (pallas_enc.mict_encode_device_batch) so the two can never drift:
+    kept-reduction retry loop, tableLog clamp (hard 12 for the 12-bit
+    Pallas bucket fields), normalization + ncount header, tables, and
+    the alias layout.  Returns (kept_vals, esc_val, tl, header, freq,
+    cumul, al); raises the usual sentinel errors."""
+    counts = np.asarray(counts[:symbol_len], dtype=np.int64)
+    kept = min(int((counts > 0).sum()), ALIAS_MAX_KEPT)
+    while True:
+        kept_vals, counts2, sl2, esc_val = _alias_plan(counts, symbol_len, kept)
+        tl = optimal_table_log(table_log, n, sl2)
+        tl = min(tl, 12 if max_table_log is None else min(max_table_log, 12))
+        tl = max(tl, 7)  # 128 buckets need at least 128 slots
+        try:
+            norm, header = _norm_and_header(counts2, n, tl, sl2)
+            _s, _f, _b, freq, cumul = device_tables(norm, tl)
+            al = alias_construct(norm, tl)
+            return kept_vals, esc_val, tl, header, freq, cumul, al
+        except AliasInfeasible:
+            kept -= 64
+            if kept < 8:
+                raise IncompressibleError("alias layout infeasible")
+        except ValueError as e:
+            raise IncompressibleError(str(e)) from e
+
+
 def mict_encode_alias(
     symbols,
     lanes: int = 128,
@@ -489,31 +517,9 @@ def mict_encode_alias(
         raise UseRLEError
     if max_count == 1 or max_count < (n >> 15):
         raise IncompressibleError
-    counts = np.asarray(counts[:symbol_len], dtype=np.int64)
-
-    kept = min(int((counts > 0).sum()), ALIAS_MAX_KEPT)
-    while True:
-        kept_vals, counts2, sl2, esc_val = _alias_plan(counts, symbol_len, kept)
-        tl = optimal_table_log(table_log, n, sl2)
-        # Hard cap 12 (overridable lower): the Pallas alias kernel packs
-        # (freq-1) and the slot-base biases into 12-bit fields of w1/w2
-        # (build_alias_bucket_tables) — tl=13 would silently overflow
-        # them.  optimal_table_log's density rule can otherwise bump past
-        # the request.
-        tl = min(tl, 12 if max_table_log is None else min(max_table_log, 12))
-        tl = max(tl, 7)  # 128 buckets need at least 128 slots
-        try:
-            norm, header = _norm_and_header(counts2, n, tl, sl2)
-            _s, _f, _b, freq, cumul = device_tables(norm, tl)
-            al = alias_construct(norm, tl)
-            break
-        except AliasInfeasible:
-            kept -= 64
-            if kept < 8:
-                raise IncompressibleError("alias layout infeasible")
-        except ValueError as e:
-            raise IncompressibleError(str(e)) from e
-
+    kept_vals, esc_val, tl, header, freq, cumul, al = alias_encode_plan(
+        counts, symbol_len, n, table_log, max_table_log
+    )
     recoded, esc_values = _alias_apply(symbols, kept_vals, esc_val)
     states, words = _lane_encode(
         recoded, n, int(lanes), tl, freq, cumul,
@@ -543,6 +549,8 @@ def mict_parse(blob: bytes):
     if len(blob) < 12 or blob[:2] not in (MICT_MAGIC, MICT_ALIAS_MAGIC):
         raise ValueError("MICT: missing magic bytes")
     is_alias = blob[:2] == MICT_ALIAS_MAGIC
+    if is_alias and len(blob) < 18:
+        raise ValueError("MICT: truncated alias header")
     log2_lanes, tl_hdr = struct.unpack_from("<BB", blob, 2)
     count, n_words = struct.unpack_from("<II", blob, 4)
     L = 1 << log2_lanes
@@ -617,13 +625,16 @@ def mict_decode_numpy(blob: bytes) -> np.ndarray:
 
 def alias_substitute_escapes(syms: np.ndarray, alias) -> np.ndarray:
     """Replace decoded ESC symbols with their true values from the alias
-    side stream, in stream order (shared by every slot-table decoder)."""
+    side stream, in stream order (shared by every slot-table decoder).
+    The count check runs even with an empty side stream — a forged
+    n_esc=0 header on a stream that decodes ESC placeholders must fail,
+    not silently leave them in the output."""
     esc_val, esc_values = alias
-    if not len(esc_values):
-        return syms
     idx = np.nonzero(syms == esc_val)[0]
     if len(idx) != len(esc_values):
         raise ValueError("MICT: escape count mismatch (corrupt stream)")
+    if not len(idx):
+        return syms
     syms = syms.copy()
     syms[idx] = esc_values
     return syms

@@ -340,14 +340,11 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
         optimal_table_log,
     )
     from .device_rans import (
-        ALIAS_MAX_KEPT,
         MICT_ALIAS_MAGIC,
         MICT_MAGIC,
-        AliasInfeasible,
         _alias_apply,
-        _alias_plan,
         _norm_and_header,
-        alias_construct,
+        alias_encode_plan,
         device_tables,
     )
 
@@ -373,24 +370,11 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
                 raise IncompressibleError
             esc_info = None
             if alias:
-                counts = np.asarray(counts[:symbol_len], dtype=np.int64)
-                kept = min(int((counts > 0).sum()), ALIAS_MAX_KEPT)
-                while True:
-                    kept_vals, counts2, sl2, esc_val = _alias_plan(
-                        counts, symbol_len, kept)
-                    tl = optimal_table_log(tl_hint, n, sl2)
-                    tl = max(min(tl, min(max_table_log, 12)), 7)
-                    try:
-                        norm, header = _norm_and_header(counts2, n, tl, sl2)
-                        _s, _f, _b, freq, cumul = device_tables(norm, tl)
-                        al = alias_construct(norm, tl)
-                        break
-                    except AliasInfeasible:
-                        kept -= 64
-                        if kept < 8:
-                            raise IncompressibleError("alias layout infeasible")
-                    except ValueError as e:
-                        raise IncompressibleError(str(e)) from e
+                # The byte-format-defining setup (fold/retry/clamp/tables)
+                # is SHARED with the host encoder — see alias_encode_plan.
+                kept_vals, esc_val, tl, header, freq, cumul, al = (
+                    alias_encode_plan(counts, symbol_len, n, tl_hint,
+                                      max_table_log))
                 recoded, esc_values = _alias_apply(symbols, kept_vals, esc_val)
                 symbols = recoded.astype(np.uint16)
                 esc_info = (esc_val, esc_values)
@@ -518,7 +502,9 @@ def micw_compress_device(pixels, width: int, height: int, max_value: int, num_st
     if len(pixels) != width * height:
         raise ValueError("micw: pixel count mismatch")
     if num_strips <= 0:
-        num_strips = max(1, height // 64)
+        # Same default geometry as the host container (128-row strips) —
+        # part of the byte-identity contract.
+        num_strips = max(1, height // 128)
     num_strips = max(1, min(num_strips, height))
     strip_h = (height + num_strips - 1) // num_strips
     actual = (height + strip_h - 1) // strip_h
@@ -547,9 +533,15 @@ def micw_compress_device(pixels, width: int, height: int, max_value: int, num_st
         streams.append(syms)
         raws.append(strip_px)
 
+    from .strips import ALIAS_TABLE_LOG, MAX_TABLE_LOG
+
+    # Same tableLog caps as the host container's _encode_candidate (11
+    # for the packed-sweep decode, 12 for tl-independent alias) — part
+    # of the byte-identity contract.
     encoded = mict_encode_device_batch(
         [s for s, c in zip(streams, consts) if not c], on_error="none",
         alias=entropy == "alias",
+        max_table_log=ALIAS_TABLE_LOG if entropy == "alias" else MAX_TABLE_LOG,
     )
     enc_iter = iter(encoded)
     blobs = []

@@ -158,3 +158,20 @@ def test_device_alias_encode_byte_identity(rng):
     devc = micw_compress_device(px, 128, 32, int(px.max()), num_strips=2,
                                 entropy="alias")
     assert hostc == devc
+
+
+def test_micw_device_container_contract_defaults(rng):
+    """Regression: micw_compress_device must match the host container
+    byte-for-byte WITHOUT explicit num_strips (default 128-row strips)
+    and on dense wide-alphabet strips (host caps standard tl at 11,
+    alias at 12 — the device batch must use the same caps)."""
+    from mic_tpu.tpu.pallas_enc import micw_compress_device
+    from mic_tpu.tpu.strips import micw_compress
+
+    img = (rng.standard_normal((256, 512)).cumsum(axis=1) * 80 + 2000)
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    for e in ("standard", "alias"):
+        host = micw_compress(px, 512, 256, int(px.max()), predictor="zzd",
+                             entropy=e)
+        dev = micw_compress_device(px, 512, 256, int(px.max()), entropy=e)
+        assert host == dev, e

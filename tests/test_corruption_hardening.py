@@ -175,3 +175,27 @@ def test_alias_corrupt_escape_stream_rejected(rng):
     struct.pack_into("<I", b3, 12, n_esc - 1)
     with pytest.raises(ValueError):
         dr.mict_decode_numpy(bytes(b3))
+
+
+def test_alias_forged_zero_escape_count_rejected(rng):
+    """Regression: nEsc forged to 0 parses (stream in bounds) but the
+    decoded ESC placeholders then have no side values — substitution
+    must raise, not silently leave placeholders; and an alias blob
+    truncated inside its 18-byte header must raise ValueError, not
+    struct.error."""
+    import struct
+
+    import pytest
+
+    from mic_tpu.tpu import device_rans as dr
+
+    base = np.minimum(rng.geometric(0.1, 4000), 40).astype(np.uint16)
+    tail = rng.integers(0, 30000, 4000).astype(np.uint16)
+    data = np.where(rng.random(4000) < 0.1, tail, base)
+    blob = dr.mict_encode_alias(data, table_log=11)
+    b = bytearray(blob)
+    struct.pack_into("<I", b, 12, 0)
+    with pytest.raises(ValueError):
+        dr.mict_decode_numpy(bytes(b))
+    with pytest.raises(ValueError):
+        dr.mict_parse(blob[:14])

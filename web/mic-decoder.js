@@ -1043,9 +1043,12 @@ function mictDecode(bytes) {
     if (x[l] !== 65536) throw new Error('MICT: final state mismatch');
   }
   if (cursor !== p.words.length) throw new Error('MICT: word count mismatch');
-  if (p.alias && p.alias.escValues.length) {
+  if (p.alias) {
     // Escape substitution: decoded ESC symbols take their true values
     // from the side stream in stream order (alias_substitute_escapes).
+    // Runs even with an empty side stream so a forged nEsc=0 on a
+    // stream that decodes ESC placeholders fails instead of silently
+    // leaving them in the output.
     let e = 0;
     for (let i = 0; i < out.length; i++) {
       if (out[i] === p.alias.escVal) {
