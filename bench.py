@@ -281,7 +281,7 @@ def _encode_metric(phase) -> None:
     }), flush=True)
 
 
-def _run_sub_once(argv: list[str], timeout: float):
+def _run_sub_once(argv: list[str], timeout: float, env: dict | None = None):
     """Run one bench subprocess with a tunnel-claim watchdog.  Returns
     (status, json_lines); status "wedged" means the claim line never
     appeared and the caller should retry."""
@@ -301,7 +301,7 @@ def _run_sub_once(argv: list[str], timeout: float):
     proc = subprocess.Popen(
         [sys.executable, str(ROOT / "bench.py"), *argv],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-        preexec_fn=_die_with_parent,
+        preexec_fn=_die_with_parent, env=env,
     )
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
@@ -370,12 +370,22 @@ def main() -> None:
     encode_gbps = None
     attempt = 0
     pending = list(names)
+    entropy = os.environ.get("MIC_BENCH_ENTROPY", "standard")
     while pending and attempt <= CLAIM_RETRIES and remaining() > 120:
         attempt += 1
+        env = None
+        if entropy != "standard" and attempt > 1:
+            # A non-standard stream family (alias/best) that hung or
+            # crashed the first attempt must not burn the whole capture:
+            # retries fall back to the measured-stable standard path.
+            print("[bench] retrying with standard entropy (first attempt "
+                  f"used {entropy!r})", file=sys.stderr, flush=True)
+            env = {**os.environ, "MIC_BENCH_ENTROPY": "standard"}
         print(f"[bench] run-all {pending} (attempt {attempt}, "
               f"{int(remaining())}s left)...", file=sys.stderr, flush=True)
         status, rows = _run_sub_once(["--all", ",".join(pending)],
-                                     timeout=max(120.0, remaining() - 30))
+                                     timeout=max(120.0, remaining() - 30),
+                                     env=env)
         for r in rows:
             if "encode_GBps" in r:
                 encode_gbps = r["encode_GBps"]
