@@ -88,6 +88,13 @@ def run_all(names: list[str]) -> None:
     subprocess (see module docstring for why).  Prints one JSON row per
     image plus an encode row."""
     import jax
+
+    # Harness-test escape hatch: MIC_BENCH_PLATFORM=cpu runs the whole
+    # parent/child/watchdog pipeline without the TPU (interpret-mode
+    # kernels; pair with tiny caps + MIC_BENCH_ONLY).
+    plat = os.environ.get("MIC_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     jax.devices()
@@ -128,7 +135,8 @@ def run_all(names: list[str]) -> None:
         jax.clear_caches()
         phase(f"{name}:cleanup")
 
-    _encode_metric(phase)
+    if os.environ.get("MIC_BENCH_SKIP_ENCODE") != "1":
+        _encode_metric(phase)
 
 
 def _measure_one(name, entry, phase) -> None:
@@ -364,6 +372,9 @@ def main() -> None:
     names = [n for n in ORDER if n in corpus_names] + [
         n for n in corpus_names if n not in ORDER
     ]
+    only = os.environ.get("MIC_BENCH_ONLY")
+    if only:
+        names = [n for n in names if n in only.split(",")]
     total_n = len(names)
 
     detail = {}
@@ -383,16 +394,25 @@ def main() -> None:
             env = {**os.environ, "MIC_BENCH_ENTROPY": "standard"}
         print(f"[bench] run-all {pending} (attempt {attempt}, "
               f"{int(remaining())}s left)...", file=sys.stderr, flush=True)
+        # A non-standard first attempt gets at most 2/3 of the budget so
+        # a hang still leaves the standard fallback room to complete
+        # (unfinished images mix into the geomean per image either way).
+        cap = remaining() - 30
+        if entropy != "standard" and attempt == 1:
+            cap = cap * 2 / 3
         status, rows = _run_sub_once(["--all", ",".join(pending)],
-                                     timeout=max(120.0, remaining() - 30),
-                                     env=env)
+                                     timeout=max(120.0, cap), env=env)
         for r in rows:
             if "encode_GBps" in r:
                 encode_gbps = r["encode_GBps"]
                 detail["_encode"] = r
             elif "name" in r:
                 detail[r["name"]] = {kk: r[kk] for kk in r if kk != "name"}
-        pending = [n for n in pending if n not in detail]
+        # Only a MEASURED image is done — error rows stay pending so a
+        # later attempt (possibly with the standard-entropy fallback)
+        # can rescue them; CLAIM_RETRIES bounds persistent failures.
+        pending = [n for n in pending
+                   if "GBps" not in detail.get(n, {})]
         (res_dir / "bench_detail.json").write_text(json.dumps(detail, indent=1))
         if status == "ok" and not pending:
             break
