@@ -128,6 +128,19 @@ def ingest_plan(ref_blobs, dims=None, kind: int = 0,
     """Transcode a batch of reference blobs and stage them for repeated
     device decode.  ``dims`` supplies (width, height) per bare frame blob
     (ignored for PICS).  Returns a :class:`MicwDecodePlan`."""
+    if device_encode:
+        # Archive shape: decode all blobs, then ONE device-encode launch
+        # for every strip of every image (per-frame launches pay ~75 ms
+        # tunnel RPC each; micw_compress_device_many pays one).
+        from .pallas_enc import micw_compress_device_many
+
+        images = []
+        for i, blob in enumerate(ref_blobs):
+            w, h = (0, 0) if blob[:4] == b"PICS" else dims[i]
+            px, w, h = _decode_reference(blob, w, h, kind, entropy=entropy)
+            px = np.asarray(px, dtype=np.uint16)
+            images.append((px, w, h, int(px.max())))
+        return MicwDecodePlan(micw_compress_device_many(images))
     micw_blobs = []
     for i, blob in enumerate(ref_blobs):
         if blob[:4] == b"PICS":

@@ -485,86 +485,110 @@ def micw_compress_device(pixels, width: int, height: int, max_value: int, num_st
     ``entropy="alias"`` writes FF 41 strips (rans_encode_pallas_alias,
     byte-identical to the host alias encoder).
     """
+    return micw_compress_device_many(
+        [(pixels, width, height, max_value, num_strips)], entropy=entropy,
+    )[0]
+
+
+def micw_compress_device_many(images, entropy: str = "standard"):
+    """Device-encode MANY images into MICW containers with ONE Pallas
+    launch for all strips of all images — the archive-migration shape
+    (per-frame launches pay ~75 ms tunnel RPC each; a 1000-frame study
+    batched here pays one).  ``images`` is a list of (pixels, width,
+    height, max_value[, num_strips]); returns the containers blob-order,
+    each byte-identical to micw_compress_device on that image."""
     if entropy not in ("standard", "alias"):
         raise ValueError(f"micw device encode: unknown entropy {entropy!r}")
     import struct as _struct
 
     from .strips import (
+        ALIAS_TABLE_LOG,
         FLAG_ADAPTIVE,
         FLAG_DIRECT,
+        MAX_TABLE_LOG,
         MICW_MAGIC,
         STRIP_MODE_CONST,
         STRIP_MODE_RAW,
         STRIP_MODE_ZZD,
     )
 
-    pixels = np.asarray(pixels, dtype=np.uint16)
-    if len(pixels) != width * height:
-        raise ValueError("micw: pixel count mismatch")
-    if num_strips <= 0:
-        # Same default geometry as the host container (128-row strips) —
-        # part of the byte-identity contract.
-        num_strips = max(1, height // 128)
-    num_strips = max(1, min(num_strips, height))
-    strip_h = (height + num_strips - 1) // num_strips
-    actual = (height + strip_h - 1) // strip_h
+    prep = []  # per image: (width, height, max_value, actual, strip_h, streams, raws, consts)
+    all_streams = []
+    for spec in images:
+        pixels, width, height, max_value = spec[:4]
+        num_strips = spec[4] if len(spec) > 4 else 0
+        pixels = np.asarray(pixels, dtype=np.uint16)
+        if len(pixels) != width * height:
+            raise ValueError("micw: pixel count mismatch")
+        if num_strips <= 0:
+            # Same default geometry as the host container (128-row
+            # strips) — part of the byte-identity contract.
+            num_strips = max(1, height // 128)
+        num_strips = max(1, min(num_strips, height))
+        strip_h = (height + num_strips - 1) // num_strips
+        actual = (height + strip_h - 1) // strip_h
 
-    streams = []
-    raws = []
-    consts = []
-    for s in range(actual):
-        y0 = s * strip_h
-        y1 = min(y0 + strip_h, height)
-        strip_px = pixels[y0 * width : y1 * width]
-        if strip_px[0] == strip_px.max() and strip_px[0] == strip_px.min():
-            # Constant strip: 2-byte payload, no kernel work (matches the
-            # host encoder's STRIP_MODE_CONST byte-for-byte).
-            consts.append(True)
-            streams.append(np.zeros(0, np.uint16))
+        streams = []
+        raws = []
+        consts = []
+        for s in range(actual):
+            y0 = s * strip_h
+            y1 = min(y0 + strip_h, height)
+            strip_px = pixels[y0 * width : y1 * width]
+            if strip_px[0] == strip_px.max() and strip_px[0] == strip_px.min():
+                # Constant strip: 2-byte payload, no kernel work (matches
+                # the host encoder's STRIP_MODE_CONST byte-for-byte).
+                consts.append(True)
+                streams.append(np.zeros(0, np.uint16))
+                raws.append(strip_px)
+                continue
+            consts.append(False)
+            img = strip_px.reshape(y1 - y0, width).astype(np.int64)
+            left = np.zeros_like(img)
+            left[:, 1:] = img[:, :-1]
+            d16 = (img - left).astype(np.uint16).astype(np.int16)
+            syms = (((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF
+                    ).astype(np.uint16).ravel()
+            streams.append(syms)
             raws.append(strip_px)
-            continue
-        consts.append(False)
-        img = strip_px.reshape(y1 - y0, width).astype(np.int64)
-        left = np.zeros_like(img)
-        left[:, 1:] = img[:, :-1]
-        d16 = (img - left).astype(np.uint16).astype(np.int16)
-        syms = (((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF
-                ).astype(np.uint16).ravel()
-        streams.append(syms)
-        raws.append(strip_px)
-
-    from .strips import ALIAS_TABLE_LOG, MAX_TABLE_LOG
+        prep.append((width, height, max_value, actual, strip_h,
+                     streams, raws, consts))
+        all_streams.extend(s for s, c in zip(streams, consts) if not c)
 
     # Same tableLog caps as the host container's _encode_candidate (11
     # for the packed-sweep decode, 12 for tl-independent alias) — part
     # of the byte-identity contract.
     encoded = mict_encode_device_batch(
-        [s for s, c in zip(streams, consts) if not c], on_error="none",
+        all_streams, on_error="none",
         alias=entropy == "alias",
         max_table_log=ALIAS_TABLE_LOG if entropy == "alias" else MAX_TABLE_LOG,
-    )
+    ) if all_streams else []
     enc_iter = iter(encoded)
-    blobs = []
-    metas = []
-    for syms, raw, is_const in zip(streams, raws, consts):
-        if is_const:
-            blobs.append(raw[:1].astype("<u2").tobytes())
-            metas.append((0, 0, 0, 0, STRIP_MODE_CONST))
-            continue
-        enc = next(enc_iter)
-        if enc is None or len(enc) >= raw.nbytes:
-            blobs.append(raw.astype("<u2").tobytes())
-            metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_RAW))
-        else:
-            blobs.append(enc)
-            metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_ZZD))
 
-    out = bytearray()
-    out += MICW_MAGIC
-    out += _struct.pack("<IIII", width, height, actual, strip_h)
-    out += _struct.pack("<HBB", max_value, FLAG_ADAPTIVE | FLAG_DIRECT, 7)
-    offset = 0
-    for blob, (n_soa, n_tok, n_runs, n_same, mode) in zip(blobs, metas):
-        out += _struct.pack("<IIIIIII", offset, len(blob), n_soa, n_tok, n_runs, n_same, mode)
-        offset += len(blob)
-    return bytes(out) + b"".join(blobs)
+    outs = []
+    for width, height, max_value, actual, strip_h, streams, raws, consts in prep:
+        blobs = []
+        metas = []
+        for syms, raw, is_const in zip(streams, raws, consts):
+            if is_const:
+                blobs.append(raw[:1].astype("<u2").tobytes())
+                metas.append((0, 0, 0, 0, STRIP_MODE_CONST))
+                continue
+            enc = next(enc_iter)
+            if enc is None or len(enc) >= raw.nbytes:
+                blobs.append(raw.astype("<u2").tobytes())
+                metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_RAW))
+            else:
+                blobs.append(enc)
+                metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_ZZD))
+
+        out = bytearray()
+        out += MICW_MAGIC
+        out += _struct.pack("<IIII", width, height, actual, strip_h)
+        out += _struct.pack("<HBB", max_value, FLAG_ADAPTIVE | FLAG_DIRECT, 7)
+        offset = 0
+        for blob, (n_soa, n_tok, n_runs, n_same, mode) in zip(blobs, metas):
+            out += _struct.pack("<IIIIIII", offset, len(blob), n_soa, n_tok, n_runs, n_same, mode)
+            offset += len(blob)
+        outs.append(bytes(out) + b"".join(blobs))
+    return outs

@@ -70,3 +70,21 @@ def test_transcode_device_entropy(img):
         out, ow, oh = micw_decompress_host(micw_dev)
         assert (ow, oh) == (w, h)
         assert np.array_equal(out, px)
+
+
+def test_ingest_plan_device_encode_batched(rng):
+    """ingest_plan(device_encode=True) transcodes via ONE batched device
+    encode launch; the plan must decode every frame bit-exact."""
+    from mic_tpu.models.single_frame import compress_single_frame_4state
+    from mic_tpu.tpu.ingest import ingest_plan
+
+    frames, dims, pixels = [], [], []
+    for h, w in [(32, 128), (48, 256)]:
+        img = (rng.standard_normal((h, w)).cumsum(axis=1) * 9 + 700)
+        px = img.clip(0, 4095).astype(np.uint16).ravel()
+        frames.append(compress_single_frame_4state(px, w, h, int(px.max())))
+        dims.append((w, h))
+        pixels.append(px)
+    plan = ingest_plan(frames, dims=dims, device_encode=True)
+    for (out, w, h), px in zip(plan.assemble(plan.run()), pixels):
+        assert np.array_equal(out, px)
