@@ -169,17 +169,21 @@ def decompress_frame(data: bytes, frame_idx: int):
     return prev, hdr
 
 
-def compress_multi_frame_device(frames, width, height, max_value, lanes: int = 128, temporal: bool = False, entropy: str = "standard") -> bytes:
+def compress_multi_frame_device(frames, width, height, max_value, lanes: int = 128, temporal: bool = False, entropy: str = "standard", device_encode: bool = False) -> bytes:
     """MIC2 container whose frame payloads are MICW device-format blobs.
 
     Independent mode (default): O(1) random frame access, every frame's
     strips pool into the fused Pallas launches.  Temporal mode mirrors
     the host MIC2 (multiframe*.go): frame i>0 stores zigzag residuals vs
     frame i-1 — the residual planes still batch-decode in one launch,
-    only the final add chains across frames (cheap vector pass)."""
+    only the final add chains across frames (cheap vector pass).
+
+    ``device_encode=True`` runs the entropy encode of EVERY frame's
+    strips in one Pallas launch (micw_compress_device_many, zzd
+    pipeline) — the series-ingest shape."""
     from ..tpu.strips import micw_compress
 
-    blobs = []
+    planes = []
     for i, f in enumerate(frames):
         f = np.asarray(f, dtype=np.uint16)
         if temporal and i > 0:
@@ -188,8 +192,18 @@ def compress_multi_frame_device(frames, width, height, max_value, lanes: int = 1
         else:
             plane = f
             mv = max_value
-        blobs.append(micw_compress(plane, width, height, mv, lanes=lanes,
-                                   entropy=entropy))
+        planes.append((plane, mv))
+    if device_encode:
+        # The device encoder handles one stream family per launch
+        # (standard or alias); "best" is a host-trial mode.
+        from ..tpu.pallas_enc import micw_compress_device_many
+
+        blobs = micw_compress_device_many(
+            [(p, width, height, mv) for p, mv in planes], entropy=entropy,
+        )
+    else:
+        blobs = [micw_compress(p, width, height, mv, lanes=lanes,
+                               entropy=entropy) for p, mv in planes]
     return write_mic2(MIC2Header(width, height, len(frames), temporal=temporal), blobs)
 
 

@@ -330,3 +330,24 @@ def test_mic2_device_temporal(rng):
     assert hdr.temporal and hdr.frame_count == 2
     assert np.array_equal(np.asarray(frames[0], np.uint16).ravel(), f0)
     assert np.array_equal(np.asarray(frames[1], np.uint16).ravel(), f1)
+
+
+def test_mic2_device_encode_batched(rng):
+    """MIC2 with device_encode=True: one Pallas launch encodes every
+    frame's strips; container decodes bit-exact in both temporal modes."""
+    from mic_tpu.parallel.multiframe import (
+        compress_multi_frame_device,
+        decompress_multi_frame_device,
+    )
+
+    h, w = 32, 128
+    img = (rng.standard_normal((h, w)).cumsum(axis=1) * 9 + 700)
+    img = img.clip(0, 4095).astype(np.uint16)
+    frames = [img.ravel(), np.roll(img, 1, 0).ravel(), np.roll(img, 2, 1).ravel()]
+    for temporal in (False, True):
+        blob = compress_multi_frame_device(frames, w, h, int(img.max()),
+                                           temporal=temporal,
+                                           device_encode=True)
+        out, _hdr = decompress_multi_frame_device(blob)
+        for got, want in zip(out, frames):
+            assert np.array_equal(got, want), temporal
