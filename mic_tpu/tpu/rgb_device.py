@@ -21,7 +21,14 @@ import numpy as np
 from ..ops.color import ycocgr_forward, ycocgr_inverse
 from .strips import micw_compress, micw_decode_many, micw_decompress_host
 
-__all__ = ["micwr_compress", "micwr_decompress_device", "micwr_decode_many", "micwr_decompress_host"]
+__all__ = [
+    "micwr_compress",
+    "micwr_compress_device",
+    "micwr_compress_device_many",
+    "micwr_decompress_device",
+    "micwr_decode_many",
+    "micwr_decompress_host",
+]
 
 MWR3_MAGIC = b"MWR3"
 
@@ -47,6 +54,37 @@ def micwr_compress(rgb, width: int, height: int, num_strips: int = 0,
     for b in blobs:
         out += struct.pack("<I", len(b))
     return bytes(out) + b"".join(blobs)
+
+
+def micwr_compress_device_many(rgbs, entropy: str = "standard"):
+    """Device-encode MANY RGB images/tiles into MWR3 containers with ONE
+    Pallas launch for every plane of every image (3 planes x N tiles
+    pool into a single mict_encode_device_batch call — the WSI-ingest
+    shape; zzd pipeline, like micw_compress_device).  ``rgbs`` is a list
+    of (rgb_bytes, width, height); returns the containers in order."""
+    from .pallas_enc import micw_compress_device_many
+
+    images = []
+    for rgb, width, height in rgbs:
+        for p in ycocgr_forward(rgb, width, height):
+            images.append((p, width, height, int(p.max())))
+    plane_blobs = micw_compress_device_many(images, entropy=entropy)
+    outs = []
+    for i, (_rgb, width, height) in enumerate(rgbs):
+        blobs = plane_blobs[3 * i : 3 * i + 3]
+        out = bytearray()
+        out += MWR3_MAGIC
+        out += struct.pack("<II", width, height)
+        for b in blobs:
+            out += struct.pack("<I", len(b))
+        outs.append(bytes(out) + b"".join(blobs))
+    return outs
+
+
+def micwr_compress_device(rgb, width: int, height: int,
+                          entropy: str = "standard") -> bytes:
+    """Single-image wrapper over micwr_compress_device_many."""
+    return micwr_compress_device_many([(rgb, width, height)], entropy=entropy)[0]
 
 
 def _parse(blob: bytes):

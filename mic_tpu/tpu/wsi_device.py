@@ -56,11 +56,15 @@ def _levels(width, height, tile_w, tile_h, num_levels):
     return levels
 
 
-def w3d_compress(rgb, width: int, height: int, tile_w: int = 256, tile_h: int = 256, num_levels: int = 0) -> bytes:
+def w3d_compress(rgb, width: int, height: int, tile_w: int = 256, tile_h: int = 256, num_levels: int = 0, device_encode: bool = False) -> bytes:
     """Interleaved RGB bytes -> W3D1.  Tiles at slide edges are padded to
     (tile_w, tile_h) by edge replication before compression (the decoder
     crops), keeping every MWR3 blob the same geometry so whole levels
-    batch in shared kernel launches."""
+    batch in shared kernel launches.
+
+    ``device_encode=True`` pools every plane of every non-constant tile
+    across ALL pyramid levels into one Pallas encode launch
+    (micwr_compress_device_many, zzd pipeline) — the WSI-ingest shape."""
     rgb = np.asarray(rgb, dtype=np.uint8)
     if rgb.size != width * height * 3:
         raise ValueError("w3d: pixel count mismatch")
@@ -71,9 +75,7 @@ def w3d_compress(rgb, width: int, height: int, tile_w: int = 256, tile_h: int = 
         assert (dw, dh) == (w, h)
         pyramid.append((np.asarray(d, np.uint8), w, h))
 
-    entries = []
-    payloads = []
-    offset = 0
+    tiles = []  # (lvl, tx, ty, mode, flat-or-const-bytes)
     for lvl, (img, iw, ih) in enumerate(pyramid):
         plane = img.reshape(ih, iw, 3)
         for ty in range((ih + tile_h - 1) // tile_h):
@@ -86,16 +88,29 @@ def w3d_compress(rgb, width: int, height: int, tile_w: int = 256, tile_h: int = 
                         ((0, tile_h - tile.shape[0]), (0, tile_w - tile.shape[1]), (0, 0)),
                         mode="edge",
                     )
-                flat = tile.reshape(-1)
                 if (tile == tile[0, 0]).all():
-                    blob = bytes(tile[0, 0].tobytes())
-                    mode = TILE_CONST
+                    tiles.append((lvl, tx, ty, TILE_CONST, bytes(tile[0, 0].tobytes())))
                 else:
-                    blob = micwr_compress(flat, tile_w, tile_h)
-                    mode = TILE_MWR3
-                entries.append((lvl, tx, ty, mode, offset, len(blob)))
-                payloads.append(blob)
-                offset += len(blob)
+                    tiles.append((lvl, tx, ty, TILE_MWR3, tile.reshape(-1)))
+
+    if device_encode:
+        from .rgb_device import micwr_compress_device_many
+
+        mwr = iter(micwr_compress_device_many(
+            [(t[4], tile_w, tile_h) for t in tiles if t[3] == TILE_MWR3]))
+    entries = []
+    payloads = []
+    offset = 0
+    for lvl, tx, ty, mode, data in tiles:
+        if mode == TILE_CONST:
+            blob = data
+        elif device_encode:
+            blob = next(mwr)
+        else:
+            blob = micwr_compress(data, tile_w, tile_h)
+        entries.append((lvl, tx, ty, mode, offset, len(blob)))
+        payloads.append(blob)
+        offset += len(blob)
 
     out = bytearray()
     out += W3D_MAGIC

@@ -625,3 +625,21 @@ def test_micw_fused_vdd_plan(rng, _jit_enabled):
     assert runner is not None
     m, _p = runner(2)
     assert int(m) == 0
+
+
+def test_w3d_device_encode_batched(rng):
+    """w3d_compress(device_encode=True): every tile plane in one encode
+    launch; region decode must stay bit-exact vs the host-encoded path's
+    pixels (blobs differ: device uses the zzd pipeline, host 'auto')."""
+    from mic_tpu.tpu.wsi_device import w3d_compress, w3d_decompress_region
+
+    W, H, TW, TH = 128, 64, 128, 32
+    base = (rng.standard_normal((H, W, 1)).cumsum(0).cumsum(1) * 2 + 150)
+    rgb = np.clip(base + rng.integers(-10, 10, (H, W, 3)), 0, 255).astype(np.uint8)
+    rgb[:TH, :TW] = 240
+    flat = rgb.reshape(-1)
+    blob = w3d_compress(flat, W, H, tile_w=TW, tile_h=TH, num_levels=1,
+                        device_encode=True)
+    reg, rw, rh = w3d_decompress_region(blob, 50, 20, 60, 40, level=0)
+    assert (rw, rh) == (60, 40)
+    assert np.array_equal(reg, rgb[20:60, 50:110].reshape(-1))
