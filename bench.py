@@ -363,6 +363,49 @@ def _run_sub_once(argv: list[str], timeout: float, env: dict | None = None):
     return status, out
 
 
+def probe_alias() -> None:
+    """Child probe: compile + execute + verify the alias (FF 41) decode
+    programs on tiny shapes.  The parent uses the outcome to pick the
+    corpus entropy when MIC_BENCH_ENTROPY=auto — the alias kernel is
+    expected faster (no 2^tl/128 table sweep) but must prove it
+    compiles and verifies on THIS backend before the capture bets on it.
+    """
+    import jax
+
+    plat = os.environ.get("MIC_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    import jax.numpy as jnp
+
+    jax.devices()
+    jnp.zeros((8, 128), jnp.uint32).block_until_ready()
+    print(json.dumps({"claimed": True}), flush=True)
+
+    from mic_tpu.tpu.strips import MicwDecodePlan, micw_compress
+
+    rng = np.random.default_rng(0)
+    # Three bands engineering coverage of the fused alias variants the
+    # corpus uses (azzd / avdd / apdd), plus salt spikes in one band so
+    # BOTH the escape-free and escaped kernel variants compile.
+    h, w = 258, 256
+    img = np.empty((h, w))
+    img[:86] = rng.standard_normal((86, w)).cumsum(axis=1) * 11 + 700
+    img[86:172] = rng.standard_normal((86, w)).cumsum(axis=0) * 11 + 700
+    img[172:] = (rng.standard_normal((86, w)).cumsum(0).cumsum(1) * 2 + 700)
+    spike = rng.random((86, w)) < 0.02
+    img[:86] = np.where(spike, rng.integers(0, 4095, (86, w)), img[:86])
+    px = np.clip(img, 0, 4095).astype(np.uint16).ravel()
+    blob = micw_compress(px, w, h, int(px.max()), num_strips=3,
+                         entropy="alias")
+    plan = MicwDecodePlan([blob] * 2)
+    runner = plan.make_timed_runner([px] * 2)
+    ok = False
+    if runner is not None:
+        m, p = runner(1)
+        ok = int(m) == 0 and int(p) >= 0
+    print(json.dumps({"probe_alias": True, "ok": bool(ok)}), flush=True)
+
+
 def main() -> None:
     t_start = time.time()
     remaining = lambda: BUDGET_S - (time.time() - t_start)
@@ -381,17 +424,33 @@ def main() -> None:
     encode_gbps = None
     attempt = 0
     pending = list(names)
-    entropy = os.environ.get("MIC_BENCH_ENTROPY", "standard")
+    entropy = os.environ.get("MIC_BENCH_ENTROPY", "auto")
+    if entropy == "auto":
+        # Probe the alias kernel on tiny shapes first: compiled + run +
+        # verified -> the corpus rides the faster tableLog-independent
+        # family; any failure or hang -> the measured-stable standard
+        # path.  The probe is cheap (tiny programs) but pays its own
+        # claim + first-pull tax, so it gets a hard cap.
+        cap = min(420.0, max(120.0, remaining() / 3))
+        print(f"[bench] probing alias kernel ({int(cap)}s cap)...",
+              file=sys.stderr, flush=True)
+        status, rows = _run_sub_once(["--probe-alias"], timeout=cap)
+        ok = status == "ok" and any(
+            r.get("probe_alias") and r.get("ok") for r in rows)
+        entropy = "alias" if ok else "standard"
+        print(f"[bench] probe {status} -> corpus entropy {entropy!r}",
+              file=sys.stderr, flush=True)
     while pending and attempt <= CLAIM_RETRIES and remaining() > 120:
         attempt += 1
-        env = None
+        use = entropy
         if entropy != "standard" and attempt > 1:
             # A non-standard stream family (alias/best) that hung or
             # crashed the first attempt must not burn the whole capture:
             # retries fall back to the measured-stable standard path.
             print("[bench] retrying with standard entropy (first attempt "
                   f"used {entropy!r})", file=sys.stderr, flush=True)
-            env = {**os.environ, "MIC_BENCH_ENTROPY": "standard"}
+            use = "standard"
+        env = {**os.environ, "MIC_BENCH_ENTROPY": use}
         print(f"[bench] run-all {pending} (attempt {attempt}, "
               f"{int(remaining())}s left)...", file=sys.stderr, flush=True)
         # A non-standard first attempt gets at most 2/3 of the budget so
@@ -450,9 +509,12 @@ def main() -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", default="")
+    ap.add_argument("--probe-alias", action="store_true")
     ap.add_argument("--reps", type=int, default=0)  # back-compat, unused
     args = ap.parse_args()
-    if args.all:
+    if args.probe_alias:
+        probe_alias()
+    elif args.all:
         run_all(args.all.split(","))
     else:
         main()
