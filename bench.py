@@ -147,8 +147,11 @@ def _measure_one(name, entry, phase) -> None:
     _n, px, w, h, mx = entry
     # MIC_BENCH_ENTROPY=alias measures the FF 41 alias-bucket kernel
     # (tableLog-independent decode) instead of the packed-sweep kernel.
+    # "auto" is a PARENT-level policy (resolved by the probe); a child
+    # invoked directly with it measures the standard family.
+    ent = os.environ.get("MIC_BENCH_ENTROPY", "standard")
     blob = micw_compress(px, w, h, mx,
-                         entropy=os.environ.get("MIC_BENCH_ENTROPY", "standard"))
+                         entropy="standard" if ent == "auto" else ent)
     bw, bh, n_strips, strip_h, _mv, _gp, _lanes, strips = micw_parse(blob)
     # Honest byte accounting: raw/constant strips are materialized
     # host-side at stage time — the timed macro program never touches
