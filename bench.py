@@ -475,7 +475,12 @@ def main() -> None:
         # can rescue them; CLAIM_RETRIES bounds persistent failures.
         pending = [n for n in pending
                    if "GBps" not in detail.get(n, {})]
-        (res_dir / "bench_detail.json").write_text(json.dumps(detail, indent=1))
+        # Harness-test runs (forced platform) must not clobber the last
+        # real-hardware per-image record.
+        detail_name = ("bench_detail_cpu.json"
+                       if os.environ.get("MIC_BENCH_PLATFORM")
+                       else "bench_detail.json")
+        (res_dir / detail_name).write_text(json.dumps(detail, indent=1))
         if status == "ok" and not pending:
             break
         print(f"[bench] child {status}; {len(pending)} images pending",
