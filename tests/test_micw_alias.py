@@ -73,6 +73,31 @@ def test_alias_escape_folding_roundtrip(rng):
         assert np.array_equal(out, px), fn.__name__
 
 
+def test_alias_fused_vdd_pdd_with_escapes(rng):
+    """Escape substitution inside the FUSED kernel paths (vdd prev-row
+    carry and pdd row-scan + outer cumsum), not just raw/zzd — spiky
+    vertical/plane-gradient content forces escape-folded avdd/apdd
+    strips."""
+    h, w = 32, 256
+    base = (np.arange(h)[:, None] * 37
+            + (rng.standard_normal((h, w)).cumsum(1) * 3).astype(np.int64)
+            + 500)
+    m = rng.random((h, w)) < 0.02
+    img = np.where(m, rng.integers(0, 4095, (h, w)), base)
+    px = np.clip(img, 0, 4095).astype(np.uint16).ravel()
+    for pred in ("vdd", "pdd"):
+        blob = micw_compress(px, w, h, int(px.max()), num_strips=2,
+                             predictor=pred, entropy="alias")
+        parsed = micw_parse(blob)
+        ent = [mict_parse(st[0]) for st in parsed[7]
+               if strip_predictor(parsed[5], st[5]) is not None]
+        assert ent, f"{pred}: every strip fell to raw"
+        n_esc = sum(len(p[7][1]) for p in ent if p[7] is not None)
+        assert n_esc > 0, f"{pred}: no escapes triggered"
+        out, _, _ = micw_decompress_device_pallas(blob)
+        assert np.array_equal(out, px), pred
+
+
 def test_mixed_standard_alias_plan(rng):
     """One MicwDecodePlan over standard and alias blobs: buckets must not
     mix entropy families, outputs must all be exact."""
