@@ -423,7 +423,22 @@ def main() -> None:
         names = [n for n in names if n in only.split(",")]
     total_n = len(names)
 
-    detail = {}
+    # Last-good capture (merge target + stale-fallback source).  A wedged
+    # tunnel must degrade to a clearly-flagged stale number, never to a
+    # zero, and must never clobber a committed real-hardware record.
+    detail_name = ("bench_detail_cpu.json"
+                   if os.environ.get("MIC_BENCH_PLATFORM")
+                   else "bench_detail.json")
+    detail_path = res_dir / detail_name
+    prior = {}
+    try:
+        loaded = json.loads(detail_path.read_text())
+        if isinstance(loaded, dict):
+            prior = loaded
+    except (OSError, json.JSONDecodeError):
+        pass
+
+    detail = {}  # rows measured live THIS run
     encode_gbps = None
     attempt = 0
     pending = list(names)
@@ -475,18 +490,27 @@ def main() -> None:
         # can rescue them; CLAIM_RETRIES bounds persistent failures.
         pending = [n for n in pending
                    if "GBps" not in detail.get(n, {})]
-        # Harness-test runs (forced platform) must not clobber the last
-        # real-hardware per-image record.
-        detail_name = ("bench_detail_cpu.json"
-                       if os.environ.get("MIC_BENCH_PLATFORM")
-                       else "bench_detail.json")
-        (res_dir / detail_name).write_text(json.dumps(detail, indent=1))
+        merged = merge_detail(prior, detail, entropy=use)
+        if merged is not None:
+            detail_path.write_text(json.dumps(merged, indent=1))
         if status == "ok" and not pending:
             break
         print(f"[bench] child {status}; {len(pending)} images pending",
               file=sys.stderr, flush=True)
 
-    if encode_gbps is not None:
+    if encode_gbps is None and isinstance(prior.get("_encode"), dict):
+        # Stale encode fallback: report the last real-hardware encode
+        # capture, flagged, instead of dropping the metric.
+        enc_prior = prior["_encode"].get("encode_GBps")
+        if enc_prior:
+            print(json.dumps({
+                "metric": "pallas_device_encode",
+                "value": enc_prior,
+                "unit": "GB/s",
+                "vs_baseline": round(enc_prior / ENC_BASELINE_GBPS, 3),
+                "stale": True,
+            }))
+    elif encode_gbps is not None:
         print(json.dumps({
             "metric": "pallas_device_encode",
             "value": encode_gbps,
@@ -494,24 +518,73 @@ def main() -> None:
             "vs_baseline": round(encode_gbps / ENC_BASELINE_GBPS, 3),
         }))
 
-    rates = [d["GBps"] for d in detail.values()
-             if d.get("verified") and "GBps" in d]
+    print(json.dumps(final_row(detail, prior, names)))
+
+
+def merge_detail(prior: dict, detail: dict, entropy: str) -> dict | None:
+    """Merge this run's live rows over the last-good capture.
+
+    Returns the merged record to persist, or ``None`` when nothing was
+    measured live — a failed or partial capture must never overwrite a
+    committed real-hardware record with an empty/thinner one (round-3
+    postmortem: a fully-wedged run replaced 10 verified images with {}).
+    """
+    live_rows = {k: v for k, v in detail.items()
+                 if isinstance(v, dict) and ("GBps" in v or "encode_GBps" in v)}
+    if not live_rows:
+        return None
+    merged = dict(prior)
+    merged.update(live_rows)
+    merged["_meta"] = {
+        "captured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "entropy": entropy,
+    }
+    return merged
+
+
+def final_row(detail: dict, prior: dict, names: list[str]) -> dict:
+    """Build the final headline JSON row from live rows (``detail``) and
+    the last-good capture (``prior``).
+
+    Policy (VERDICT r3 weak #2): every corpus image contributes its live
+    verified rate when one was measured this run; images the tunnel
+    wedged on fall back to the prior committed real-hardware rate,
+    explicitly counted in ``stale_n``.  A fully-wedged run thus degrades
+    to a flagged stale geomean — never to a zero — and a partial run
+    still reports a full-corpus geomean instead of a thin noisy one.
+    """
+
+    def _ok(d):
+        return isinstance(d, dict) and d.get("verified") and "GBps" in d
+
+    rates, live_n, stale_n = [], 0, 0
+    for n in names:
+        if _ok(detail.get(n)):
+            rates.append(detail[n]["GBps"])
+            live_n += 1
+        elif _ok(prior.get(n)):
+            rates.append(prior[n]["GBps"])
+            stale_n += 1
     if not rates:
-        print(json.dumps({
-            "metric": "decode_error", "value": 0, "unit": "GB/s",
-            "vs_baseline": 0, "measured_n": 0, "verified_n": 0,
-        }))
-        return
+        return {"metric": "decode_error", "value": 0, "unit": "GB/s",
+                "vs_baseline": 0, "measured_n": 0, "verified_n": 0}
     geomean = math.exp(sum(map(math.log, rates)) / len(rates))
-    print(json.dumps({
+    row = {
         "metric": "pallas_device_decode_corpus_geomean",
         "value": round(geomean, 3),
         "unit": "GB/s",
         "vs_baseline": round(geomean / BASELINE_GBPS, 3),
-        "measured_n": sum(1 for d in detail.values() if "GBps" in d),
+        "measured_n": len(rates),
         "verified_n": len(rates),
-        "total_n": total_n,
-    }))
+        "live_n": live_n,
+        "total_n": len(names),
+    }
+    if stale_n:
+        row["stale"] = True
+        row["stale_n"] = stale_n
+        meta = prior.get("_meta") or {}
+        row["captured_at"] = meta.get("captured_at", "r3-committed")
+    return row
 
 
 if __name__ == "__main__":
