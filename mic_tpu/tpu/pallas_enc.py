@@ -504,15 +504,18 @@ def micw_compress_device_many(images, entropy: str = "standard"):
     from .strips import (
         ALIAS_TABLE_LOG,
         FLAG_ADAPTIVE,
+        FLAG_BANDED,
         FLAG_DIRECT,
         MAX_TABLE_LOG,
+        MICW_BAND_W,
         MICW_MAGIC,
         STRIP_MODE_CONST,
         STRIP_MODE_RAW,
         STRIP_MODE_ZZD,
+        band_split,
     )
 
-    prep = []  # per image: (width, height, max_value, actual, strip_h, streams, raws, consts)
+    prep = []  # per image: (width, height, max_value, actual, strip_h, streams, raws, consts, band)
     all_streams = []
     for spec in images:
         pixels, width, height, max_value = spec[:4]
@@ -520,10 +523,19 @@ def micw_compress_device_many(images, entropy: str = "standard"):
         pixels = np.asarray(pixels, dtype=np.uint16)
         if len(pixels) != width * height:
             raise ValueError("micw: pixel count mismatch")
+        # Wide images band exactly like the host encoder (FLAG_BANDED,
+        # strips.micw_compress) — part of the byte-identity contract and
+        # of the shared compiled-program-family property.
+        orig_w, orig_h = width, height
+        banded = width > MICW_BAND_W and width % MICW_BAND_W == 0
+        if banded:
+            pixels, width, height = band_split(pixels, width, height)
         if num_strips <= 0:
             # Same default geometry as the host container (128-row
-            # strips) — part of the byte-identity contract.
-            num_strips = max(1, height // 128)
+            # strips, scaled by the band count for banded images) —
+            # part of the byte-identity contract.
+            rows = 128 * (orig_w // width if banded else 1)
+            num_strips = max(1, height // rows)
         num_strips = max(1, min(num_strips, height))
         strip_h = (height + num_strips - 1) // num_strips
         actual = (height + strip_h - 1) // strip_h
@@ -552,7 +564,8 @@ def micw_compress_device_many(images, entropy: str = "standard"):
             streams.append(syms)
             raws.append(strip_px)
         prep.append((width, height, max_value, actual, strip_h,
-                     streams, raws, consts))
+                     streams, raws, consts,
+                     (orig_w, orig_h) if banded else None))
         all_streams.extend(s for s, c in zip(streams, consts) if not c)
 
     # Same tableLog caps as the host container's _encode_candidate (11
@@ -566,7 +579,8 @@ def micw_compress_device_many(images, entropy: str = "standard"):
     enc_iter = iter(encoded)
 
     outs = []
-    for width, height, max_value, actual, strip_h, streams, raws, consts in prep:
+    for (width, height, max_value, actual, strip_h,
+         streams, raws, consts, band) in prep:
         blobs = []
         metas = []
         for syms, raw, is_const in zip(streams, raws, consts):
@@ -585,7 +599,12 @@ def micw_compress_device_many(images, entropy: str = "standard"):
         out = bytearray()
         out += MICW_MAGIC
         out += _struct.pack("<IIII", width, height, actual, strip_h)
-        out += _struct.pack("<HBB", max_value, FLAG_ADAPTIVE | FLAG_DIRECT, 7)
+        flags = FLAG_ADAPTIVE | FLAG_DIRECT
+        if band is not None:
+            flags |= FLAG_BANDED
+        out += _struct.pack("<HBB", max_value, flags, 7)
+        if band is not None:
+            out += _struct.pack("<II", *band)
         offset = 0
         for blob, (n_soa, n_tok, n_runs, n_same, mode) in zip(blobs, metas):
             out += _struct.pack("<IIIIIII", offset, len(blob), n_soa, n_tok, n_runs, n_same, mode)

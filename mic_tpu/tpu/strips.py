@@ -458,6 +458,8 @@ def micw_band_info(blob: bytes):
     flags = blob[22]
     if not flags & FLAG_BANDED:
         return None
+    if len(blob) < MICW_HEADER + 8:
+        raise ValueError("micw: truncated banded extension")
     return struct.unpack_from("<II", blob, MICW_HEADER)
 
 
@@ -477,6 +479,8 @@ def micw_parse(blob: bytes):
     hdr = MICW_HEADER
     if flags & FLAG_BANDED:
         hdr += 8  # orig_width/orig_height extension (see micw_band_info)
+    if len(blob) < hdr + num_strips * MICW_ENTRY:
+        raise ValueError("micw: truncated strip table")
     table = [
         struct.unpack_from("<IIIIIII", blob, hdr + s * MICW_ENTRY) for s in range(num_strips)
     ]

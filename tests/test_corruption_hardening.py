@@ -199,3 +199,25 @@ def test_alias_forged_zero_escape_count_rejected(rng):
         dr.mict_decode_numpy(bytes(b))
     with pytest.raises(ValueError):
         dr.mict_parse(blob[:14])
+
+
+def test_micw_truncated_banded_extension_rejected(rng):
+    """A banded container truncated inside the 8-byte orig_w/orig_h
+    extension (or inside the strip table) must raise ValueError, not
+    struct.error (ADVICE r3: consistency with the alias-header checks)."""
+    from mic_tpu.tpu.strips import (
+        MICW_HEADER,
+        micw_band_info,
+        micw_compress,
+        micw_parse,
+    )
+
+    img = (rng.standard_normal((64, 1024)).cumsum(axis=1) * 10 + 900)
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    blob = micw_compress(px, 1024, 64, int(px.max()))
+    assert micw_band_info(blob) == (1024, 64)  # banded by construction
+    with pytest.raises(ValueError):  # truncated inside the extension
+        micw_band_info(blob[:MICW_HEADER + 3])
+    for cut in (MICW_HEADER + 3, MICW_HEADER + 8 + 5):
+        with pytest.raises(ValueError):  # extension or strip table cut
+            micw_parse(blob[:cut])

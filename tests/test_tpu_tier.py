@@ -643,3 +643,41 @@ def test_w3d_device_encode_batched(rng):
     reg, rw, rh = w3d_decompress_region(blob, 50, 20, 60, 40, level=0)
     assert (rw, rh) == (60, 40)
     assert np.array_equal(reg, rgb[20:60, 50:110].reshape(-1))
+
+
+def test_micw_compress_device_banded_wide(rng):
+    """Wide images must band identically on both encoders (ADVICE r3):
+    micw_compress_device == host micw_compress(predictor="zzd") for
+    width > MICW_BAND_W containers, including the FLAG_BANDED header
+    extension and the band-scaled default strip geometry.
+
+    The geometry/extension pin uses a constant 1024x256 image (all
+    strips collapse to STRIP_MODE_CONST, so no kernel work, but the
+    header, extension, strip count and table must still match exactly —
+    an unscaled 128-row device default would emit 4 strips vs the
+    host's band-scaled 2).  A small content image then covers the
+    banded path through the real encode kernel."""
+    from mic_tpu.tpu.pallas_enc import micw_compress_device
+    from mic_tpu.tpu.strips import (
+        micw_band_info,
+        micw_compress,
+        micw_decompress_host,
+        micw_parse,
+    )
+
+    const = np.full(1024 * 256, 777, np.uint16)
+    host = micw_compress(const, 1024, 256, 777, predictor="zzd")
+    dev = micw_compress_device(const, 1024, 256, 777)
+    assert micw_band_info(dev) == (1024, 256)
+    assert micw_parse(dev)[2] == 2  # band-scaled default: two 256-row strips
+    assert host == dev
+
+    img = (rng.standard_normal((8, 1024)).cumsum(axis=1) * 12 + 900)
+    px = img.clip(0, 4095).astype(np.uint16).ravel()
+    host = micw_compress(px, 1024, 8, int(px.max()), predictor="zzd")
+    dev = micw_compress_device(px, 1024, 8, int(px.max()))
+    assert micw_band_info(dev) == (1024, 8)
+    assert host == dev
+    out, w, h = micw_decompress_host(dev)
+    assert (w, h) == (1024, 8)
+    assert np.array_equal(out, px)

@@ -119,6 +119,17 @@ def main() -> int:
             micw_compress(px, w, h, mx, predictor="auto"), "micw",
             px.astype("<u2"), width=w, height=h)
     if images:
+        # FLAG_BANDED container: widths > 512 divisible by 512 store
+        # stacked column bands + an 8-byte orig-dims extension; the JS
+        # decoder must un-band (ADVICE r3 high).
+        nm, px, w, h, mx = images[-1]
+        img = px.reshape(h, w)
+        wide = np.hstack([img, np.fliplr(img)])
+        wpx = wide.ravel()
+        add("wide_banded.micw",
+            micw_compress(wpx, 2 * w, h, int(wpx.max())), "micw",
+            wpx.astype("<u2"), width=2 * w, height=h)
+    if images:
         nm, px, w, h, mx = images[-1]
         img = px.reshape(h, w)
         frames = [img.ravel(), np.roll(img, 1, 0).ravel(), np.roll(img, 2, 1).ravel()]

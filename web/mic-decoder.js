@@ -934,6 +934,9 @@ function aliasSlotTables(norm, symbolLen, tableLog) {
     if (f > 0) { syms.push(s); w.push(f); }
   }
   if (syms.length > 256) throw new Error('MICT alias: alphabet > 256');
+  let wSum = 0;
+  for (let i = 0; i < w.length; i++) wSum += w[i];
+  if (wSum !== M) throw new Error('MICT alias: freqs do not sum to table size');
   const small = [], large = [];
   for (let i = 0; i < syms.length; i++) (w[i] < K ? small : large).push(i);
   const counter = new Float64Array(syms.length);
@@ -962,6 +965,7 @@ function aliasSlotTables(norm, symbolLen, tableLog) {
         if (w[a] === 0) small.splice(ai, 1);
       }
     } else {
+      if (!large.length) throw new Error('MICT alias: stacks exhausted before all buckets filled');
       p = large[large.length - 1];
       t = K;
       a = p;
@@ -1126,7 +1130,10 @@ function soaExpand(soa, nRuns, nSame, mid) {
 const MICW_HEADER = 24;
 const MICW_ENTRY = 28;
 
-/** Parse a MICW container (docs/formats.md "MICW container (v4)"). */
+/** Parse a MICW container (docs/formats.md "MICW container (v4)").
+ * FLAG_BANDED (0x08, v5) containers store a wide image as vertically
+ * stacked 512-wide column bands (strips.py band_split); an 8-byte
+ * origWidth/origHeight extension precedes the strip table. */
 function micwParse(bytes) {
   const width = readU32(bytes, 4);
   const height = readU32(bytes, 8);
@@ -1136,10 +1143,20 @@ function micwParse(bytes) {
   const flags = bytes[22];
   const lanes = 1 << bytes[23];
   const globalPred = (flags & 2) ? 'zzd' : (flags & 1) ? 'avg' : 'zz';
-  const data0 = MICW_HEADER + numStrips * MICW_ENTRY;
+  const banded = (flags & 8) !== 0;
+  let hdr = MICW_HEADER;
+  let origWidth = width, origHeight = height;
+  if (banded) {
+    if (bytes.length < MICW_HEADER + 8) throw new Error('MICW: truncated banded extension');
+    origWidth = readU32(bytes, 24);
+    origHeight = readU32(bytes, 28);
+    hdr += 8;
+  }
+  if (bytes.length < hdr + numStrips * MICW_ENTRY) throw new Error('MICW: truncated strip table');
+  const data0 = hdr + numStrips * MICW_ENTRY;
   const strips = [];
   for (let s = 0; s < numStrips; s++) {
-    const e = MICW_HEADER + s * MICW_ENTRY;
+    const e = hdr + s * MICW_ENTRY;
     strips.push({
       off: readU32(bytes, e), len: readU32(bytes, e + 4),
       nSoa: readU32(bytes, e + 8), nTokens: readU32(bytes, e + 12),
@@ -1148,7 +1165,7 @@ function micwParse(bytes) {
     });
   }
   return { width, height, numStrips, stripHeight, maxValue, globalPred,
-           lanes, strips, dataOffset: data0 };
+           lanes, strips, dataOffset: data0, banded, origWidth, origHeight };
 }
 
 /** MICW's RLE midCount: delimiter-derived, floored at 255
@@ -1205,6 +1222,22 @@ function decodeMICW(bytes) {
     const tokens = soaExpand(syms, e.nRuns, e.nSame, mid);
     if (tokens.length !== e.nTokens) throw new Error('MICW: token count mismatch');
     out.set(predictorInverse(tokens, h.width, sh, pred), base);
+  }
+  if (h.banded) {
+    // Un-band: (bands, origHeight, bandW) -> (origHeight, origWidth)
+    // row-wise copy (strips.py band_merge).
+    const bandW = h.width;
+    const bands = (h.origWidth / bandW) | 0;
+    const merged = new Uint16Array(h.origWidth * h.origHeight);
+    for (let b = 0; b < bands; b++) {
+      for (let y = 0; y < h.origHeight; y++) {
+        const src = (b * h.origHeight + y) * bandW;
+        merged.set(out.subarray(src, src + bandW),
+                   y * h.origWidth + b * bandW);
+      }
+    }
+    return { pixels: merged, width: h.origWidth, height: h.origHeight,
+             format: 'MICW' };
   }
   return { pixels: out, width: h.width, height: h.height, format: 'MICW' };
 }
