@@ -55,7 +55,7 @@ def run_tans(reps: int) -> int:
                 blob = compress_single_frame_4state(sp, w, strip_h, mx)
             except Exception:
                 continue
-            n, count, body = fse_parse_header(blob)
+            n, count, body, _coder = fse_parse_header(blob)
             if n != 4:
                 continue
             norm, sl, tl, consumed = read_ncount(body)

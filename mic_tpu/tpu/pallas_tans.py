@@ -243,31 +243,45 @@ def tans_decode_pallas(init, pos, cnt, tpk, alpha, words, *, steps, n_streams,
 
 
 def fse_parse_header(blob: bytes):
-    """Split a reference FSE blob into (n_states, count, body bytes).
-    count is None for the 1-state format (implicit termination — decoded
-    on the host; the kernel path needs the exact count the N>=2 formats
-    carry)."""
+    """Split a reference entropy blob into (n_states, count, body bytes,
+    coder).  count is None for the 1-state format (implicit termination —
+    decoded on the host; the kernel path needs the exact count the N>=2
+    formats carry).  coder is 'tans' for FF 02/04/84 and 'rans' for the
+    8-state rANS format FF 08 (rans8state.go:14-17) — the decode *step*
+    is identical (x' = newState[x] + readBits(nb[x]), ransu16.go:33-39),
+    only the table construction differs, so both share the kernel."""
     from ..ops.fse_codec import (
         MAGIC_2STATE,
         MAGIC_4STATE,
         MAGIC_8STATE_FSE,
+        MAGIC_8STATE_RANS,
     )
 
     if len(blob) >= 6:
-        for magic, n in ((MAGIC_8STATE_FSE, 8), (MAGIC_4STATE, 4), (MAGIC_2STATE, 2)):
+        for magic, n, coder in (
+            (MAGIC_8STATE_FSE, 8, "tans"),
+            (MAGIC_8STATE_RANS, 8, "rans"),
+            (MAGIC_4STATE, 4, "tans"),
+            (MAGIC_2STATE, 2, "tans"),
+        ):
             if blob[:2] == magic:
-                return n, int.from_bytes(blob[2:6], "little"), blob[6:]
-    return 1, None, blob
+                return n, int.from_bytes(blob[2:6], "little"), blob[6:], coder
+    return 1, None, blob, "tans"
 
 
-def _pack_dtable(norm, symbol_len: int, table_log: int):
+def _pack_dtable(norm, symbol_len: int, table_log: int, coder: str = "tans"):
     """Packed dtable + alphabet for the kernel; returns None if the
     stream exceeds the kernel caps (caller falls back to host)."""
     from ..ops.fse import build_dtable
 
     if table_log > TANS_MAX_TABLE_LOG:
         return None
-    new_state, symbol, nb_bits, _zero_bits = build_dtable(norm, symbol_len, table_log)
+    if coder == "rans":
+        from ..ops.rans import build_rans_dec_table
+
+        new_state, symbol, nb_bits = build_rans_dec_table(norm, symbol_len, table_log)
+    else:
+        new_state, symbol, nb_bits, _zero_bits = build_dtable(norm, symbol_len, table_log)
     alpha_syms = np.unique(symbol)
     if len(alpha_syms) > TANS_MAX_ALPHABET:
         return None
@@ -278,12 +292,14 @@ def _pack_dtable(norm, symbol_len: int, table_log: int):
     return packed, alpha_syms.astype(np.uint32)
 
 
-def build_tans_batch(parsed, n_states: int, min_steps: int = 0):
-    """Stage a batch of same-N tANS streams for the kernel.
+def build_tans_batch(parsed, n_states: int, min_steps: int = 0, coder: str = "tans"):
+    """Stage a batch of same-N ANS streams for the kernel.
 
     parsed: list of (count, norm, symbol_len, table_log, bits) — the
-    output of read_ncount + header split.  Returns (operands, steps,
-    table_log, asweep) or None if any stream exceeds the kernel caps.
+    output of read_ncount + header split.  ``coder`` selects the decode
+    table construction ('tans' = co-prime spread, 'rans' = linear fill);
+    the kernel is shared.  Returns (operands, steps, table_log, asweep)
+    or None if any stream exceeds the kernel caps.
     """
     from ..ops.bitio import ReverseBitReader
 
@@ -304,7 +320,7 @@ def build_tans_batch(parsed, n_states: int, min_steps: int = 0):
     wmax = 0
     words_list = []
     for i, (count, norm, symbol_len, tl, bits) in enumerate(parsed):
-        pk = _pack_dtable(norm, symbol_len, tl)
+        pk = _pack_dtable(norm, symbol_len, tl, coder)
         if pk is None:
             return None
         packed, alpha_syms = pk
@@ -335,12 +351,14 @@ def build_tans_batch(parsed, n_states: int, min_steps: int = 0):
 
 
 def fse_decompress_device_batch(blobs: list[bytes]):
-    """Decode a batch of reference FSE blobs (FF 02/04/84) on device.
+    """Decode a batch of reference entropy blobs (FF 02/04/84/08) on
+    device.
 
-    Streams group by (n_states, tableLog, asweep, steps bucket); each
-    group is one kernel launch.  1-state blobs and streams beyond the
-    kernel caps fall back to the host decoder.  Returns a list of numpy
-    symbol arrays, blob-order — bit-exact vs ops.fse_codec.
+    Streams group by (coder, n_states, tableLog, asweep, steps bucket);
+    each group is one kernel launch.  1-state blobs and streams beyond
+    the kernel caps fall back to the host decoder.  Returns a list of
+    numpy symbol arrays, blob-order — bit-exact vs ops.fse_codec /
+    ops.rans.
     """
     from ..ops.fse import read_ncount
     from ..ops.fse_codec import fse_decompress_auto
@@ -348,7 +366,7 @@ def fse_decompress_device_batch(blobs: list[bytes]):
     results = [None] * len(blobs)
     groups: dict[tuple, list] = {}
     for bi, blob in enumerate(blobs):
-        n, count, body = fse_parse_header(blob)
+        n, count, body, coder = fse_parse_header(blob)
         if n == 1 or count is None:
             results[bi] = fse_decompress_auto(blob)
             continue
@@ -361,10 +379,10 @@ def fse_decompress_device_batch(blobs: list[bytes]):
         need = -(-count // n)
         while b < need:
             b *= 2
-        groups.setdefault((n, tl, b), []).append((bi, entry))
+        groups.setdefault((coder, n, tl, b), []).append((bi, entry))
 
-    for (n, tl, b), items in groups.items():
-        staged = build_tans_batch([e for _bi, e in items], n, min_steps=b)
+    for (coder, n, tl, b), items in groups.items():
+        staged = build_tans_batch([e for _bi, e in items], n, min_steps=b, coder=coder)
         if staged is None:
             for bi, _e in items:
                 results[bi] = fse_decompress_auto(blobs[bi])

@@ -45,7 +45,7 @@ def _skewed(rng, n, nsym, p=1.3):
 def test_device_matches_host(comp, n_states, rng):
     data = _skewed(rng, 4096, 48)
     blob = comp(data)
-    n, count, _body = fse_parse_header(blob)
+    n, count, _body, _coder = fse_parse_header(blob)
     assert n == n_states and count == len(data)
     (out,) = fse_decompress_device_batch([blob])
     assert np.array_equal(out, fse_decompress_auto(blob))
@@ -104,3 +104,27 @@ def test_real_image_deltas(rng):
         blob = comp(zz)
         (out,) = fse_decompress_device_batch([blob])
         assert np.array_equal(out, zz)
+
+
+def test_rans8_device_matches_host(rng):
+    """FF 08 (8-state rANS, rans8state.go:14-17) decodes on device
+    through the SAME kernel as tANS — only the dtable construction
+    differs (linear fill, ransu16.go:77-135).  Bit-exact vs the host
+    coder, including in a batch mixed with tANS formats."""
+    from mic_tpu.ops.rans import rans_compress_8state, rans_decompress_8state
+
+    data = _skewed(rng, 4096, 48)
+    blob = rans_compress_8state(data)
+    n, count, _body, coder = fse_parse_header(blob)
+    assert (n, coder) == (8, "rans") and count == len(data)
+    (out,) = fse_decompress_device_batch([blob])
+    assert np.array_equal(out, rans_decompress_8state(blob))
+    assert np.array_equal(out, data)
+
+    # Mixed batch: rANS groups separately from same-N tANS (FF 84).
+    datas = [_skewed(rng, n, s) for n, s in ((1000, 16), (2222, 200), (512, 8))]
+    blobs = [rans_compress_8state(datas[0]), fse_compress_8state(datas[1]),
+             rans_compress_8state(datas[2])]
+    outs = fse_decompress_device_batch(blobs)
+    for o, d in zip(outs, datas):
+        assert np.array_equal(o, d)
