@@ -38,6 +38,8 @@ GOLDEN = {
     # round 3 (honest-throughput retune): encoder tableLog cap 12 -> 11
     # (+54% measured decode for -1.8% ratio); decoder still reads tl<=12.
     "micw_banded": "3c291679257714b6",
+    # round 4: FF 41 alias-mapped entropy family pinned (VERDICT r3 #9).
+    "micw_alias": "08c95a5056ba52b7",
 }
 
 
@@ -92,6 +94,8 @@ def _encode(name, fixture_data):
                                                predictor="zzd"),
         "micw_pdd": lambda: micw.micw_compress(px, 64, 48, mx, lanes=64,
                                                predictor="pdd"),
+        "micw_alias": lambda: micw.micw_compress(px, 64, 48, mx, lanes=64,
+                                                 entropy="alias"),
         "micw_banded": lambda: _banded_fixture(micw),
     }[name]()
 
