@@ -81,6 +81,15 @@ def _load():
     except AttributeError:
         pass
     try:
+        lib.mic_compress_strips.restype = ctypes.c_size_t
+        lib.mic_compress_strips.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint16,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
+    except AttributeError:
+        pass
+    try:
         lib.mic_normalize_write_count.restype = ctypes.c_size_t
         lib.mic_normalize_write_count.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -196,6 +205,32 @@ def decompress_strips_native(blob: bytes, kind: int = PRED_AVG, n_threads: int =
     if rc != 0:
         raise ValueError(f"native strips decode failed (code {rc})")
     return out, width, height
+
+
+def compress_strips_native(pixels: np.ndarray, width: int, height: int,
+                           max_value: int, kind: int = PRED_AVG,
+                           n_states: int = 4, num_strips: int = 0,
+                           n_threads: int = 0):
+    """Whole-container PICS encode on the native std::thread pool
+    (mic_compress_strips — the encode mirror of decompress_strips_native).
+    Byte-identical to parallel/strips.py's per-strip assembly.  Returns
+    the container bytes, or None when the library lacks the symbol or
+    any strip is incompressible (caller falls back to the Python tier)."""
+    lib = _load()
+    if not lib or not hasattr(lib, "mic_compress_strips"):
+        return None
+    px = np.ascontiguousarray(pixels, dtype=np.uint16)
+    if num_strips <= 0:
+        num_strips = os.cpu_count() or 1
+    cap = px.nbytes * 2 + 4096 + 8 * (num_strips + 2)
+    out = (ctypes.c_uint8 * cap)()
+    n = lib.mic_compress_strips(
+        px.ctypes.data_as(ctypes.c_void_p), width, height, max_value,
+        kind, n_states, num_strips, n_threads, out, cap,
+    )
+    if n == 0:
+        return None
+    return bytes(bytearray(out)[:n])
 
 
 def lane_encode_native(syms: np.ndarray, lanes: int, table_log: int,

@@ -53,6 +53,22 @@ struct BitWriter {
       nbits -= 32;
     }
   }
+  // Branchless variant for counted hot loops: unconditional 8-byte store
+  // + byte-granular advance keeps nbits < 8 with no flush branch to
+  // mispredict.  Bit-identical stream (same LSB-first bit positions).
+  inline void add_fast(uint32_t v, unsigned n) {
+#if defined(__BMI2__)
+    acc |= (uint64_t)_bzhi_u32(v, n) << nbits;
+#else
+    acc |= (uint64_t)(v & ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1))) << nbits;
+#endif
+    nbits += n;
+    std::memcpy(out.data() + pos, &acc, 8);
+    unsigned adv = nbits >> 3;
+    pos += adv;
+    acc >>= adv * 8;
+    nbits &= 7;
+  }
   inline void close() {
     add(1, 1);  // end mark
     while (nbits) {
@@ -184,6 +200,20 @@ static bool normalize2(const uint32_t* counts, int64_t total_in, Norm& nm) {
     }
   }
   return true;
+}
+
+// Reference validateNorm (fsecompressu16.go:58,670): normalize2's
+// fixed-point redistribution wraps on pathological histograms (many
+// lowprob symbols, tiny tableLog — e.g. random noise after escaping);
+// the sum check rejects those so the caller falls down the state chain
+// instead of feeding a non-summing table to spread() (which would spin).
+static bool validate_norm(const Norm& nm) {
+  int64_t total = 0;
+  for (int i = 0; i < nm.symbol_len; i++) {
+    int32_t v = nm.norm[i];
+    total += v >= 0 ? v : -v;  // -1 lowprob counts as one slot
+  }
+  return total == ((int64_t)1 << nm.table_log);
 }
 
 static bool normalize(const uint32_t* counts, int64_t total, Norm& nm) {
@@ -421,40 +451,54 @@ static bool build_dtable(const Norm& nm, DTable& dt,
 
 struct CTable {
   std::vector<uint32_t> state_table;
-  std::vector<uint32_t> delta_nb;    // per symbol
-  std::vector<int32_t> delta_find;   // per symbol
+  // Fused per-symbol transform: delta_find<<32 | delta_nb — the encode
+  // step touches ONE cache line per symbol instead of two.
+  std::vector<uint64_t> sym_tt;
 };
 
-static bool build_ctable(const Norm& nm, CTable& ct) {
+// Per-thread encoder scratch (same rationale as DecScratch: a tl=16
+// ctable is 256 KB — fresh allocation per frame costs page faults).
+struct EncScratch {
+  CTable ct;
+  std::vector<uint32_t> cumul;
+  std::vector<uint32_t> counts;  // histogram, cleared after use
+};
+static EncScratch& enc_scratch() {
+  thread_local EncScratch s;
+  return s;
+}
+
+static bool build_ctable(const Norm& nm, CTable& ct,
+                         std::vector<uint16_t>& tbl,
+                         std::vector<uint32_t>& cumul) {
   uint32_t ts = 1u << nm.table_log;
-  std::vector<uint16_t> tbl;
   if (!spread(nm, tbl)) return false;
   // cumulative starts per symbol (low-prob = 1 slot)
-  std::vector<uint32_t> cumul(nm.symbol_len + 1, 0);
+  cumul.assign(nm.symbol_len + 1, 0);
   for (int i = 0; i < nm.symbol_len; i++) {
     uint32_t sz = nm.norm[i] == -1 ? 1 : (nm.norm[i] > 0 ? (uint32_t)nm.norm[i] : 0);
     cumul[i + 1] = cumul[i] + sz;
   }
   if (cumul[nm.symbol_len] != ts) return false;
   ct.state_table.resize(ts);
-  std::vector<uint32_t> fill = cumul;
-  for (uint32_t u = 0; u < ts; u++) ct.state_table[fill[tbl[u]]++] = ts + u;
-  ct.delta_nb.assign(nm.symbol_len, 0);
-  ct.delta_find.assign(nm.symbol_len, 0);
+  // cumul doubles as the fill cursor (not needed afterwards).
+  for (uint32_t u = 0; u < ts; u++) ct.state_table[cumul[tbl[u]]++] = ts + u;
+  ct.sym_tt.assign(nm.symbol_len, 0);
   int32_t total = 0;
   uint32_t tl_term = (((uint32_t)nm.table_log << 16) - (1u << nm.table_log));
+  auto pack_tt = [](int32_t find, uint32_t nb) {
+    return ((uint64_t)(uint32_t)find << 32) | nb;
+  };
   for (int i = 0; i < nm.symbol_len; i++) {
     int32_t v = nm.norm[i];
     if (v == 0) continue;
     if (v == -1 || v == 1) {
-      ct.delta_nb[i] = tl_term;
-      ct.delta_find[i] = total - 1;
+      ct.sym_tt[i] = pack_tt(total - 1, tl_term);
       total += 1;
     } else {
       uint32_t max_bits = nm.table_log - high_bit((uint32_t)(v - 1));
       uint32_t min_state_plus = (uint32_t)v << max_bits;
-      ct.delta_nb[i] = (max_bits << 16) - min_state_plus;
-      ct.delta_find[i] = total - v;
+      ct.sym_tt[i] = pack_tt(total - v, (max_bits << 16) - min_state_plus);
       total += v;
     }
   }
@@ -463,24 +507,55 @@ static bool build_ctable(const Norm& nm, CTable& ct) {
 
 // ───────────────────── N-state tANS codec ─────────────────────
 
+// Backwards N-lane encode loop, templated so each lane state lives in a
+// register and the lane index is static in the unrolled group body.
+template <int NS>
+static void fse_encode_loop(const uint16_t* src, size_t n, const CTable& ct,
+                            uint32_t table_size, BitWriter& bw,
+                            uint32_t* states) {
+  const uint64_t* tt = ct.sym_tt.data();
+  const uint32_t* stt = ct.state_table.data();
+  uint32_t st[NS];
+  for (int l = 0; l < NS; l++) st[l] = table_size;
+  int64_t i = (int64_t)n - 1;
+  // Tail first (the encoder walks backwards): indices >= full.
+  const int64_t full = (int64_t)(n - n % NS);
+  for (; i >= full; i--) {
+    uint32_t x = st[i & (NS - 1)];
+    uint64_t e = tt[src[i]];
+    uint32_t nb = (x + (uint32_t)e) >> 16;
+    bw.add_fast(x, nb);
+    st[i & (NS - 1)] = stt[(x >> nb) + (int32_t)(e >> 32)];
+  }
+  // Main: NS symbols per group, static lanes NS-1..0.
+  for (; i >= NS - 1; i -= NS) {
+#pragma GCC unroll 8
+    for (int l = 0; l < NS; l++) {
+      uint32_t x = st[NS - 1 - l];
+      uint64_t e = tt[src[i - l]];
+      uint32_t nb = (x + (uint32_t)e) >> 16;
+      bw.add_fast(x, nb);
+      st[NS - 1 - l] = stt[(x >> nb) + (int32_t)(e >> 32)];
+    }
+  }
+  for (int l = 0; l < NS; l++) states[l] = st[l];
+}
+
 static bool fse_encode_bits(const uint16_t* src, size_t n, const Norm& nm,
                             int n_states, std::vector<uint8_t>& bits) {
-  CTable ct;
-  if (!build_ctable(nm, ct)) return false;
+  CTable& ct = enc_scratch().ct;
+  if (!build_ctable(nm, ct, scratch().spread_tbl, enc_scratch().cumul))
+    return false;
   uint32_t table_size = 1u << nm.table_log;
   uint32_t states[8];
-  for (int i = 0; i < 8; i++) states[i] = table_size;
   BitWriter bw;
   bw.reserve_values(n + 8);
-  // i % n_states without a division: n_states is 1/2/4/8.
-  const int lane_mask = n_states - 1;
-  for (int64_t i = (int64_t)n - 1; i >= 0; i--) {
-    uint16_t s = src[i];
-    int lane = (int)(i & lane_mask);
-    uint32_t x = states[lane];
-    uint32_t nb = (x + ct.delta_nb[s]) >> 16;
-    bw.add(x, nb);
-    states[lane] = ct.state_table[(x >> nb) + ct.delta_find[s]];
+  switch (n_states) {
+    case 1: fse_encode_loop<1>(src, n, ct, table_size, bw, states); break;
+    case 2: fse_encode_loop<2>(src, n, ct, table_size, bw, states); break;
+    case 4: fse_encode_loop<4>(src, n, ct, table_size, bw, states); break;
+    case 8: fse_encode_loop<8>(src, n, ct, table_size, bw, states); break;
+    default: return false;
   }
   for (int lane = n_states - 1; lane >= 0; lane--) bw.add(states[lane], nm.table_log);
   bw.close();
@@ -649,14 +724,11 @@ static bool build_rans_dtable(const Norm& nm, DTable& dt) {
 // covered by size_for().
 struct Rle {
   // Uninitialized flat output (resize would zero-fill 2n words per
-  // frame); data() + size() after flush().
+  // frame); data() + size() after compress().
   std::unique_ptr<uint16_t[]> out;
-  std::vector<uint16_t> bv;
   uint16_t* op = nullptr;
   size_t out_len = 0;
-  size_t bn = 0;
   uint32_t mid;
-  bool same = false;
 
   // 2n covers even degenerate mids (mid<=1 emits a header per symbol).
   static size_t size_for(size_t n_tokens) { return 2 * n_tokens + 64; }
@@ -670,51 +742,63 @@ struct Rle {
     out.reset(new uint16_t[size_for(n_tokens)]);
     op = out.get();
     *op++ = max_value;
-    bv.resize((size_t)mid + 4 < 64 ? 64 : (size_t)mid + 4);
-    bn = 0;
-    same = false;
+    out_len = 0;
   }
-  inline void encode(uint16_t s) {
-    if (bn < 2) { bv[bn++] = s; return; }
-    uint16_t p1 = bv[bn - 2], p = bv[bn - 1];
-    if (p1 == p && p == s) {
-      if (!same && bn > 2) {
-        *op++ = (uint16_t)(mid + bn - 2);
-        std::memcpy(op, bv.data(), (bn - 2) * 2);
-        op += bn - 2;
-        bv[0] = p1; bv[1] = p; bn = 2;
+
+  // Whole-stream encode.  The reference machine's buffer is always the
+  // most recent window of the input, so the state collapses to a window
+  // start j plus the same-run flag — flushes memcpy straight from the
+  // token array and the per-symbol path touches no buffer at all
+  // (rlecompressu16.go:24-83 semantics, bit-identical blocks).
+  void compress(const uint16_t* t, size_t n) {
+    size_t j = 0;      // window start: buffered symbols are t[j, i)
+    bool sm = false;   // in a same-run
+    uint16_t p1 = 0, p = 0;  // last two symbols (valid once i-j >= 2)
+    const size_t ovf = (size_t)(uint32_t)(mid - 1);  // mid==0 never fires
+    for (size_t i = 0; i < n; i++) {
+      uint16_t s = t[i];
+      size_t bn = i - j;
+      if (bn >= 2) {
+        if (p1 == p && p == s) {
+          if (!sm && bn > 2) {  // diff prefix flushes, keep last two
+            *op++ = (uint16_t)(mid + bn - 2);
+            std::memcpy(op, t + j, (bn - 2) * 2);
+            op += bn - 2;
+            j = i - 2;
+          }
+          sm = true;
+        } else {
+          if (sm && bn > 2) {  // same-run ended: count + value
+            *op++ = (uint16_t)bn;
+            *op++ = t[j];
+            j = i;
+          }
+          sm = false;
+        }
+        bn = i - j;
+        if (bn >= ovf) {  // count overflow: flush all but last two
+          if (sm) {
+            *op++ = (uint16_t)(bn - 2);
+            *op++ = t[j];
+          } else {
+            *op++ = (uint16_t)(mid + bn - 2);
+            std::memcpy(op, t + j, (bn - 2) * 2);
+            op += bn - 2;
+          }
+          j = i - 2;
+        }
       }
-      same = true;
-    } else {
-      if (same && bn > 2) {
-        *op++ = (uint16_t)bn;
-        *op++ = bv[0];
-        bn = 0;
-      }
-      same = false;
+      p1 = p;
+      p = s;
     }
-    if (bn >= (size_t)(mid - 1)) {
-      if (same) {
-        *op++ = (uint16_t)(bn - 2);
-        *op++ = bv[0];
-      } else {
-        *op++ = (uint16_t)(mid + bn - 2);
-        std::memcpy(op, bv.data(), (bn - 2) * 2);
-        op += bn - 2;
-      }
-      bv[0] = bv[bn - 2]; bv[1] = bv[bn - 1]; bn = 2;
-    }
-    if (bn + 1 >= bv.size()) bv.resize(bv.size() * 2);  // mid==0: no flush
-    bv[bn++] = s;
-  }
-  void flush() {
+    size_t bn = n - j;
     if (bn) {
-      if (same) {
+      if (sm) {
         *op++ = (uint16_t)bn;
-        *op++ = bv[0];
+        *op++ = t[j];
       } else {
         *op++ = (uint16_t)(mid + bn);
-        std::memcpy(op, bv.data(), bn * 2);
+        std::memcpy(op, t + j, bn * 2);
         op += bn;
       }
     }
@@ -933,19 +1017,50 @@ static void predictor_forward(const uint16_t* px, int width, int height,
 static bool entropy_compress(const uint16_t* syms, size_t n, int n_states,
                              std::vector<uint8_t>& out) {
   if ((int64_t)n <= (n_states > 1 ? n_states - 1 : 1)) return false;
-  std::vector<uint32_t> counts(kMaxSymbol + 1, 0);
-  uint32_t maxc = 0; int sl = 0;
-  for (size_t i = 0; i < n; i++) {
-    uint32_t c = ++counts[syms[i]];
-    if (c > maxc) maxc = c;
-    if ((int)syms[i] + 1 > sl) sl = syms[i] + 1;
+  // Reused histogram buffer: zeroed on first use, then only the touched
+  // prefix [0, sl) is cleared on scope exit (256 KB calloc per call
+  // otherwise).  Two interleaved half-histograms break the dependent
+  // increment chain on repeated symbols (the reference's dual-buffer
+  // trick, asm_amd64.s countSimpleU16Asm); merged into the low half.
+  std::vector<uint32_t>& counts = enc_scratch().counts;
+  if (counts.size() < 2 * (kMaxSymbol + 1)) counts.assign(2 * (kMaxSymbol + 1), 0);
+  uint32_t* c0 = counts.data();
+  uint32_t* c1 = c0 + (kMaxSymbol + 1);
+  size_t i = 0;
+  uint16_t smax = 0;
+  for (; i + 2 <= n; i += 2) {
+    uint16_t a = syms[i], b = syms[i + 1];
+    c0[a]++;
+    c1[b]++;
+    uint16_t m = a > b ? a : b;
+    smax = m > smax ? m : smax;
   }
+  if (i < n) {
+    c0[syms[i]]++;
+    smax = syms[i] > smax ? syms[i] : smax;
+  }
+  int sl = (int)smax + 1;
+  uint32_t maxc = 0;
+  for (int s = 0; s < sl; s++) {
+    c0[s] += c1[s];
+    if (c0[s] > maxc) maxc = c0[s];
+  }
+  struct ClearGuard {
+    uint32_t* c0;
+    uint32_t* c1;
+    int sl;
+    ~ClearGuard() {
+      std::memset(c0, 0, (size_t)sl * 4);
+      std::memset(c1, 0, (size_t)sl * 4);
+    }
+  } guard{c0, c1, sl};
   if (maxc == n) return false;                 // UseRLE
   if (maxc == 1 || maxc < (n >> 15)) return false;  // Incompressible
   Norm nm;
   nm.symbol_len = sl;
   nm.table_log = optimal_table_log(11, (int64_t)n, sl);
   if (!normalize(counts.data(), (int64_t)n, nm)) return false;
+  if (!validate_norm(nm)) return false;
   std::vector<uint8_t> hdr;
   if (!write_count(nm, hdr)) return false;
   std::vector<uint8_t> bits;
@@ -1061,8 +1176,7 @@ size_t mic_compress_frame(const uint16_t* pixels, int width, int height,
   uint16_t delim = (uint16_t)((1u << depth) - 1);
   Rle rle;
   rle.init(delim, tokens.size());
-  for (uint16_t t : tokens) rle.encode(t);
-  rle.flush();
+  rle.compress(tokens.data(), tokens.size());
   std::vector<uint8_t> blob;
   for (int ns = n_states; ns >= 1; ns >>= 1) {
     if (entropy_compress(rle.data(), rle.size(), ns, blob)) {
@@ -1113,6 +1227,7 @@ size_t mic_normalize_write_count(const uint32_t* counts, int64_t total,
   nm.table_log = table_log;
   nm.norm.assign((size_t)symbol_len, 0);
   if (!normalize(counts, total, nm)) return 0;
+  if (!validate_norm(nm)) return 0;
   std::vector<uint8_t> hdr;
   if (!write_count(nm, hdr)) return 0;
   if (hdr.size() > out_cap) return 0;
@@ -1173,6 +1288,75 @@ size_t mic_lane_encode(const uint16_t* syms, size_t n, int lanes, int tl,
   return n_words;
 }
 
+
+// Threaded PICS container ENCODE — the mirror of mic_decompress_strips
+// (reference CompressParallelStrips goroutine pool, parallelstrips.go:55;
+// C encoder role: mic_compress_c.c).  Strip geometry and byte layout
+// match parallel/strips.py exactly: stripH = ceil(h/numStrips), last
+// strip short, 20-byte header + 8-byte table entries + blobs.  Each
+// worker encodes into its own buffer (per-thread scratch applies), the
+// assembly is a straight concat.  Returns total container length, or 0
+// if any strip fails (caller falls back to the Python tier, which
+// raises the matching error).
+size_t mic_compress_strips(const uint16_t* pixels, int width, int height,
+                           uint16_t max_value, int kind, int n_states,
+                           int num_strips, int n_threads,
+                           uint8_t* out, size_t out_cap) {
+  if (width <= 0 || height <= 0 || num_strips <= 0) return 0;
+  if (num_strips > height) num_strips = height;
+  uint32_t strip_h = ((uint32_t)height + num_strips - 1) / num_strips;
+  uint32_t actual = ((uint32_t)height + strip_h - 1) / strip_h;
+  std::vector<std::vector<uint8_t>> blobs(actual);
+  std::vector<int> ok(actual, 0);
+  int hw = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+  int workers = (int)actual < n_threads ? (int)actual : n_threads;
+  std::atomic<uint32_t> next(0);
+  auto work = [&]() {
+    for (;;) {
+      uint32_t s = next.fetch_add(1);
+      if (s >= actual) return;
+      uint32_t y0 = s * strip_h;
+      uint32_t sh = y0 + strip_h <= (uint32_t)height ? strip_h
+                                                     : (uint32_t)height - y0;
+      size_t n_px = (size_t)sh * width;
+      std::vector<uint8_t>& b = blobs[s];
+      b.resize(n_px * 8 + 1024);  // > any accepted blob (body < 2x words)
+      size_t ln = mic_compress_frame(pixels + (size_t)y0 * width, width,
+                                     (int)sh, max_value, kind, n_states,
+                                     b.data(), b.size());
+      if (ln == 0) { ok[s] = 0; continue; }
+      b.resize(ln);
+      ok[s] = 1;
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 1; i < workers; i++) pool.emplace_back(work);
+  work();
+  for (auto& t : pool) t.join();
+  size_t total = 20 + (size_t)actual * 8;
+  for (uint32_t s = 0; s < actual; s++) {
+    if (!ok[s]) return 0;
+    total += blobs[s].size();
+  }
+  if (total > out_cap) return 0;
+  std::memcpy(out, "PICS", 4);
+  uint32_t hdr32[4] = {(uint32_t)width, (uint32_t)height, actual, strip_h};
+  std::memcpy(out + 4, hdr32, 16);
+  uint8_t* tp = out + 20;
+  uint8_t* dp = out + 20 + (size_t)actual * 8;
+  uint32_t off = 0;
+  for (uint32_t s = 0; s < actual; s++) {
+    uint32_t ln = (uint32_t)blobs[s].size();
+    std::memcpy(tp, &off, 4);
+    std::memcpy(tp + 4, &ln, 4);
+    tp += 8;
+    std::memcpy(dp, blobs[s].data(), ln);
+    dp += ln;
+    off += ln;
+  }
+  return total;
+}
 
 // Threaded PICS container decode (reference mic_parallel.c pthreads /
 // parallelstrips.go:270 worker pool).  kind selects the predictor

@@ -78,6 +78,13 @@ def _prepare_tables(data: np.ndarray, table_log_hint: int):
         raise IncompressibleError
     table_log = optimal_table_log(table_log_hint, n, symbol_len)
     norm = normalize_count(counts, n, table_log, symbol_len)
+    # Reference validateNorm (fsecompressu16.go:58): normalizeCount2's
+    # fixed-point redistribution can emit a non-summing table on
+    # pathological histograms (many lowprob symbols, tiny tableLog);
+    # reject so the caller falls down the state chain instead of
+    # spreading a corrupt table.
+    if int(np.abs(norm).sum()) != (1 << table_log):
+        raise IncompressibleError
     from .fse import write_count
 
     header = write_count(norm, symbol_len, table_log)

@@ -141,6 +141,8 @@ def rans_compress_8state(data, table_log: int = DEFAULT_TABLE_LOG) -> bytes:
         raise IncompressibleError
     actual_tl = optimal_table_log(table_log, n, symbol_len)
     norm = normalize_count(counts, n, actual_tl, symbol_len)
+    if int(np.abs(norm).sum()) != (1 << actual_tl):  # reference validateNorm
+        raise IncompressibleError
     header = write_count(norm, symbol_len, actual_tl)
 
     freq_a, bias_a, k0_a, thr_a = build_rans_enc_table(norm, symbol_len, actual_tl)

@@ -49,7 +49,8 @@ def _strip_plan(height: int, num_strips: int) -> tuple[int, int]:
     return strip_h, actual
 
 
-def _compress_strips(pixels, width, height, max_value, num_strips, frame_compress) -> bytes:
+def _compress_strips(pixels, width, height, max_value, num_strips, frame_compress,
+                     n_states=0) -> bytes:
     pixels = np.asarray(pixels, dtype=np.uint16)
     if len(pixels) != width * height:
         raise ValueError(
@@ -58,6 +59,17 @@ def _compress_strips(pixels, width, height, max_value, num_strips, frame_compres
     if num_strips <= 0:
         num_strips = os.cpu_count() or 1
     num_strips = max(1, min(num_strips, height))
+    if n_states:
+        # Native whole-container path: std::thread strip pool, no GIL —
+        # byte-identical to the per-strip assembly below (pinned by
+        # tests/test_native.py); None falls through to the Python tier.
+        from ..native import compress_strips_native
+
+        blob = compress_strips_native(pixels, width, height, max_value,
+                                      n_states=n_states,
+                                      num_strips=num_strips)
+        if blob is not None:
+            return blob
     strip_h, actual = _strip_plan(height, num_strips)
 
     def one(idx: int) -> bytes:
@@ -80,20 +92,22 @@ def _compress_strips(pixels, width, height, max_value, num_strips, frame_compres
 
 def compress_parallel_strips(pixels, width, height, max_value, num_strips=0) -> bytes:
     """2-state strips (reference CompressParallelStrips, parallelstrips.go:55)."""
-    return _compress_strips(pixels, width, height, max_value, num_strips, compress_single_frame)
+    return _compress_strips(
+        pixels, width, height, max_value, num_strips, compress_single_frame, n_states=2
+    )
 
 
 def compress_parallel_strips_4state(pixels, width, height, max_value, num_strips=0) -> bytes:
     """4-state strips (parallelstrips.go:128)."""
     return _compress_strips(
-        pixels, width, height, max_value, num_strips, compress_single_frame_4state
+        pixels, width, height, max_value, num_strips, compress_single_frame_4state, n_states=4
     )
 
 
 def compress_parallel_strips_8state(pixels, width, height, max_value, num_strips=0) -> bytes:
     """8-state strips (parallelstrips.go:199)."""
     return _compress_strips(
-        pixels, width, height, max_value, num_strips, compress_single_frame_8state
+        pixels, width, height, max_value, num_strips, compress_single_frame_8state, n_states=8
     )
 
 

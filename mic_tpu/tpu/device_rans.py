@@ -346,6 +346,8 @@ def _norm_and_header(counts, n, tl, sl):
     if nat is not None:
         return nat
     norm = normalize_count(counts, n, tl, sl)
+    if int(np.abs(norm).sum()) != (1 << tl):  # reference validateNorm
+        raise ValueError("normalize: table does not sum to 1<<tableLog")
     return norm, write_count(norm, sl, tl)
 
 

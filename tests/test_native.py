@@ -197,6 +197,10 @@ def test_native_normalize_write_count_bit_identity(rng):
         counts = np.asarray(counts[:sl], dtype=np.int64)
         try:
             norm_py = normalize_count(counts, len(d), tl, sl)
+            # Reference validateNorm gate (fsecompressu16.go:58): a
+            # non-summing table is a rejection in both tiers.
+            if int(np.abs(norm_py).sum()) != (1 << tl):
+                raise ValueError("validateNorm")
             hdr_py = write_count(norm_py, sl, tl)
         except Exception:
             assert normalize_write_count_native(counts, len(d), tl, sl) is None
@@ -208,3 +212,24 @@ def test_native_normalize_write_count_bit_identity(rng):
         assert bytes(hdr_nat) == bytes(hdr_py), f"trial {t}"
         checked += 1
     assert checked > 40
+
+
+def test_noise_rejected_not_hung():
+    """Pathological histogram (u16 noise after escape expansion: hundreds
+    of lowprob symbols at a tiny tableLog) used to drive normalizeCount2's
+    fixed-point redistribution to a non-summing table, which spun the
+    spread loop forever in the native tier.  The reference rejects these
+    via validateNorm (fsecompressu16.go:58); both tiers must now reject
+    cleanly (regression: round-4 native encode rework)."""
+    import pytest
+
+    from mic_tpu.models.single_frame import compress_single_frame_4state
+    from mic_tpu.native import PRED_AVG, available, compress_frame_native
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 65536, 256).astype(np.uint16)
+    with pytest.raises(Exception):
+        compress_single_frame_4state(arr, 16, 16, int(arr.max()))
+    if available():
+        with pytest.raises(ValueError):
+            compress_frame_native(arr, 16, 16, int(arr.max()), PRED_AVG, 4)
