@@ -150,7 +150,11 @@ def _measure_one(name, entry, phase) -> None:
     # "auto" is a PARENT-level policy (resolved by the probe); a child
     # invoked directly with it measures the standard family.
     ent = os.environ.get("MIC_BENCH_ENTROPY", "standard")
-    blob = micw_compress(px, w, h, mx,
+    # MIC_BENCH_PREDICTOR widens the trial set ("auto-r" adds the RLE'd
+    # direct modes: +5% corpus ratio, decode pays the SoA-RLE expand
+    # post — the ratio-at-speed A/B axis).
+    pred = os.environ.get("MIC_BENCH_PREDICTOR", "auto-fast")
+    blob = micw_compress(px, w, h, mx, predictor=pred,
                          entropy="standard" if ent == "auto" else ent)
     bw, bh, n_strips, strip_h, _mv, _gp, _lanes, strips = micw_parse(blob)
     # Honest byte accounting: raw/constant strips are materialized
@@ -201,6 +205,8 @@ def _measure_one(name, entry, phase) -> None:
         "ratio": round(px.nbytes / len(blob), 3),
         "bytes": len(blob),
         "verified": verified,
+        "entropy": ent,
+        "pred": pred,
     }), flush=True)
 
 
@@ -469,6 +475,10 @@ def main() -> None:
                   f"used {entropy!r})", file=sys.stderr, flush=True)
             use = "standard"
         env = {**os.environ, "MIC_BENCH_ENTROPY": use}
+        if attempt > 1:
+            # The widened trial set (auto-r) rides the same fallback: a
+            # crash/hang on attempt 1 must not burn the whole capture.
+            env.pop("MIC_BENCH_PREDICTOR", None)
         print(f"[bench] run-all {pending} (attempt {attempt}, "
               f"{int(remaining())}s left)...", file=sys.stderr, flush=True)
         # A non-standard first attempt gets at most 2/3 of the budget so
@@ -538,6 +548,7 @@ def merge_detail(prior: dict, detail: dict, entropy: str) -> dict | None:
     merged["_meta"] = {
         "captured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "entropy": entropy,
+        "pred": os.environ.get("MIC_BENCH_PREDICTOR", "auto-fast"),
     }
     return merged
 

@@ -131,12 +131,16 @@ def playlist(run_dir: Path, budget_left) -> dict:
     env0 = dict(os.environ)
     env0.pop("MIC_BENCH_PLATFORM", None)
 
-    def bench_env(entropy: str | None) -> dict:
+    def bench_env(entropy: str | None, pred: str | None = None) -> dict:
         e = dict(env0)
         if entropy is None:
             e.pop("MIC_BENCH_ENTROPY", None)
         else:
             e["MIC_BENCH_ENTROPY"] = entropy
+        if pred is None:
+            e.pop("MIC_BENCH_PREDICTOR", None)
+        else:
+            e["MIC_BENCH_PREDICTOR"] = pred
         return e
 
     # 1. Official-style capture refresh (auto probe picks the family).
@@ -151,15 +155,18 @@ def playlist(run_dir: Path, budget_left) -> dict:
     # detail per family.  Standard runs LAST so results/bench_detail.json
     # ends holding the measured-stable family unless a later analysis
     # flips the default.
-    for fam in ("alias", "best", "standard"):
+    for tag, fam, pred in (("alias", "alias", None),
+                           ("best", "best", None),
+                           ("rbest", "best", "auto-r"),
+                           ("standard", "standard", None)):
         if budget_left() < 900:
-            status[f"bench_{fam}"] = "skipped-budget"
+            status[f"bench_{tag}"] = "skipped-budget"
             continue
         rc = _child([sys.executable, "bench.py"],
-                    min(1500, budget_left()), run_dir / f"bench_{fam}.log",
-                    env=bench_env(fam))
-        snapshot_detail(fam, run_dir)
-        status[f"bench_{fam}"] = rc
+                    min(1500, budget_left()), run_dir / f"bench_{tag}.log",
+                    env=bench_env(fam, pred))
+        snapshot_detail(tag, run_dir)
+        status[f"bench_{tag}"] = rc
     # 3. Reference-blob -> MICW archive ingest (VERDICT #5).
     if budget_left() > 600:
         status["ingest"] = _child(

@@ -353,6 +353,12 @@ def micw_compress(
     mid = _rle_mid(max_value)
     if predictor == "auto":
         trials = ["zzd", "vdd", "pdd", "zzr", "vdr", "pdr", "zz", "avg"]
+    elif predictor == "auto-r":
+        # Direct + RLE'd-direct trial set: the ratio-at-speed candidate
+        # (corpus geomean 3.286 with entropy="best" vs 3.117 for
+        # auto-fast) — still escape-free and bit-depth-free, but r-mode
+        # strips pay the SoA-RLE expand post program on decode.
+        trials = list(_DIRECT_PREDS) + list(_RLE_DIRECT_PREDS)
     elif predictor == "auto-fast":
         # Scan-parallel AND program-family-free modes only: avg's decode
         # needs the anti-diagonal wavefront post program (serial in
