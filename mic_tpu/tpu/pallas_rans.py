@@ -785,3 +785,344 @@ def build_alias_bucket_tables(parsed, min_steps: int = 0):
     words = words.reshape(S, -1, 128)
     esides = esides.reshape(S, -1, 128)
     return init, w0, w1, w2, words, mask, shift, escv, esides, counts, steps
+
+# ---------------------------------------------------------------------------
+# Fused r-mode decode: entropy + SoA-RLE expand + direct-predictor inverse
+# in ONE kernel.  The r-modes (zzr/vdr/pdr — RLE'd direct symbols,
+# parallelstrips-style SoA layout [counts][same-values][literals]) won
+# +5.4% corpus ratio but their XLA expand post program was the round-3
+# speed killer (dense form measured 0.03 GB/s; the searchsorted form
+# still streams 65K-wide gathers through XLA).  This kernel exploits the
+# expansion's MONOTONE-CONSUMPTION structure instead:
+#
+# * output rows (128 px) consume runs, literal symbols and same-values
+#   in stream order, each advancing at most 128 positions per row — so
+#   every lookup is a short dynamic VMEM window (the same row-pair
+#   slice + take_along_axis trick the entropy loop uses for its renorm
+#   word stream), never a wide gather;
+# * run assignment per row = count of run-starts <= position over a
+#   3-row (384-entry) window — one [128, 384] VPU compare+reduce, no
+#   search (the window base advances with a scalar carry);
+# * the per-run tables (packed out_start<<1|is_same, and value-or-
+#   literal-offset) are built in a prologue from the decoded counts
+#   section with MXU prefix-sum matmuls (f32 HIGHEST — exact to 2^24,
+#   run lengths sum below 2^18).
+#
+# The predictor tail (unzigzag + row prefix matmul / vdd row carry) is
+# the same machinery as _kernel_zzd, so zzr/vdr/pdr strips emit PIXELS
+# (pdr's second, column prefix sum runs outside the kernel like pdd's).
+# Reference for the SoA grammar: ops/rle.py soa_encode
+# (parallelstrips.go's RLE stream re-laid-out for device decode).
+# ---------------------------------------------------------------------------
+
+
+def RLE_GROUP() -> int:
+    """Strips per grid program for the r-mode kernel: the syms scratch
+    ([G, steps, 128] u16) plus the output block ([G, out_rows, 128] u16)
+    cap the group below GROUP() (VMEM ~16 MB/core; steps and out_rows
+    both reach 1024 on 256-row strips)."""
+    return 8
+
+
+def _sweep_take(win, idx, chunks: int):
+    """Gather win[s, idx[s, j]] where win is [S, chunks*128] and idx in
+    [0, chunks*128): masked take_along_axis over 128-wide tiles (the
+    hardware-gather granularity)."""
+    hi = idx >> 7
+    lo = idx & 127
+    out = jnp.zeros(idx.shape, win.dtype)
+    for h in range(chunks):
+        m = hi == h
+        out = jnp.where(m, jnp.take_along_axis(win[:, h * 128:(h + 1) * 128], lo, axis=1), out)
+    return out
+
+
+def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
+                      ws_ref, out_ref, *, steps, out_rows, n_strips,
+                      maxr, mid_count, vdd_ws):
+    """Phases 1.5+2 of the fused r-mode decode (see section comment).
+
+    Reads the decoded SoA symbol stream from ``syms_ref`` ([S, steps,
+    128] u16, stream order = step-major), builds per-run tables in the
+    ``st1/st2`` scratch, then emits PIXELS row by row into ``out_ref``.
+    ``mid_count`` is the format constant (MID_DIRECT for r-modes):
+    counts <= mid are same-runs of that length, counts > mid literal
+    runs of count - mid symbols."""
+    S = n_strips
+    R = maxr // 128
+    HUGE = jnp.int32(1 << 30)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    Mx = (ri < ci).astype(jnp.float32)  # strict upper: exclusive prefix
+    Mi = (ri <= ci).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+    nrun = nrun_ref[:, :1].astype(jnp.int32)
+    nsame = nsame_ref[:, :1].astype(jnp.int32)
+
+    def exc(v):
+        # Exclusive 128-lane prefix sum on the MXU (exact: row sums of
+        # run lengths stay < 2^23).
+        return jax.lax.dot_general(
+            v.astype(jnp.float32), Mx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+
+    # ---- Phase 1.5: per-run tables from the counts section (the first
+    # n_runs symbols).  R rows, statically unrolled (R <= 16).
+    len_c = jnp.zeros((S, 1), jnp.int32)
+    same_c = jnp.zeros((S, 1), jnp.int32)
+    lit_c = jnp.zeros((S, 1), jnp.int32)
+    for rr in range(R):
+        c32 = syms_ref[:, min(rr, steps - 1), :].astype(jnp.int32)
+        ridx = lane + rr * 128
+        valid = ridx < nrun
+        is_s = valid & (c32 <= mid_count)
+        si = is_s.astype(jnp.int32)
+        ln = jnp.where(valid, jnp.where(is_s, c32, c32 - mid_count), 0)
+        start = len_c + exc(ln)
+        rank = same_c + exc(si)
+        litl = jnp.where(is_s, jnp.zeros_like(ln), ln)
+        lstart = lit_c + exc(litl)
+        # Same-run values: syms[nrun + rank] via a 256-entry window at
+        # the row's first value index (ranks advance <= 128 per row).
+        vbase = nrun + same_c
+        wrow = jnp.clip(vbase >> 7, 0, steps - 2)
+        win = jnp.concatenate(
+            [syms_ref[s, pl.ds(wrow[s, 0], 2), :].reshape(1, 256)
+             for s in range(S)], axis=0)
+        loc = jnp.clip(nrun + rank - (wrow << 7), 0, 255)
+        val = _sweep_take(win, loc, 2).astype(jnp.int32)
+        src0 = nrun + nsame + lstart - start
+        st1_ref[:, rr, :] = jnp.where(valid, (start << 1) | si, HUGE)
+        st2_ref[:, rr, :] = jnp.where(is_s, val, src0)
+        len_c = start[:, 127:] + ln[:, 127:]
+        same_c = rank[:, 127:] + si[:, 127:]
+        lit_c = lstart[:, 127:] + litl[:, 127:]
+
+    # ---- Phase 2: expansion + predictor inverse, one 128-px output row
+    # per step.  Carries: rb = run index containing the row start, lc =
+    # next literal symbol index, rowc/rcnt = the zzd/vdd row machinery.
+    U2 = 8
+
+    def step2(carry, t, col):
+        rb, lc, rowc, rcnt = carry
+        pos = lane + t * 128
+        br = jnp.clip(rb >> 7, 0, max(R - 3, 0))  # window base row
+        w1 = jnp.concatenate(
+            [st1_ref[s, pl.ds(br[s, 0], 3), :].reshape(1, 384)
+             for s in range(S)], axis=0)
+        w2 = jnp.concatenate(
+            [st2_ref[s, pl.ds(br[s, 0], 3), :].reshape(1, 384)
+             for s in range(S)], axis=0)
+        # Run assignment: count window starts <= position.  Entries
+        # before rb in the window are earlier runs (start <= row base),
+        # so the raw in-window count IS the global count offset by
+        # br*128; rb never drifts past base+129 per row, well inside
+        # the 384-entry window.
+        cnts, nxts = [], []
+        nxt_pos = (t + 1) * 128
+        for s in range(S):
+            starts_s = w1[s:s + 1] >> 1  # [1, 384]
+            cmp = (starts_s <= pos[s].reshape(128, 1)).astype(jnp.int32)
+            cnts.append(jnp.sum(cmp, axis=1).reshape(1, 128))
+            nxts.append(jnp.sum((starts_s <= nxt_pos).astype(jnp.int32)).reshape(1, 1))
+        cnt = jnp.concatenate(cnts, axis=0)
+        nxt = jnp.concatenate(nxts, axis=0)
+        rl = jnp.clip(cnt - 1, 0, 383)
+        g1 = _sweep_take(w1, rl, 3)
+        g2 = _sweep_take(w2, rl, 3)
+        is_s = (g1 & 1) == 1
+        # Literal pull: src advances monotonically by <= 128 per row, so
+        # a 256 window at the literal cursor covers the whole row.
+        src = g2 + pos
+        lrow = jnp.clip(lc >> 7, 0, steps - 2)
+        wl = jnp.concatenate(
+            [syms_ref[s, pl.ds(lrow[s, 0], 2), :].reshape(1, 256)
+             for s in range(S)], axis=0)
+        li = jnp.clip(src - (lrow << 7), 0, 255)
+        lv = _sweep_take(wl, li, 2).astype(jnp.int32)
+        tok = jnp.where(is_s, g2, lv)
+        nlit = jnp.sum(1 - is_s.astype(jnp.int32), axis=1).reshape(S, 1)
+        lc = jnp.clip(lc + nlit, 0, steps * 128 - 1)
+        rb = jnp.clip(br * 128 + nxt - 1, 0, maxr - 1)
+        # Predictor tail (same as _kernel_zzd): unzigzag, then the row
+        # prefix matmul (zzr/pdr) or the previous-row carry (vdr).
+        dz = (tok >> 1) ^ (-(tok & 1))
+        if vdd_ws:
+            c0 = col * 128
+            pix = (rowc[:, c0:c0 + 128] + dz) & 0xFFFF
+            parts = [p for p in (rowc[:, :c0], pix, rowc[:, c0 + 128:])
+                     if p.shape[1]]
+            rowc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            return (rb, lc, rowc, rcnt), pix
+        ps = jax.lax.dot_general(
+            dz.astype(jnp.float32), Mi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        rowc = jnp.where(rcnt == 0, jnp.zeros_like(rowc), rowc)
+        pix = (rowc + ps) & 0xFFFF
+        rowc = pix[:, 127:128]
+        rcnt = rcnt + 1
+        rcnt = jnp.where(rcnt >= ws_ref[:, :1].astype(jnp.int32),
+                         jnp.zeros_like(rcnt), rcnt)
+        return (rb, lc, rowc, rcnt), pix
+
+    def body2(tb, carry):
+        outs = []
+        for j in range(U2):
+            carry, pix = step2(carry, tb * U2 + j, (j % vdd_ws) if vdd_ws else 0)
+            outs.append(pix.astype(jnp.uint16).reshape(S, 1, 128))
+        out_ref[:, pl.ds(tb * U2, U2), :] = jnp.concatenate(outs, axis=1)
+        return carry
+
+    zero = jnp.zeros((S, 1), jnp.int32)
+    rowc0 = jnp.zeros((S, vdd_ws * 128 if vdd_ws else 1), jnp.int32)
+    jax.lax.fori_loop(0, out_rows // U2, body2,
+                      (zero, nrun + nsame, rowc0, zero))
+
+
+def _kernel_rle(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref,
+                ws_ref, nrun_ref, nsame_ref, out_ref, syms_ref, st1_ref,
+                st2_ref, *, steps, out_rows, n_strips, table_log, asweep,
+                maxr, mid_count, vdd_ws):
+    _kernel_packed(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref,
+                   shift_ref, syms_ref, steps=steps, n_strips=n_strips,
+                   table_log=table_log, asweep=asweep)
+    _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
+                      ws_ref, out_ref, steps=steps, out_rows=out_rows,
+                      n_strips=n_strips, maxr=maxr, mid_count=mid_count,
+                      vdd_ws=vdd_ws)
+
+
+def _kernel_rle_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
+                      shift_ref, escv_ref, esides_ref, ws_ref, nrun_ref,
+                      nsame_ref, out_ref, syms_ref, st1_ref, st2_ref, *,
+                      steps, out_rows, n_strips, maxr, mid_count, esc,
+                      vdd_ws):
+    _kernel_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
+                  shift_ref, escv_ref, esides_ref, ws_ref, syms_ref,
+                  steps=steps, n_strips=n_strips, vdd_ws=0, fused=False,
+                  esc=esc)
+    _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
+                      ws_ref, out_ref, steps=steps, out_rows=out_rows,
+                      n_strips=n_strips, maxr=maxr, mid_count=mid_count,
+                      vdd_ws=vdd_ws)
+
+
+def _rle_scratch(G, steps, maxr):
+    return [
+        pltpu.VMEM((G, steps, 128), jnp.uint16),
+        pltpu.VMEM((G, maxr // 128, 128), jnp.int32),
+        pltpu.VMEM((G, maxr // 128, 128), jnp.int32),
+    ]
+
+
+@partial(jax.jit, static_argnames=("steps", "out_rows", "n_strips",
+                                   "table_log", "asweep", "maxr",
+                                   "mid_count", "vdd_ws"))
+def rans_decode_pallas_rle(init, tpk, alpha, words, mask, shift, ws, nrun,
+                           nsame, *, steps, out_rows, n_strips, table_log,
+                           asweep, maxr, mid_count, vdd_ws=0):
+    """Fused r-mode decode over packed tables (FF 57 streams): rANS +
+    SoA-RLE expand + direct-predictor inverse in one kernel.  Returns
+    uint16[S, out_rows, 128] PIXELS (pdr callers apply the column
+    prefix sum outside, like pdd).  nrun/nsame: int32[S, 128] per-strip
+    run/same counts (lane-broadcast).  maxr: run-table capacity
+    (multiple of 128, >= 384, >= every strip's n_runs)."""
+    assert maxr % 128 == 0 and maxr >= 384
+    assert out_rows % 8 == 0 and steps % 8 == 0 and steps >= 2
+    assert maxr // 128 <= steps
+    S = init.shape[0]
+    G = RLE_GROUP()
+    if S % G != 0:
+        pad = G - S % G
+        init, tpk, alpha, words, mask, shift, ws, nrun, nsame = (
+            jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            for a in (init, tpk, alpha, words, mask, shift, ws, nrun, nsame)
+        )
+        full = rans_decode_pallas_rle(
+            init, tpk, alpha, words, mask, shift, ws, nrun, nsame,
+            steps=steps, out_rows=out_rows, n_strips=S + pad,
+            table_log=table_log, asweep=asweep, maxr=maxr,
+            mid_count=mid_count, vdd_ws=vdd_ws,
+        )
+        return full[:S]
+    grid = S // G
+    TS = 1 << table_log
+    return pl.pallas_call(
+        partial(_kernel_rle, steps=steps, out_rows=out_rows, n_strips=G,
+                table_log=table_log, asweep=asweep, maxr=maxr,
+                mid_count=mid_count, vdd_ws=vdd_ws),
+        out_shape=jax.ShapeDtypeStruct((S, out_rows, 128), jnp.uint16),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, TS), lambda i: (i, 0)),
+            pl.BlockSpec((G, alpha.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((G, words.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((G, out_rows, 128), lambda i: (i, 0, 0)),
+        scratch_shapes=_rle_scratch(G, steps, maxr),
+        interpret=not supports_pallas_rans(),
+    )(init, tpk, alpha, words, mask, shift, ws, nrun, nsame)
+
+
+@partial(jax.jit, static_argnames=("steps", "out_rows", "n_strips", "maxr",
+                                   "mid_count", "esc", "vdd_ws"))
+def rans_decode_pallas_rle_alias(init, w0, w1, w2, words, mask, shift, escv,
+                                 esides, ws, nrun, nsame, *, steps, out_rows,
+                                 n_strips, maxr, mid_count, esc, vdd_ws=0):
+    """Alias-bucket (FF 41) variant of rans_decode_pallas_rle — same
+    fused expand + predictor tail behind the 3-gather entropy front end,
+    so alias r-mode strips keep the family-collapse property (no
+    tableLog/alphabet statics)."""
+    assert maxr % 128 == 0 and maxr >= 384
+    assert out_rows % 8 == 0 and steps % 8 == 0 and steps >= 2
+    assert maxr // 128 <= steps
+    S = init.shape[0]
+    G = RLE_GROUP()
+    if S % G != 0:
+        pad = G - S % G
+        init, w0, w1, w2, words, mask, shift, escv, esides, ws, nrun, nsame = (
+            jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            for a in (init, w0, w1, w2, words, mask, shift, escv, esides, ws,
+                      nrun, nsame)
+        )
+        full = rans_decode_pallas_rle_alias(
+            init, w0, w1, w2, words, mask, shift, escv, esides, ws, nrun,
+            nsame, steps=steps, out_rows=out_rows, n_strips=S + pad,
+            maxr=maxr, mid_count=mid_count, esc=esc, vdd_ws=vdd_ws,
+        )
+        return full[:S]
+    grid = S // G
+    return pl.pallas_call(
+        partial(_kernel_rle_alias, steps=steps, out_rows=out_rows,
+                n_strips=G, maxr=maxr, mid_count=mid_count, esc=esc,
+                vdd_ws=vdd_ws),
+        out_shape=jax.ShapeDtypeStruct((S, out_rows, 128), jnp.uint16),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, words.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, esides.shape[1], 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((G, out_rows, 128), lambda i: (i, 0, 0)),
+        scratch_shapes=_rle_scratch(G, steps, maxr),
+        interpret=not supports_pallas_rans(),
+    )(init, w0, w1, w2, words, mask, shift, escv, esides, ws, nrun, nsame)

@@ -40,6 +40,7 @@ parallelism; strips exist to batch and to shard very large images.
 
 from __future__ import annotations
 
+import os
 import struct
 from functools import partial
 
@@ -933,6 +934,70 @@ def _stacked_zzd_fused(ops, *, steps, chunk_s, tl, asweep, pdd_geom=None, vdd_ws
     return jax.lax.map(body, ops)
 
 
+def _rle_fused_on() -> bool:
+    """Kill switch for the fused r-mode kernel (MIC_RLE_FUSED=0 restores
+    the packed-kernel + XLA expand post path — the hardware A/B axis)."""
+    return os.environ.get("MIC_RLE_FUSED", "1") != "0"
+
+
+@partial(jax.jit, static_argnames=("steps", "out_rows", "chunk_s", "tl",
+                                   "asweep", "maxr", "pdd_geom", "vdd_ws"))
+def _stacked_rle_fused(ops, *, steps, out_rows, chunk_s, tl, asweep, maxr,
+                       pdd_geom=None, vdd_ws=0):
+    """lax.map of the fused r-mode kernel (rANS + SoA-RLE expand +
+    direct inverse in one Pallas program) over stacked chunks.  pdr's
+    second (column) prefix sum runs here per chunk, like pdd's in
+    _stacked_zzd_fused."""
+    from .pallas_rans import rans_decode_pallas_rle
+
+    def body(o):
+        pix = rans_decode_pallas_rle(
+            *o, steps=steps, out_rows=out_rows, n_strips=chunk_s,
+            table_log=tl, asweep=asweep, maxr=maxr, mid_count=MID_DIRECT,
+            vdd_ws=vdd_ws,
+        )
+        out = pix.reshape(chunk_s, -1)
+        if pdd_geom is not None:
+            w, sh = pdd_geom
+            need = w * sh
+            if out.shape[1] < need:
+                out = jnp.pad(out, ((0, 0), (0, need - out.shape[1])))
+            img = jnp.cumsum(
+                out[:, :need].astype(jnp.int32).reshape(chunk_s, sh, w), axis=1
+            )
+            out = (img & 0xFFFF).astype(jnp.uint16).reshape(chunk_s, -1)
+        return out
+
+    return jax.lax.map(body, ops)
+
+
+@partial(jax.jit, static_argnames=("steps", "out_rows", "chunk_s", "maxr",
+                                   "esc", "pdd_geom", "vdd_ws"))
+def _stacked_rle_alias_fused(ops, *, steps, out_rows, chunk_s, maxr, esc,
+                             pdd_geom=None, vdd_ws=0):
+    """Alias (FF 41) variant of _stacked_rle_fused."""
+    from .pallas_rans import rans_decode_pallas_rle_alias
+
+    def body(o):
+        pix = rans_decode_pallas_rle_alias(
+            *o, steps=steps, out_rows=out_rows, n_strips=chunk_s,
+            maxr=maxr, mid_count=MID_DIRECT, esc=esc, vdd_ws=vdd_ws,
+        )
+        out = pix.reshape(chunk_s, -1)
+        if pdd_geom is not None:
+            w, sh = pdd_geom
+            need = w * sh
+            if out.shape[1] < need:
+                out = jnp.pad(out, ((0, 0), (0, need - out.shape[1])))
+            img = jnp.cumsum(
+                out[:, :need].astype(jnp.int32).reshape(chunk_s, sh, w), axis=1
+            )
+            out = (img & 0xFFFF).astype(jnp.uint16).reshape(chunk_s, -1)
+        return out
+
+    return jax.lax.map(body, ops)
+
+
 @partial(jax.jit, static_argnames=(
     "steps", "chunk_s", "tl", "asweep", "use_packed", "width", "strip_h",
     "max_runs", "max_tokens", "mid", "delim", "pred", "pad_to",
@@ -1109,8 +1174,48 @@ def _stage_alias_post_group(parsed, strips, pred, width, strip_h, mid, delim,
     Returns a closure with ``.ops``."""
     S_real = len(parsed)
     entries = [(p, width) for p in parsed]
+    if pred in _RLE_DIRECT_PREDS and _rle_fused_on():
+        runs_gf = max(min_runs, _runs_floor(pred, width, strip_h),
+                      128 * _pow2_at_least((max(st[3] for st in strips) + 128) // 128))
+        tokens_gf = max(min_tokens, 128 * _pow2_at_least(
+            (max(st[2] for st in strips) + 128) // 128))
+        min_steps = max(min_steps, max(runs_gf, 512) // 128)
     ops, steps, n_chunks, pad_to, chunk_idx, esc_any = _alias_chunks(
         entries, min_steps=min_steps)
+    out_rows_f = 0
+    if pred in _RLE_DIRECT_PREDS and _rle_fused_on():
+        out_rows_f = max(min_tokens // 128, _pow2_at_least(
+            -(-max(st[2] for st in strips) // 128), 8))
+    maxr_af = max(runs_gf, 512) if pred in _RLE_DIRECT_PREDS else 0
+    if pred in _RLE_DIRECT_PREDS and _rle_fused_on() and width % 128 == 0 \
+            and out_rows_f % 8 == 0 \
+            and maxr_af // 128 <= steps \
+            and (pred != "vdr" or (width // 128) in (1, 2, 4, 8)):
+        def meta_rep(j):
+            return jnp.asarray(np.stack([
+                np.repeat(np.array([[strips[i][j]] for i in ix], np.int32),
+                          128, axis=1)
+                for ix in chunk_idx]))
+
+        nrun_r, nsame_r = meta_rep(3), meta_rep(4)
+        geom = (width, strip_h) if pred == "pdr" else None
+        vws = width // 128 if pred == "vdr" else 0
+        out_rows = out_rows_f
+        ops_r = ops + (nrun_r, nsame_r)
+
+        def run_alias_rle(ops_all=None):
+            o = ops_all if ops_all is not None else ops_r
+            out = _stacked_rle_alias_fused(
+                o, steps=steps, out_rows=out_rows, chunk_s=pad_to,
+                maxr=maxr_af, esc=esc_any, pdd_geom=geom, vdd_ws=vws,
+            )
+            out = out.reshape(out.shape[0] * pad_to, -1)[:S_real]
+            if out.shape[1] < strip_h * width:
+                out = jnp.pad(out, ((0, 0), (0, strip_h * width - out.shape[1])))
+            return out[:, : strip_h * width]
+
+        run_alias_rle.ops = ops_r
+        return run_alias_rle
     if pred in _DIRECT_PREDS:
         post_kw = dict(max_runs=128, max_tokens=128, pad_to=strip_h * width)
         zeros = np.zeros((n_chunks, pad_to), np.int32)
@@ -1175,6 +1280,10 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
                  128 * _pow2_at_least((max(st[3] for st in strips) + 128) // 128))
     tokens_g = max(min_tokens, 128 * _pow2_at_least(
         (max(st[2] for st in strips) + 128) // 128))
+    if pred in _RLE_DIRECT_PREDS and _rle_fused_on():
+        # The fused r-kernel's run tables live in the first maxr symbol
+        # rows of its syms scratch — the scan bucket must cover them.
+        steps_g = max(steps_g, max(runs_g, 512) // 128)
 
     # Build per-chunk operand arrays (numpy), padding chunk count to a
     # power of two with replicas of chunk 0.
@@ -1241,6 +1350,41 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
 
         run_fused.ops = ops + (ws,)
         return run_fused
+
+    fused_vdr = pred == "vdr" and (width // 128) in (1, 2, 4, 8)
+    # Tight output bucket: the fused kernel's phase 2 walks out_rows
+    # rows, so the +128-margin tokens_g bucket (a post-path artifact)
+    # would double the expand work right after a pow2 boundary.
+    out_rows = max(min_tokens // 128, _pow2_at_least(
+        -(-max(st[2] for st in strips) // 128), 8))
+    maxr_f = max(runs_g, 512)  # >= 3 window rows (the kernel's 384 floor)
+    if (pred in ("zzr", "pdr") or fused_vdr) and width % 128 == 0 \
+            and use_packed and _rle_fused_on() and out_rows % 8 == 0 \
+            and maxr_f // 128 <= steps:
+        ws = jnp.asarray(np.full((n_chunks, _CHUNK_S, 128), width // 128, np.uint32))
+        nrun_np = np.stack([
+            np.repeat(np.array([[st[3]] for st in sc], np.int32), 128, axis=1)
+            for _pc, sc in chunks])
+        nsame_np = np.stack([
+            np.repeat(np.array([[st[4]] for st in sc], np.int32), 128, axis=1)
+            for _pc, sc in chunks])
+        geom = (width, strip_h) if pred == "pdr" else None
+        vws = width // 128 if fused_vdr else 0
+        ops_r = ops + (ws, jnp.asarray(nrun_np), jnp.asarray(nsame_np))
+
+        def run_rle_fused(ops_all=None):
+            o = ops_all if ops_all is not None else ops_r
+            out = _stacked_rle_fused(
+                o, steps=steps, out_rows=out_rows, chunk_s=_CHUNK_S, tl=tl,
+                asweep=asweep, maxr=maxr_f, pdd_geom=geom, vdd_ws=vws,
+            )
+            out = out.reshape(n_chunks * _CHUNK_S, -1)[:S_real]
+            if out.shape[1] < strip_h * width:
+                out = jnp.pad(out, ((0, 0), (0, strip_h * width - out.shape[1])))
+            return out[:, : strip_h * width]
+
+        run_rle_fused.ops = ops_r
+        return run_rle_fused
 
     if pred in _DIRECT_PREDS:
         zeros = jnp.zeros((n_chunks, _CHUNK_S), jnp.int32)
@@ -1327,7 +1471,44 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
     # the compiled-program family small across groups/images.
     min_steps = max(min_steps,
                     _pow2_at_least(max((p[2] + 127) // 128 for p in parsed), 8))
+    runs_g1 = tokens_g1 = 0
+    if pred in _RLE_DIRECT_PREDS:
+        runs_g1 = max(min_runs, _runs_floor(pred, width, strip_h),
+                      128 * _pow2_at_least((max(st[3] for st in strips) + 128) // 128))
+        tokens_g1 = max(min_tokens, 128 * _pow2_at_least(
+            (max(st[2] for st in strips) + 128) // 128))
+        if _rle_fused_on():
+            min_steps = max(min_steps, max(runs_g1, 512) // 128)
     packed = build_packed_tables(parsed, tl, min_steps=min_steps)
+    maxr1 = max(runs_g1, 512)
+    if packed is not None and pred in _RLE_DIRECT_PREDS and width % 128 == 0 \
+            and _rle_fused_on() \
+            and (pred != "vdr" or (width // 128) in (1, 2, 4, 8)):
+        init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
+        out_rows1 = max(min_tokens // 128, _pow2_at_least(
+            -(-max(st[2] for st in strips) // 128), 8))
+        if maxr1 // 128 <= steps and out_rows1 % 8 == 0:
+            ws = np.full((S, 128), width // 128, np.uint32)
+            nrun = np.repeat(np.array([[st[3]] for st in strips], np.int32), 128, axis=1)
+            nsame = np.repeat(np.array([[st[4]] for st in strips], np.int32), 128, axis=1)
+            args = tuple(jnp.asarray(a) for a in
+                         (init, tpk, alpha, words, mask, shift, ws, nrun, nsame))
+            geom = (width, strip_h) if pred == "pdr" else None
+            vws = width // 128 if pred == "vdr" else 0
+            out_rows = out_rows1
+
+            def run_rle_fused():
+                out = _stacked_rle_fused(
+                    tuple(a[None] for a in args), steps=steps,
+                    out_rows=out_rows, chunk_s=S, tl=tl, asweep=asweep,
+                    maxr=maxr1, pdd_geom=geom, vdd_ws=vws,
+                )
+                out = out.reshape(S, -1)
+                if out.shape[1] < strip_h * width:
+                    out = jnp.pad(out, ((0, 0), (0, strip_h * width - out.shape[1])))
+                return out[:, : strip_h * width]
+
+            return run_rle_fused
     if packed is not None and pred in ("zzd", "pdd") and width % 128 == 0:
         init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
         ws = np.full((S, 128), width // 128, np.uint32)
