@@ -27,6 +27,7 @@ __all__ = [
     "make_strip_mesh",
     "decode_strips_sharded",
     "decode_strips_sharded_pallas",
+    "decode_rle_sharded",
     "decode_alias_sharded",
     "decode_tans_sharded",
     "encode_strips_sharded",
@@ -88,6 +89,29 @@ def decode_strips_sharded_pallas(mesh: Mesh, init, tpk, alpha, words, mask, shif
         check_vma=False,
     )
     return jax.jit(fn)(init, tpk, alpha, words, mask, shift, ws)
+
+
+def decode_rle_sharded(mesh: Mesh, *arrays, **static):
+    """Fused r-mode decode (rANS + SoA-RLE expand + direct inverse,
+    rans_decode_pallas_rle) with the strip axis sharded over ``mesh``.
+    ``arrays`` are its 9 operands (init, tpk, alpha, words, mask, shift,
+    ws, nrun, nsame); ``static`` its keyword parameters except n_strips,
+    derived per shard."""
+    from .pallas_rans import rans_decode_pallas_rle
+
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+    per_shard = arrays[0].shape[0] // mesh.devices.size
+    body = partial(rans_decode_pallas_rle,
+                   **{**static, "n_strips": per_shard})
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(spec for _ in arrays),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)(*arrays)
 
 
 def decode_alias_sharded(mesh: Mesh, *arrays, **static):

@@ -1273,7 +1273,10 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
     )
 
     S_real = len(parsed)
-    tl = max(p[1] for p in parsed)
+    # Pallas table-sweep kernels need 2^tl >= 128; build_packed_tables
+    # tiles smaller per-strip tables up to the group tableLog, so the
+    # floor is free (tl=6 strips DO occur on tiny near-constant strips).
+    tl = max(max(p[1] for p in parsed), 7)
     steps_g = max(min_steps,
                   _pow2_at_least(max((p[2] + 127) // 128 for p in parsed), 8))
     runs_g = max(min_runs, _runs_floor(pred, width, strip_h),
@@ -1466,7 +1469,7 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
         )
 
     S = S_real
-    tl = max(p[1] for p in parsed)
+    tl = max(max(p[1] for p in parsed), 7)  # sweep floor, see stacked path
     # Pow2 steps bucket: steps is a static kernel arg, so bucketing keeps
     # the compiled-program family small across groups/images.
     min_steps = max(min_steps,
@@ -1775,7 +1778,7 @@ class MicwDecodePlan:
             geom = (bk[2], bk[3]) if bk[0] == "pdd" else None
             vws = bk[2] // 128 if bk[0] == "vdd" else 0
             parsed_all = [e[0] for e in entries]
-            tl = max(p[1] for p in parsed_all)
+            tl = max(max(p[1] for p in parsed_all), 7)  # sweep floor
             S_real = len(entries)
             # Small single-chunk buckets pad only to the next power of 2
             # (keeps tiny/interpret-mode decodes cheap); multi-chunk

@@ -126,3 +126,29 @@ def test_auto_r_container_mixed_modes():
     np.testing.assert_array_equal(np.asarray(out).ravel(), px)
     host, _, _ = st.micw_decompress_host(blob)
     np.testing.assert_array_equal(np.asarray(host).ravel(), px)
+
+
+def test_tiny_tablelog_strips_sweep_floor():
+    """Strips of tiny near-constant data encode with tableLog <= 6 —
+    below the Pallas table-sweep granularity (2^tl/128 tiles).  The
+    staging floors the GROUP tableLog at 7 and the builders tile the
+    smaller per-strip tables up (regression: pre-round-4 staging passed
+    the raw group max and decoded garbage via the fused kernels)."""
+    from mic_tpu.tpu.device_rans import mict_parse
+
+    rng = np.random.default_rng(6)
+    h, w = 16, 128
+    img = np.zeros((h, w), np.uint16)
+    img[:, :80] = 321
+    img[:, 80:112] = rng.integers(318, 324, (h, 32)).astype(np.uint16)
+    px = img.ravel()
+    seen_tls = []
+    for pred in ("zzd", "zzr"):
+        blob = st.micw_compress(px, w, h, int(px.max()), num_strips=2,
+                                predictor=pred)
+        _, _, _, _, _, _, _, strips = st.micw_parse(blob)
+        seen_tls += [mict_parse(s[0])[1] for s in strips]
+        out, _, _ = st.micw_decompress_device_pallas(blob)
+        np.testing.assert_array_equal(np.asarray(out).ravel(), px)
+    assert min(seen_tls) <= 6, \
+        f"fixture must exercise tiny tableLogs, got {seen_tls}"
