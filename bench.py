@@ -186,7 +186,7 @@ def _measure_one(name, entry, phase) -> None:
         int(p)
         return time.time() - t, m
 
-    _t_compile, _ = timed(0)  # compiles the macro program
+    t_compile, _ = timed(0)  # compiles the macro program
     phase(f"{name}:compile")
     t_o, _ = timed(0)  # launch + pull overhead, no iterations
     t_c, m_c = timed(4)  # calibration (includes the compare iter)
@@ -202,6 +202,12 @@ def _measure_one(name, entry, phase) -> None:
         "cold_GBps": round(k * timed_bytes / (stage_dt + per) / 1e9, 3),
         "iters": n,
         "replicas": k,
+        # Cold-path forensics (VERDICT r3 #7): stage_s = host staging
+        # (parse + tables + operand h2d), compile_s = first-launch cost
+        # (XLA compile for a fresh program family; ~launch overhead for
+        # a warm family — the "10th image of a family" number).
+        "stage_s": round(stage_dt, 3),
+        "compile_s": round(t_compile, 3),
         "ratio": round(px.nbytes / len(blob), 3),
         "bytes": len(blob),
         "verified": verified,
