@@ -114,6 +114,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--tans", action="store_true")
+    ap.add_argument("--host-encode", action="store_true",
+                    help="re-encode on the host instead of the batched "
+                         "device encoder (the pre-round-4 default; the "
+                         "archive shape is native decode + ONE "
+                         "micw_compress_device_many launch)")
     args = ap.parse_args()
     if args.tans:
         return run_tans(args.reps)
@@ -137,7 +142,7 @@ def main() -> int:
         raw.append(px)
 
     t0 = time.time()
-    plan = ingest_plan(ref_blobs, dims)
+    plan = ingest_plan(ref_blobs, dims, device_encode=not args.host_encode)
     ingest_dt = time.time() - t0
     total = sum(p.nbytes for p in raw)
 
