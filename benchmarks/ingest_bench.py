@@ -28,6 +28,20 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _apply_platform() -> None:
+    """Honor MIC_BENCH_PLATFORM (same escape hatch as bench.py): the
+    runner image pins jax to the tunneled TPU via sitecustomize and
+    ignores plain JAX_PLATFORMS, so harness validation must override the
+    jax config directly before the backend initializes."""
+    import os
+
+    plat = os.environ.get("MIC_BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def run_tans(reps: int) -> int:
     """Kernel-steady-state throughput of the reference-format device
     decoder (pallas_tans) over the corpus's PICS strips."""
@@ -119,7 +133,11 @@ def main() -> int:
                          "device encoder (the pre-round-4 default; the "
                          "archive shape is native decode + ONE "
                          "micw_compress_device_many launch)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated corpus names (e.g. MR,CT) — "
+                         "bounds compile time for harness validation")
     args = ap.parse_args()
+    _apply_platform()
     if args.tans:
         return run_tans(args.reps)
 
@@ -129,6 +147,9 @@ def main() -> int:
     from mic_tpu.tpu.ingest import ingest_plan
 
     corpus = load_corpus(False)
+    if args.only:
+        keep = set(args.only.split(","))
+        corpus = [c for c in corpus if c[0] in keep]
     ref_blobs, dims, names, raw = [], [], [], []
     for name, px, w, h, mx in corpus:
         ref_blobs.append(compress_single_frame_4state(px, w, h, mx))
