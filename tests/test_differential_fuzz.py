@@ -168,6 +168,43 @@ def test_fuzz_micw_host_roundtrip(entropy, dist):
     assert np.array_equal(np.asarray(out).ravel(), px)
 
 
+@pytest.mark.skipif(not native.available(), reason="libmicfse.so not built")
+def test_fuzz_native_corruption_no_crash():
+    """Mutated blobs must never crash the native tier: decode returns
+    garbage (reference parity — no CRC) or raises ValueError, nothing
+    else.  A segfault here kills the test run — that is the signal."""
+    w, h = 96, 120
+    px, mx = gen_image("medical", w, h, seed=99)
+    frame = native.compress_frame_native(px, w, h, mx, native.PRED_AVG, 4)
+    pics = native.compress_strips_native(px, w, h, mx, native.PRED_AVG, 4, 4)
+    r = np.random.default_rng(99)
+
+    def mutations(blob):
+        for n in (0, 1, 4, 12, 20, 21, len(blob) // 2, len(blob) - 1):
+            yield blob[:n]
+        for _ in range(25):
+            b = bytearray(blob)
+            i = int(r.integers(0, len(b)))
+            b[i] ^= 1 << int(r.integers(0, 8))
+            yield bytes(b)
+        for _ in range(10):  # header/offset-table region specifically
+            b = bytearray(blob)
+            b[int(r.integers(0, min(64, len(b))))] = 0xFF
+            yield bytes(b)
+
+    for mut in mutations(frame):
+        try:
+            native.decompress_frame_native(mut, w, h, native.PRED_AVG)
+        except ValueError:
+            pass
+    if pics is not None:
+        for mut in mutations(pics):
+            try:
+                native.decompress_strips_native(mut)
+            except ValueError:
+                pass
+
+
 def test_fuzz_huffman_roundtrip():
     from mic_tpu.ops.huffman import can_huffman_compress, can_huffman_decompress
 
