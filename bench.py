@@ -574,14 +574,17 @@ def final_row(detail: dict, prior: dict, names: list[str]) -> dict:
     def _ok(d):
         return isinstance(d, dict) and d.get("verified") and "GBps" in d
 
-    rates, live_n, stale_n = [], 0, 0
+    rates, ratios, live_n, stale_n = [], [], 0, 0
     for n in names:
         if _ok(detail.get(n)):
-            rates.append(detail[n]["GBps"])
-            live_n += 1
+            src, live_n = detail[n], live_n + 1
         elif _ok(prior.get(n)):
-            rates.append(prior[n]["GBps"])
-            stale_n += 1
+            src, stale_n = prior[n], stale_n + 1
+        else:
+            continue
+        rates.append(src["GBps"])
+        if src.get("ratio"):
+            ratios.append(src["ratio"])
     if not rates:
         return {"metric": "decode_error", "value": 0, "unit": "GB/s",
                 "vs_baseline": 0, "measured_n": 0, "verified_n": 0}
@@ -596,6 +599,11 @@ def final_row(detail: dict, prior: dict, names: list[str]) -> dict:
         "live_n": live_n,
         "total_n": len(names),
     }
+    if ratios:
+        # Ratio-at-speed, side by side (VERDICT r3 #3): the compression
+        # ratio of the very streams whose decode rate is the headline.
+        row["ratio_geomean"] = round(
+            math.exp(sum(map(math.log, ratios)) / len(ratios)), 3)
     if stale_n:
         row["stale"] = True
         row["stale_n"] = stale_n
