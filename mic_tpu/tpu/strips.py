@@ -1499,10 +1499,12 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
             geom = (width, strip_h) if pred == "pdr" else None
             vws = width // 128 if pred == "vdr" else 0
             out_rows = out_rows1
+            ops_r1 = tuple(a[None] for a in args)
 
-            def run_rle_fused():
+            def run_rle_fused(ops_all=None):
+                o = ops_all if ops_all is not None else ops_r1
                 out = _stacked_rle_fused(
-                    tuple(a[None] for a in args), steps=steps,
+                    o, steps=steps,
                     out_rows=out_rows, chunk_s=S, tl=tl, asweep=asweep,
                     maxr=maxr1, pdd_geom=geom, vdd_ws=vws,
                 )
@@ -1511,46 +1513,52 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
                     out = jnp.pad(out, ((0, 0), (0, strip_h * width - out.shape[1])))
                 return out[:, : strip_h * width]
 
+            run_rle_fused.ops = ops_r1
             return run_rle_fused
     if packed is not None and pred in ("zzd", "pdd") and width % 128 == 0:
         init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
         ws = np.full((S, 128), width // 128, np.uint32)
         args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift, ws))
         geom = (width, strip_h) if pred == "pdd" else None
+        ops_f1 = tuple(a[None] for a in args)
 
-        def run_fused():
+        def run_fused(ops_all=None):
             # Single-chunk lax.map body: same executable as the stacked
             # path for this (chunk size, steps, tl, asweep, geom) key.
+            o = ops_all if ops_all is not None else ops_f1
             out = _stacked_zzd_fused(
-                tuple(a[None] for a in args), steps=steps, chunk_s=S, tl=tl,
+                o, steps=steps, chunk_s=S, tl=tl,
                 asweep=asweep, pdd_geom=geom,
             )
             return out.reshape(S, -1)[:, : strip_h * width]
 
+        run_fused.ops = ops_f1
         return run_fused
     if packed is not None:
         init, tpk, alpha, words, mask, shift, counts, steps, asweep = packed
         args = tuple(jnp.asarray(a) for a in (init, tpk, alpha, words, mask, shift))
 
-        def entropy():
+        def entropy(o=None):
             return rans_decode_pallas_packed(
-                *args, steps=steps, n_strips=S, table_log=tl, asweep=asweep,
+                *(o if o is not None else args),
+                steps=steps, n_strips=S, table_log=tl, asweep=asweep,
             )
     else:
         init, tsym, tfb, words, mask, shift, counts, steps = build_pallas_tables(
             parsed, tl, min_steps=min_steps)
         args = tuple(jnp.asarray(a) for a in (init, tsym, tfb, words, mask, shift))
 
-        def entropy():
+        def entropy(o=None):
             return rans_decode_pallas(
-                *args, steps=steps, n_strips=S, table_log=tl,
+                *(o if o is not None else args),
+                steps=steps, n_strips=S, table_log=tl,
             )
 
     if pred in _DIRECT_PREDS:
         pad_to = strip_h * width
 
-        def run_zzd_post():
-            rle_flat = entropy().reshape(S, -1)
+        def run_zzd_post(ops_all=None):
+            rle_flat = entropy(ops_all).reshape(S, -1)
             if rle_flat.shape[1] < pad_to:
                 # A group of only short (last) strips can decode fewer
                 # than strip_h*width symbols; the zzd inverse slices that.
@@ -1562,6 +1570,7 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
                 mid_count=0, delim=0, predictor=pred,
             )
 
+        run_zzd_post.ops = args
         return run_zzd_post
     n_tokens = jnp.asarray(np.array([st[2] for st in strips], dtype=np.int32))
     n_runs_np = np.array([st[3] for st in strips], dtype=np.int32)
@@ -1576,15 +1585,20 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
 
     p_mid, p_delim = _post_params(pred, mid, delim)
 
-    def run_rle_post():
+    def run_rle_post(ops_all=None):
+        if ops_all is None:
+            o, t, r, sm = args, n_tokens, n_runs, n_same
+        else:
+            o, t, r, sm = ops_all
         return _micw_post_batch(
-            entropy().reshape(S, -1),
-            n_tokens, n_runs, n_same,
+            entropy(o).reshape(S, -1),
+            t, r, sm,
             width=width, strip_h=strip_h,
             max_runs=max_runs, max_tokens=max_tokens,
             mid_count=p_mid, delim=p_delim, predictor=pred,
         )
 
+    run_rle_post.ops = (args, n_tokens, n_runs, n_same)
     return run_rle_post
 
 

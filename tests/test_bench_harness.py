@@ -88,3 +88,28 @@ def test_final_row_unverified_rows_excluded():
 def test_final_row_nothing_anywhere_is_error():
     row = bench.final_row({}, {}, ["CT"])
     assert row["metric"] == "decode_error" and row["value"] == 0
+
+
+def test_small_group_plans_are_macro_timable():
+    """Every staging tier must support the honest macro-loop runner —
+    including single-group (< chunk-size) r-mode and classic-RLE
+    containers, which bench children hit at low replica caps (round-4
+    fix: the single-group closures lacked the ``.ops`` contract, so
+    ratio-first families fell to ``fallback-staged``)."""
+    import numpy as np
+
+    from mic_tpu.tpu.strips import MicwDecodePlan, micw_compress
+
+    r = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:128, 0:128]
+    px = ((np.sin(xx / 7.0) * 300 + yy * 5 + 900)
+          + r.integers(-3, 4, (128, 128))).clip(0, 4095).astype(np.uint16).ravel()
+    for pred, ent in (("auto-r", "best"), ("zzr", "standard"),
+                      ("avg", "standard"), ("zzd", "standard")):
+        blob = micw_compress(px, 128, 128, int(px.max()),
+                             predictor=pred, entropy=ent)
+        plan = MicwDecodePlan([blob, blob])
+        runner = plan.make_timed_runner([px, px])
+        assert runner is not None, (pred, ent)
+        mism, _probe = runner(1)
+        assert int(mism) == 0, (pred, ent)
