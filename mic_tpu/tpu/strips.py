@@ -412,7 +412,8 @@ def micw_compress(
         # narrow prune can drop the true winner when short RLE'd streams
         # compete with direct ones.
         candidates.sort(key=lambda c: c[0])
-        best = None  # (len, blob, meta, mode)
+        best = best_direct = None  # (len, blob, meta, mode)
+        direct_modes = {_PRED_MODE[p] for p in _DIRECT_PREDS}
         for est, syms, meta, mode in candidates[: 5 if len(trials) > 1 else 1]:
             blob = _encode_candidate(syms, lanes, max_bytes=strip_px.nbytes,
                                      alias=use_alias)
@@ -421,8 +422,23 @@ def micw_compress(
                                            max_bytes=strip_px.nbytes, alias=True)
                 if blob_a is not None and (blob is None or len(blob_a) < len(blob)):
                     blob = blob_a
-            if blob is not None and (best is None or len(blob) < best[0]):
+            if blob is None:
+                continue
+            if best is None or len(blob) < best[0]:
                 best = (len(blob), blob, meta, mode)
+            if mode in direct_modes and (best_direct is None
+                                         or len(blob) < best_direct[0]):
+                best_direct = (len(blob), blob, meta, mode)
+        # Decode-cost-aware selection (MICW_R_MARGIN, default 0 = pure
+        # size): non-direct winners (r-modes / classic RLE) pay the
+        # SoA-RLE expand post program on decode, so the capture can
+        # demand they be at least margin-fraction smaller than the best
+        # direct candidate before taking the slower family.
+        margin = _r_margin()
+        if (best is not None and best_direct is not None
+                and best[3] not in direct_modes and margin > 0.0
+                and best[0] > (1.0 - margin) * best_direct[0]):
+            best = best_direct
         raw = strip_px.astype("<u2").tobytes()
         if best is None or best[0] >= len(raw):
             # Raw fallback — the MICW analog of the WSI planeRaw path
@@ -932,6 +948,17 @@ def _stacked_zzd_fused(ops, *, steps, chunk_s, tl, asweep, pdd_geom=None, vdd_ws
         return out
 
     return jax.lax.map(body, ops)
+
+
+def _r_margin() -> float:
+    """MICW_R_MARGIN: minimum fractional size win a non-direct (RLE'd)
+    strip candidate must show over the best direct candidate before the
+    selector takes the slower-decoding family (0 = pure size, the
+    default; the ratio-at-speed capture sweeps this)."""
+    try:
+        return float(os.environ.get("MICW_R_MARGIN", "0"))
+    except ValueError:
+        return 0.0
 
 
 def _rle_fused_on() -> bool:

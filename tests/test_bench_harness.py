@@ -113,3 +113,31 @@ def test_small_group_plans_are_macro_timable():
         assert runner is not None, (pred, ent)
         mism, _probe = runner(1)
         assert int(mism) == 0, (pred, ent)
+
+
+def test_r_margin_selector(monkeypatch):
+    """MICW_R_MARGIN makes the auto-r selector decode-cost-aware: an
+    impossible margin collapses the container to the direct family
+    (byte-identical to auto-fast); margin 0 keeps pure-size selection;
+    either container round-trips."""
+    import numpy as np
+
+    from mic_tpu.tpu.strips import micw_compress, micw_decompress_host
+
+    r = np.random.default_rng(9)
+    base = np.repeat(r.integers(0, 600, 2048), 8)[: 128 * 96]
+    px = base.astype(np.uint16)  # runs -> r-modes win at margin 0
+
+    monkeypatch.delenv("MICW_R_MARGIN", raising=False)
+    b0 = micw_compress(px, 128, 96, int(px.max()),
+                       predictor="auto-r", entropy="standard")
+    monkeypatch.setenv("MICW_R_MARGIN", "1.0")
+    b1 = micw_compress(px, 128, 96, int(px.max()),
+                       predictor="auto-r", entropy="standard")
+    bf = micw_compress(px, 128, 96, int(px.max()),
+                       predictor="auto-fast", entropy="standard")
+    assert b1 == bf
+    assert len(b0) <= len(b1)
+    for blob in (b0, b1):
+        out, w, h = micw_decompress_host(blob)
+        assert np.array_equal(np.asarray(out).ravel(), px)
