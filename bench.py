@@ -213,6 +213,8 @@ def _measure_one(name, entry, phase) -> None:
         "verified": verified,
         "entropy": ent,
         "pred": pred,
+        **({"r_margin": os.environ["MICW_R_MARGIN"]}
+           if os.environ.get("MICW_R_MARGIN") else {}),
     }), flush=True)
 
 

@@ -131,7 +131,8 @@ def playlist(run_dir: Path, budget_left) -> dict:
     env0 = dict(os.environ)
     env0.pop("MIC_BENCH_PLATFORM", None)
 
-    def bench_env(entropy: str | None, pred: str | None = None) -> dict:
+    def bench_env(entropy: str | None, pred: str | None = None,
+                  margin: str | None = None) -> dict:
         e = dict(env0)
         if entropy is None:
             e.pop("MIC_BENCH_ENTROPY", None)
@@ -141,6 +142,10 @@ def playlist(run_dir: Path, budget_left) -> dict:
             e.pop("MIC_BENCH_PREDICTOR", None)
         else:
             e["MIC_BENCH_PREDICTOR"] = pred
+        if margin is None:
+            e.pop("MICW_R_MARGIN", None)
+        else:
+            e["MICW_R_MARGIN"] = margin
         return e
 
     # 1. Official-style capture refresh (auto probe picks the family).
@@ -155,16 +160,17 @@ def playlist(run_dir: Path, budget_left) -> dict:
     # detail per family.  Standard runs LAST so results/bench_detail.json
     # ends holding the measured-stable family unless a later analysis
     # flips the default.
-    for tag, fam, pred in (("alias", "alias", None),
-                           ("best", "best", None),
-                           ("rbest", "best", "auto-r"),
-                           ("standard", "standard", None)):
+    for tag, fam, pred, margin in (("alias", "alias", None, None),
+                                   ("best", "best", None, None),
+                                   ("rbest", "best", "auto-r", None),
+                                   ("rbest5", "best", "auto-r", "0.05"),
+                                   ("standard", "standard", None, None)):
         if budget_left() < 900:
             status[f"bench_{tag}"] = "skipped-budget"
             continue
         rc = _child([sys.executable, "bench.py"],
                     min(1500, budget_left()), run_dir / f"bench_{tag}.log",
-                    env=bench_env(fam, pred))
+                    env=bench_env(fam, pred, margin))
         snapshot_detail(tag, run_dir)
         status[f"bench_{tag}"] = rc
     # 3. Reference-blob -> MICW archive ingest (VERDICT #5).
