@@ -243,9 +243,20 @@ def lane_encode_native(syms: np.ndarray, lanes: int, table_log: int,
     lib = _load()
     if not lib or not hasattr(lib, "mic_lane_encode"):
         return None
+    def _as_u32(a):
+        # int32 tables reinterpret for free (values < 2^31); anything
+        # else converts.  The int64 tables device_tables used to emit
+        # cost a 0.5 MB copy per candidate on wide alphabets.
+        a = np.asarray(a)
+        if a.dtype == np.int32:
+            a = a.view(np.uint32)
+        elif a.dtype != np.uint32:
+            a = a.astype(np.uint32)
+        return np.ascontiguousarray(a)
+
     syms = np.ascontiguousarray(syms, dtype=np.uint16)
-    freq_of = np.ascontiguousarray(freq_of, dtype=np.uint32)
-    cumul_of = np.ascontiguousarray(cumul_of, dtype=np.uint32)
+    freq_of = _as_u32(freq_of)
+    cumul_of = _as_u32(cumul_of)
     n = len(syms)
     if n and int(syms.max()) >= len(freq_of):
         raise ValueError("lane encode: symbol beyond table range")

@@ -79,8 +79,10 @@ class AliasInfeasible(ValueError):
 
 def _freqs_from_norm(norm: np.ndarray) -> np.ndarray:
     """Device frequencies: low-probability (-1) symbols get freq 1; plain
-    symbol-order cumulation (the device format's own convention)."""
-    return np.where(norm == -1, 1, np.maximum(norm, 0)).astype(np.int64)
+    symbol-order cumulation (the device format's own convention).
+    int32: values are <= 2^15 and the native lane encoder reinterprets
+    int32 as u32 without the per-call copy an int64 table forces."""
+    return np.where(norm == -1, 1, np.maximum(norm, 0)).astype(np.int32)
 
 
 def device_tables(norm: np.ndarray, table_log: int):
@@ -97,7 +99,7 @@ def device_tables(norm: np.ndarray, table_log: int):
     table_size = 1 << table_log
     if int(freqs.sum()) != table_size:
         raise ValueError("device_tables: freqs do not sum to table size")
-    cumul = np.concatenate(([0], np.cumsum(freqs)))[:-1]
+    cumul = np.concatenate(([0], np.cumsum(freqs)))[:-1].astype(np.int32)
     present = np.nonzero(freqs)[0]
     sym = np.repeat(present, freqs[present]).astype(np.uint16)
     slot = np.arange(table_size, dtype=np.int64)
@@ -254,7 +256,7 @@ def alias_slot_tables(norm: np.ndarray, table_log: int):
         is_p, al["sbp"][bkt] + off, al["sba"][bkt] + off - al["t"][bkt]
     ).astype(np.uint32)
     freqs = _freqs_from_norm(norm)
-    cumul = np.concatenate(([0], np.cumsum(freqs)))[:-1]
+    cumul = np.concatenate(([0], np.cumsum(freqs)))[:-1].astype(np.int32)
     return sym, freq_slot, bias_slot, freqs, cumul
 
 

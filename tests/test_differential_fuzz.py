@@ -205,6 +205,40 @@ def test_fuzz_native_corruption_no_crash():
                 pass
 
 
+@pytest.mark.skipif(not native.available(), reason="libmicfse.so not built")
+@pytest.mark.parametrize("alphabet,tl", [(2, 7), (37, 9), (900, 11),
+                                         (4000, 12), (30000, 15)])
+def test_fuzz_lane_encode_native_equals_numpy(monkeypatch, alphabet, tl):
+    """The native MICT lane encoder (magic-multiply division) must match
+    the numpy reference loop word-for-word and state-for-state across
+    skews that exercise the whole normalized-frequency range."""
+    from mic_tpu.ops.fse import histogram, optimal_table_log
+    from mic_tpu.tpu.device_rans import (
+        _lane_encode,
+        _norm_and_header,
+        device_tables,
+    )
+
+    r = np.random.default_rng(alphabet * 13 + tl)
+    raw = np.minimum(r.geometric(min(0.9, 6.0 / alphabet), 40000) - 1,
+                     alphabet - 1).astype(np.uint16)
+    counts, _mc, sl = histogram(raw)
+    tl = optimal_table_log(tl, len(raw), sl)
+    try:
+        norm, _header = _norm_and_header(counts, len(raw), tl, sl)
+        _sym, _fs, _bs, freq, cumul = device_tables(norm, tl)
+    except DOCUMENTED:
+        pytest.skip("stream not normalizable at this tableLog (documented)")
+    sym64 = raw.astype(np.int64)
+    st_n, w_n = _lane_encode(sym64, len(raw), 128, tl, freq, cumul)
+    monkeypatch.setattr("mic_tpu.native.lane_encode_native",
+                        lambda *a, **k: None)
+    st_p, w_p = _lane_encode(sym64, len(raw), 128, tl, freq, cumul)
+    assert np.array_equal(np.asarray(st_n, np.uint64),
+                          np.asarray(st_p, np.uint64))
+    assert np.array_equal(w_n, w_p)
+
+
 def test_fuzz_huffman_roundtrip():
     from mic_tpu.ops.huffman import can_huffman_compress, can_huffman_decompress
 
