@@ -85,6 +85,18 @@ def _freqs_from_norm(norm: np.ndarray) -> np.ndarray:
     return np.where(norm == -1, 1, np.maximum(norm, 0)).astype(np.int32)
 
 
+def encode_tables(norm: np.ndarray, table_log: int):
+    """Encoder-side tables only (freq_sym, cumul_sym).  device_tables
+    additionally materializes the 2^tl slot-indexed DECODE arrays the
+    encoder never touches (~70 us/candidate at tl=12 — the trial-set
+    encoders call this dozens of times per frame)."""
+    freqs = _freqs_from_norm(norm)
+    if int(freqs.sum()) != (1 << table_log):
+        raise ValueError("encode_tables: freqs do not sum to table size")
+    cumul = np.concatenate(([0], np.cumsum(freqs)))[:-1].astype(np.int32)
+    return freqs, cumul
+
+
 def device_tables(norm: np.ndarray, table_log: int):
     """Build the slot-indexed decode table and symbol-indexed encode table.
 
@@ -312,7 +324,7 @@ def mict_encode(
         tl = max_table_log
     try:
         norm, header = _norm_and_header(counts, n, tl, symbol_len)
-        _sym, _fs, _bs, freq, cumul = device_tables(norm, tl)
+        freq, cumul = encode_tables(norm, tl)
     except ValueError as e:
         # Alphabet too wide for the clamped tableLog (tiny inputs) — the
         # same inputs the host FSE formats reject with an error.
@@ -482,7 +494,7 @@ def alias_encode_plan(counts, symbol_len, n, table_log, max_table_log=None):
         tl = max(tl, 7)  # 128 buckets need at least 128 slots
         try:
             norm, header = _norm_and_header(counts2, n, tl, sl2)
-            _s, _f, _b, freq, cumul = device_tables(norm, tl)
+            freq, cumul = encode_tables(norm, tl)
             al = alias_construct(norm, tl)
             return kept_vals, esc_val, tl, header, freq, cumul, al
         except AliasInfeasible:

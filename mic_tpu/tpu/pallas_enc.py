@@ -345,7 +345,7 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
         _alias_apply,
         _norm_and_header,
         alias_encode_plan,
-        device_tables,
+        encode_tables,
     )
 
     if lanes != 128:
@@ -384,7 +384,7 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
                 tl = min(tl, max_table_log)
                 try:
                     norm, header = _norm_and_header(counts, n, tl, symbol_len)
-                    _sym, _fs, _bs, freq, cumul = device_tables(norm, tl)
+                    freq, cumul = encode_tables(norm, tl)
                 except ValueError as e:
                     raise IncompressibleError(str(e)) from e
                 run_se = None
