@@ -85,6 +85,18 @@ def _freqs_from_norm(norm: np.ndarray) -> np.ndarray:
     return np.where(norm == -1, 1, np.maximum(norm, 0)).astype(np.int32)
 
 
+def _hist_or_counts(symbols: np.ndarray, counts: np.ndarray | None):
+    """histogram(), or derive (counts, max_count, symbol_len) from a
+    caller-supplied bincount — the trial-set encoders already bincount
+    every candidate for the H0 size estimate, so the encode entries
+    accept it instead of re-scanning the stream (2-3 bincounts per
+    candidate otherwise: estimate + standard + alias encode)."""
+    if counts is None:
+        return histogram(symbols)
+    counts = np.ascontiguousarray(counts, dtype=np.uint32)
+    return counts, int(counts.max()) if counts.size else 0, int(counts.size)
+
+
 def encode_tables(norm: np.ndarray, table_log: int):
     """Encoder-side tables only (freq_sym, cumul_sym).  device_tables
     additionally materializes the 2^tl slot-indexed DECODE arrays the
@@ -284,6 +296,7 @@ def mict_encode(
     max_table_log: int | None = None,
     max_bytes: int | None = None,
     alias: bool = False,
+    counts: np.ndarray | None = None,
 ) -> bytes:
     """Encode a u16 symbol stream into the MICT wide-lane rANS format.
 
@@ -304,13 +317,13 @@ def mict_encode(
     if alias:
         return mict_encode_alias(
             symbols, lanes=lanes, table_log=table_log,
-            max_table_log=max_table_log, max_bytes=max_bytes,
+            max_table_log=max_table_log, max_bytes=max_bytes, counts=counts,
         )
     symbols = np.asarray(symbols, dtype=np.uint16)
     n = len(symbols)
     if n == 0:
         raise IncompressibleError
-    counts, max_count, symbol_len = histogram(symbols)
+    counts, max_count, symbol_len = _hist_or_counts(symbols, counts)
     if max_count == n:
         raise UseRLEError
     if max_count == 1 or max_count < (n >> 15):
@@ -511,6 +524,7 @@ def mict_encode_alias(
     table_log: int = DEFAULT_TABLE_LOG,
     max_table_log: int | None = None,
     max_bytes: int | None = None,
+    counts: np.ndarray | None = None,
 ) -> bytes:
     """Encode into the alias-mapped MICT variant (magic FF 41).
 
@@ -528,7 +542,7 @@ def mict_encode_alias(
     n = len(symbols)
     if n == 0:
         raise IncompressibleError
-    counts, max_count, symbol_len = histogram(symbols)
+    counts, max_count, symbol_len = _hist_or_counts(symbols, counts)
     if max_count == n:
         raise UseRLEError
     if max_count == 1 or max_count < (n >> 15):

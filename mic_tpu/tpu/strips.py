@@ -257,21 +257,23 @@ def _escaped_tokens(strip_px, width, sh, max_value, pred) -> np.ndarray:
 
 
 def _encode_candidate(syms: np.ndarray, lanes: int, max_bytes: int | None = None,
-                      alias: bool = False):
+                      alias: bool = False, counts: np.ndarray | None = None):
     """mict_encode with the packed-kernel eligibility guard; returns None
     when the strip should fall through to other candidates / raw.
     ``alias=True`` writes the FF 41 alias-mapped variant instead — its
     decode cost is tableLog-independent (3 bucket gathers/step), so it
-    affords tl<=12 where the packed sweep is capped at 11."""
+    affords tl<=12 where the packed sweep is capped at 11.  ``counts``
+    reuses the estimator's bincount (one stream scan per candidate)."""
     try:
         return mict_encode(syms, lanes=lanes,
                            max_table_log=ALIAS_TABLE_LOG if alias else MAX_TABLE_LOG,
-                           max_bytes=max_bytes, alias=alias)
+                           max_bytes=max_bytes, alias=alias, counts=counts)
     except (IncompressibleError, UseRLEError, ValueError):
         return None
 
 
-def _estimate_bytes(syms: np.ndarray, alias: bool = False) -> float:
+def _estimate_bytes(syms: np.ndarray, alias: bool = False,
+                    counts: np.ndarray | None = None) -> float:
     """Zeroth-order entropy size estimate for ranking candidates (the
     rANS stream is within ~1% of H0 at these table sizes; the ncount
     header scales with the alphabet).  Returns +inf for packed-kernel-
@@ -279,7 +281,8 @@ def _estimate_bytes(syms: np.ndarray, alias: bool = False) -> float:
     For alias streams, alphabets beyond the 255 kept symbols fold into
     ESC + a 2-byte/occurrence side stream (mict_encode_alias), so the
     estimate models the folded distribution instead of going infinite."""
-    counts = np.bincount(syms)
+    if counts is None:
+        counts = np.bincount(syms)
     nz = counts[counts > 0]
     n = len(syms)
     if alias and len(nz) > ALIAS_MAX_KEPT:
@@ -403,9 +406,11 @@ def micw_compress(
             # "best" must keep wide-alphabet candidates standard would
             # drop: alias can escape-fold them (the standard encode then
             # simply returns None for those and alias wins the strip).
-            est = _estimate_bytes(syms, alias=use_alias or entropy == "best")
+            cnts = np.bincount(syms)
+            est = _estimate_bytes(syms, alias=use_alias or entropy == "best",
+                                  counts=cnts)
             if est != float("inf"):  # keep the strip packed-kernel eligible
-                candidates.append((est, syms, meta, _PRED_MODE[pred]))
+                candidates.append((est, syms, cnts, meta, _PRED_MODE[pred]))
         # Rank by the H0 estimate and entropy-encode only the top five —
         # the estimate tracks each stream's size to ~1% but is blind to
         # the fixed per-blob overhead (init states + ncount width), so a
@@ -414,12 +419,13 @@ def micw_compress(
         candidates.sort(key=lambda c: c[0])
         best = best_direct = None  # (len, blob, meta, mode)
         direct_modes = {_PRED_MODE[p] for p in _DIRECT_PREDS}
-        for est, syms, meta, mode in candidates[: 5 if len(trials) > 1 else 1]:
+        for est, syms, cnts, meta, mode in candidates[: 5 if len(trials) > 1 else 1]:
             blob = _encode_candidate(syms, lanes, max_bytes=strip_px.nbytes,
-                                     alias=use_alias)
+                                     alias=use_alias, counts=cnts)
             if entropy == "best":
                 blob_a = _encode_candidate(syms, lanes,
-                                           max_bytes=strip_px.nbytes, alias=True)
+                                           max_bytes=strip_px.nbytes, alias=True,
+                                           counts=cnts)
                 if blob_a is not None and (blob is None or len(blob_a) < len(blob)):
                     blob = blob_a
             if blob is None:
