@@ -52,6 +52,13 @@ def main(argv=None) -> int:
                     help="MICW strip entropy: standard FF 57, alias-mapped "
                          "FF 41 (tableLog-independent device decode), or "
                          "best (smaller of the two per strip)")
+    ap.add_argument("-predictor", default="auto-fast",
+                    choices=["auto-fast", "auto-r", "auto", "zzd", "vdd",
+                             "pdd", "zzr", "vdr", "pdr", "zz", "avg"],
+                    help="MICW strip predictor trial set: auto-fast "
+                         "(speed-first direct modes), auto-r (+RLE'd direct "
+                         "modes, ratio-first), auto (+classic escaped "
+                         "modes), or one fixed mode")
     ap.add_argument("-wsi", action="store_true", help="MIC3 WSI (RGB input)")
     ap.add_argument("-wavelet", action="store_true", help="Wavelet V2 pipeline")
     ap.add_argument("-gap", action="store_true", help="gap-removal pipeline")
@@ -146,7 +153,8 @@ def main(argv=None) -> int:
         else:
             from .tpu.strips import micw_compress
 
-            blob = micw_compress(px, w, h, mx, entropy=args.entropy)
+            blob = micw_compress(px, w, h, mx, entropy=args.entropy,
+                                 predictor=args.predictor)
     elif args.wavelet:
         from .models.wavelet_pipeline import wavelet_v2_rle_fse_compress
 
