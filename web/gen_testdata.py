@@ -118,6 +118,11 @@ def main() -> int:
         add(f"{nm}_dev_auto.micw",
             micw_compress(px, w, h, mx, predictor="auto"), "micw",
             px.astype("<u2"), width=w, height=h)
+        # Ratio-at-speed capture family: r-mode strips with per-strip
+        # entropy selection (FF 57 and FF 41 mixed in one container).
+        add(f"{nm}_dev_rbest.micw",
+            micw_compress(px, w, h, mx, predictor="auto-r", entropy="best"),
+            "micw", px.astype("<u2"), width=w, height=h)
     if images:
         # FLAG_BANDED container: widths > 512 divisible by 512 store
         # stacked column bands + an 8-byte orig-dims extension; the JS
