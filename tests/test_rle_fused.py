@@ -152,3 +152,24 @@ def test_tiny_tablelog_strips_sweep_floor():
         np.testing.assert_array_equal(np.asarray(out).ravel(), px)
     assert min(seen_tls) <= 6, \
         f"fixture must exercise tiny tableLogs, got {seen_tls}"
+
+
+@pytest.mark.parametrize("seed,pred,ent", [(21, "zzr", "standard"),
+                                           (22, "vdr", "alias"),
+                                           (23, "pdr", "best")])
+def test_rle_fused_random_grammar(seed, pred, ent):
+    """Seeded random run grammars (geometric run lengths, random values,
+    random literal stretches) through the fused device path — the
+    randomized complement to the hand-built adversarial fixtures."""
+    rng = np.random.default_rng(seed)
+    h, w = 64, 128
+    vals = []
+    while sum(len(v) for v in vals) < h * w:
+        if rng.random() < 0.6:
+            vals.append(np.full(int(rng.geometric(0.02)),
+                                rng.integers(0, 1200), np.uint16))
+        else:
+            vals.append(rng.integers(0, 1200,
+                                     int(rng.geometric(0.3))).astype(np.uint16))
+    px = np.concatenate(vals)[: h * w]
+    _roundtrip(px, w, h, pred, ent)
