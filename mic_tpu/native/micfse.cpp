@@ -17,6 +17,9 @@
 #include <cstdint>
 #include <cstring>
 #include <atomic>
+#include <condition_variable>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 #include <memory>
@@ -1298,6 +1301,93 @@ size_t mic_lane_encode(const uint16_t* syms, size_t n, int lanes, int tl,
 // assembly is a straight concat.  Returns total container length, or 0
 // if any strip fails (caller falls back to the Python tier, which
 // raises the matching error).
+// Persistent worker pool for the strip paths.  Per-call std::thread
+// spawn cost (~0.5 ms for 8 workers) exceeded the decode time of a
+// 0.5 MB image's strips, making PICS-C decode SLOWER than single-frame
+// on typical DICOM sizes; the reference amortizes this with long-lived
+// goroutines / a pthread pool (parallelstrips.go:270, mic_parallel.c).
+// Workers park on a condition variable between batches; batches are
+// serialized (one parallel_for at a time — callers come through
+// Python's ctypes layer, which may release the GIL concurrently).
+class WorkPool {
+ public:
+  static WorkPool& inst() {
+    static WorkPool* p = new WorkPool();  // leaked: no shutdown races
+    return *p;
+  }
+
+  // Run fn(0..n-1) across the pool; at most max_workers participants
+  // (including the calling thread).  Blocks until every item ran.
+  void parallel_for(uint32_t n, int max_workers,
+                    const std::function<void(uint32_t)>& fn) {
+    if (n == 0) return;
+    if (max_workers <= 1 || n == 1 || workers_.empty()) {
+      for (uint32_t i = 0; i < n; i++) fn(i);
+      return;
+    }
+    std::lock_guard<std::mutex> batch_lk(batch_m_);
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      job_ = &fn;
+      total_ = n;
+      next_.store(0);
+      done_.store(0);
+      tickets_.store(1);  // the caller holds ticket 0
+      cap_ = max_workers;
+      gen_++;
+    }
+    cv_.notify_all();
+    consume(fn);
+    std::unique_lock<std::mutex> lk(m_);
+    cv_done_.wait(lk, [&] { return done_.load() >= total_; });
+    job_ = nullptr;
+  }
+
+ private:
+  WorkPool() {
+    int hw = (int)std::thread::hardware_concurrency();
+    for (int i = 1; i < (hw > 0 ? hw : 1); i++)
+      workers_.emplace_back([this] { worker(); });
+  }
+
+  void consume(const std::function<void(uint32_t)>& fn) {
+    for (;;) {
+      uint32_t i = next_.fetch_add(1);
+      if (i >= total_) return;
+      fn(i);
+      if (done_.fetch_add(1) + 1 >= total_) {
+        std::lock_guard<std::mutex> lk(m_);
+        cv_done_.notify_all();
+      }
+    }
+  }
+
+  void worker() {
+    uint64_t seen = 0;
+    for (;;) {
+      const std::function<void(uint32_t)>* fn;
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_.wait(lk, [&] { return gen_ != seen; });
+        seen = gen_;
+        fn = job_;
+        if (!fn || tickets_.fetch_add(1) >= cap_) continue;
+      }
+      consume(*fn);
+    }
+  }
+
+  std::vector<std::thread> workers_;
+  std::mutex m_, batch_m_;
+  std::condition_variable cv_, cv_done_;
+  const std::function<void(uint32_t)>* job_ = nullptr;
+  std::atomic<uint32_t> next_{0}, done_{0};
+  std::atomic<int> tickets_{0};
+  uint32_t total_ = 0;
+  int cap_ = 0;
+  uint64_t gen_ = 0;
+};
+
 size_t mic_compress_strips(const uint16_t* pixels, int width, int height,
                            uint16_t max_value, int kind, int n_states,
                            int num_strips, int n_threads,
@@ -1310,30 +1400,20 @@ size_t mic_compress_strips(const uint16_t* pixels, int width, int height,
   std::vector<int> ok(actual, 0);
   int hw = (int)std::thread::hardware_concurrency();
   if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
-  int workers = (int)actual < n_threads ? (int)actual : n_threads;
-  std::atomic<uint32_t> next(0);
-  auto work = [&]() {
-    for (;;) {
-      uint32_t s = next.fetch_add(1);
-      if (s >= actual) return;
-      uint32_t y0 = s * strip_h;
-      uint32_t sh = y0 + strip_h <= (uint32_t)height ? strip_h
-                                                     : (uint32_t)height - y0;
-      size_t n_px = (size_t)sh * width;
-      std::vector<uint8_t>& b = blobs[s];
-      b.resize(n_px * 8 + 1024);  // > any accepted blob (body < 2x words)
-      size_t ln = mic_compress_frame(pixels + (size_t)y0 * width, width,
-                                     (int)sh, max_value, kind, n_states,
-                                     b.data(), b.size());
-      if (ln == 0) { ok[s] = 0; continue; }
-      b.resize(ln);
-      ok[s] = 1;
-    }
-  };
-  std::vector<std::thread> pool;
-  for (int i = 1; i < workers; i++) pool.emplace_back(work);
-  work();
-  for (auto& t : pool) t.join();
+  WorkPool::inst().parallel_for(actual, n_threads, [&](uint32_t s) {
+    uint32_t y0 = s * strip_h;
+    uint32_t sh = y0 + strip_h <= (uint32_t)height ? strip_h
+                                                   : (uint32_t)height - y0;
+    size_t n_px = (size_t)sh * width;
+    std::vector<uint8_t>& b = blobs[s];
+    b.resize(n_px * 8 + 1024);  // > any accepted blob (body < 2x words)
+    size_t ln = mic_compress_frame(pixels + (size_t)y0 * width, width,
+                                   (int)sh, max_value, kind, n_states,
+                                   b.data(), b.size());
+    if (ln == 0) { ok[s] = 0; return; }
+    b.resize(ln);
+    ok[s] = 1;
+  });
   size_t total = 20 + (size_t)actual * 8;
   for (uint32_t s = 0; s < actual; s++) {
     if (!ok[s]) return 0;
@@ -1380,28 +1460,18 @@ int mic_decompress_strips(const uint8_t* blob, size_t len, int kind,
     return 11;
   int hw = (int)std::thread::hardware_concurrency();
   if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
-  int workers = (int)ns < n_threads ? (int)ns : n_threads;
   std::vector<int> rc(ns, 0);
-  std::vector<std::thread> pool;
-  std::atomic<uint32_t> next(0);
-  auto work = [&]() {
-    for (;;) {
-      uint32_t s = next.fetch_add(1);
-      if (s >= ns) return;
-      uint32_t off, sl;
-      memcpy(&off, blob + 20 + (size_t)s * 8, 4);
-      memcpy(&sl, blob + 24 + (size_t)s * 8, 4);
-      size_t base = hdr + off;
-      if (base + sl > len) { rc[s] = 12; continue; }
-      uint64_t y0 = (uint64_t)s * strip_h;
-      uint32_t sh = (uint32_t)(y0 + strip_h <= height ? strip_h : height - y0);
-      rc[s] = mic_decompress_frame(blob + base, sl, (int)width, (int)sh,
-                                   kind, out_pixels + (size_t)y0 * width);
-    }
-  };
-  for (int i = 1; i < workers; i++) pool.emplace_back(work);
-  work();
-  for (auto& t : pool) t.join();
+  WorkPool::inst().parallel_for(ns, n_threads, [&](uint32_t s) {
+    uint32_t off, sl;
+    memcpy(&off, blob + 20 + (size_t)s * 8, 4);
+    memcpy(&sl, blob + 24 + (size_t)s * 8, 4);
+    size_t base = hdr + off;
+    if (base + sl > len) { rc[s] = 12; return; }
+    uint64_t y0 = (uint64_t)s * strip_h;
+    uint32_t sh = (uint32_t)(y0 + strip_h <= height ? strip_h : height - y0);
+    rc[s] = mic_decompress_frame(blob + base, sl, (int)width, (int)sh,
+                                 kind, out_pixels + (size_t)y0 * width);
+  });
   for (uint32_t s = 0; s < ns; s++)
     if (rc[s] != 0) return rc[s];
   return 0;
