@@ -16,6 +16,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 #include <atomic>
 #include <condition_variable>
 #include <functional>
@@ -1346,7 +1347,14 @@ class WorkPool {
  private:
   WorkPool() {
     int hw = (int)std::thread::hardware_concurrency();
-    for (int i = 1; i < (hw > 0 ? hw : 1); i++)
+    if (hw < 1) hw = 1;
+    // MIC_POOL_THREADS overrides the pool size — single-core CI hosts
+    // would otherwise never exercise the cv-dispatch path at all.
+    if (const char* e = std::getenv("MIC_POOL_THREADS")) {
+      int v = std::atoi(e);
+      if (v >= 1 && v <= 256) hw = v;
+    }
+    for (int i = 1; i < hw; i++)
       workers_.emplace_back([this] { worker(); });
   }
 

@@ -233,3 +233,46 @@ def test_noise_rejected_not_hung():
     if available():
         with pytest.raises(ValueError):
             compress_frame_native(arr, 16, 16, int(arr.max()), PRED_AVG, 4)
+
+
+def test_worker_pool_dispatch_subprocess():
+    """Exercise the WorkPool cv-dispatch path explicitly: this container
+    exposes one core (pool would be empty and parallel_for inline), so a
+    subprocess forces MIC_POOL_THREADS=4 and round-trips a threaded PICS
+    container repeatedly, including concurrent callers."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = r"""
+import sys, threading
+sys.path.insert(0, %r)
+import numpy as np
+from mic_tpu import native
+r = np.random.default_rng(1)
+px = (r.standard_normal(512*256)*300 + 1000).clip(0, 4095).astype(np.uint16)
+blob = native.compress_strips_native(px, 512, 256, int(px.max()),
+                                     native.PRED_AVG, 4, 8)
+assert blob is not None
+errs = []
+def w():
+    try:
+        for _ in range(10):
+            out, _, _ = native.decompress_strips_native(blob)
+            assert np.array_equal(out, px)
+    except Exception as e:
+        errs.append(repr(e))
+ts = [threading.Thread(target=w) for _ in range(4)]
+[t.start() for t in ts]; [t.join() for t in ts]
+assert not errs, errs
+b2 = native.compress_strips_native(px, 512, 256, int(px.max()),
+                                   native.PRED_AVG, 4, 8)
+assert b2 == blob
+print("POOL_OK")
+""" % str(Path(__file__).resolve().parent.parent)
+    env = {**os.environ, "MIC_POOL_THREADS": "4"}
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "POOL_OK" in r.stdout
