@@ -1311,6 +1311,19 @@ size_t mic_lane_encode(const uint16_t* syms, size_t n, int lanes, int tl,
 // serialized (one parallel_for at a time — callers come through
 // Python's ctypes layer, which may release the GIL concurrently).
 class WorkPool {
+  // Per-batch state lives in a shared_ptr so a worker that wakes late
+  // (descheduled between the wake and its first item claim) holds the
+  // batch it was woken for: its exhausted counter makes the stale
+  // worker a no-op instead of letting it claim items of a NEWER batch
+  // with the older batch's (by then dangling) function reference.
+  struct Batch {
+    const std::function<void(uint32_t)>* fn;
+    std::atomic<uint32_t> next{0}, done{0};
+    std::atomic<int> tickets{1};  // the caller holds ticket 0
+    uint32_t total = 0;
+    int cap = 0;
+  };
+
  public:
   static WorkPool& inst() {
     static WorkPool* p = new WorkPool();  // leaked: no shutdown races
@@ -1318,7 +1331,8 @@ class WorkPool {
   }
 
   // Run fn(0..n-1) across the pool; at most max_workers participants
-  // (including the calling thread).  Blocks until every item ran.
+  // (including the calling thread).  Blocks until every item ran, so
+  // fn outlives every call a worker can make through this batch.
   void parallel_for(uint32_t n, int max_workers,
                     const std::function<void(uint32_t)>& fn) {
     if (n == 0) return;
@@ -1327,21 +1341,20 @@ class WorkPool {
       return;
     }
     std::lock_guard<std::mutex> batch_lk(batch_m_);
+    auto b = std::make_shared<Batch>();
+    b->fn = &fn;
+    b->total = n;
+    b->cap = max_workers;
     {
       std::lock_guard<std::mutex> lk(m_);
-      job_ = &fn;
-      total_ = n;
-      next_.store(0);
-      done_.store(0);
-      tickets_.store(1);  // the caller holds ticket 0
-      cap_ = max_workers;
+      cur_ = b;
       gen_++;
     }
     cv_.notify_all();
-    consume(fn);
+    consume(*b);
     std::unique_lock<std::mutex> lk(m_);
-    cv_done_.wait(lk, [&] { return done_.load() >= total_; });
-    job_ = nullptr;
+    cv_done_.wait(lk, [&] { return b->done.load() >= b->total; });
+    cur_.reset();
   }
 
  private:
@@ -1358,12 +1371,12 @@ class WorkPool {
       workers_.emplace_back([this] { worker(); });
   }
 
-  void consume(const std::function<void(uint32_t)>& fn) {
+  void consume(Batch& b) {
     for (;;) {
-      uint32_t i = next_.fetch_add(1);
-      if (i >= total_) return;
-      fn(i);
-      if (done_.fetch_add(1) + 1 >= total_) {
+      uint32_t i = b.next.fetch_add(1);
+      if (i >= b.total) return;
+      (*b.fn)(i);
+      if (b.done.fetch_add(1) + 1 >= b.total) {
         std::lock_guard<std::mutex> lk(m_);
         cv_done_.notify_all();
       }
@@ -1373,26 +1386,22 @@ class WorkPool {
   void worker() {
     uint64_t seen = 0;
     for (;;) {
-      const std::function<void(uint32_t)>* fn;
+      std::shared_ptr<Batch> b;
       {
         std::unique_lock<std::mutex> lk(m_);
         cv_.wait(lk, [&] { return gen_ != seen; });
         seen = gen_;
-        fn = job_;
-        if (!fn || tickets_.fetch_add(1) >= cap_) continue;
+        b = cur_;
+        if (!b || b->tickets.fetch_add(1) >= b->cap) continue;
       }
-      consume(*fn);
+      consume(*b);
     }
   }
 
   std::vector<std::thread> workers_;
   std::mutex m_, batch_m_;
   std::condition_variable cv_, cv_done_;
-  const std::function<void(uint32_t)>* job_ = nullptr;
-  std::atomic<uint32_t> next_{0}, done_{0};
-  std::atomic<int> tickets_{0};
-  uint32_t total_ = 0;
-  int cap_ = 0;
+  std::shared_ptr<Batch> cur_;
   uint64_t gen_ = 0;
 };
 
