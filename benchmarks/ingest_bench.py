@@ -42,7 +42,20 @@ def _apply_platform() -> None:
         jax.config.update("jax_platforms", plat)
 
 
-def run_tans(reps: int) -> int:
+def _filter_corpus(corpus, only):
+    """Apply the --only name filter; fail loudly on an empty result (a
+    typo would otherwise crash downstream with an opaque error after
+    burning part of a time-budgeted tunnel window)."""
+    if only:
+        keep = set(only.split(","))
+        corpus = [c for c in corpus if c[0] in keep]
+    if not corpus:
+        print(json.dumps({"error": f"no corpus entries match {only!r}"}))
+        raise SystemExit(1)
+    return corpus
+
+
+def run_tans(reps: int, only: str | None = None) -> int:
     """Kernel-steady-state throughput of the reference-format device
     decoder (pallas_tans) over the corpus's PICS strips."""
     import jax
@@ -59,7 +72,7 @@ def run_tans(reps: int) -> int:
         tans_decode_pallas,
     )
 
-    corpus = load_corpus(False)
+    corpus = _filter_corpus(load_corpus(False), only)
     parsed, sym_bytes = [], 0
     strip_h = 64
     for _name, px, w, h, mx in corpus:
@@ -139,17 +152,14 @@ def main() -> int:
     args = ap.parse_args()
     _apply_platform()
     if args.tans:
-        return run_tans(args.reps)
+        return run_tans(args.reps, args.only)
 
     from benchmarks.run_benchmarks import load_corpus
     from mic_tpu.models.single_frame import compress_single_frame_4state
     from mic_tpu.parallel.strips import compress_parallel_strips_4state
     from mic_tpu.tpu.ingest import ingest_plan
 
-    corpus = load_corpus(False)
-    if args.only:
-        keep = set(args.only.split(","))
-        corpus = [c for c in corpus if c[0] in keep]
+    corpus = _filter_corpus(load_corpus(False), args.only)
     ref_blobs, dims, names, raw = [], [], [], []
     for name, px, w, h, mx in corpus:
         ref_blobs.append(compress_single_frame_4state(px, w, h, mx))

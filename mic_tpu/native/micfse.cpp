@@ -1322,6 +1322,7 @@ class WorkPool {
     std::atomic<int> tickets{1};  // the caller holds ticket 0
     uint32_t total = 0;
     int cap = 0;
+    std::exception_ptr err;  // first throw from fn (guarded by pool m_)
   };
 
  public:
@@ -1353,8 +1354,12 @@ class WorkPool {
     cv_.notify_all();
     consume(*b);
     std::unique_lock<std::mutex> lk(m_);
+    // Never unwind past workers still writing through this batch's fn:
+    // a throw inside fn is captured in consume (the item still counts
+    // as done), the batch drains fully, THEN the first error rethrows.
     cv_done_.wait(lk, [&] { return b->done.load() >= b->total; });
     cur_.reset();
+    if (b->err) std::rethrow_exception(b->err);
   }
 
  private:
@@ -1375,7 +1380,12 @@ class WorkPool {
     for (;;) {
       uint32_t i = b.next.fetch_add(1);
       if (i >= b.total) return;
-      (*b.fn)(i);
+      try {
+        (*b.fn)(i);
+      } catch (...) {
+        std::lock_guard<std::mutex> lk(m_);
+        if (!b.err) b.err = std::current_exception();
+      }
       if (b.done.fetch_add(1) + 1 >= b.total) {
         std::lock_guard<std::mutex> lk(m_);
         cv_done_.notify_all();

@@ -94,6 +94,10 @@ def _hist_or_counts(symbols: np.ndarray, counts: np.ndarray | None):
     if counts is None:
         return histogram(symbols)
     counts = np.ascontiguousarray(counts, dtype=np.uint32)
+    if symbols.size and int(symbols.max()) >= counts.size:
+        # A mismatched bincount (stale stream, pre-cast counts) would
+        # otherwise emit a blob that silently decodes to wrong pixels.
+        raise ValueError("counts shorter than the symbol range")
     return counts, int(counts.max()) if counts.size else 0, int(counts.size)
 
 
@@ -119,11 +123,8 @@ def device_tables(norm: np.ndarray, table_log: int):
     Returns (sym[2^tl] u16, freq_slot[2^tl] u32, bias_slot[2^tl] u32,
              freq_sym, cumul_sym).
     """
-    freqs = _freqs_from_norm(norm)
+    freqs, cumul = encode_tables(norm, table_log)
     table_size = 1 << table_log
-    if int(freqs.sum()) != table_size:
-        raise ValueError("device_tables: freqs do not sum to table size")
-    cumul = np.concatenate(([0], np.cumsum(freqs)))[:-1].astype(np.int32)
     present = np.nonzero(freqs)[0]
     sym = np.repeat(present, freqs[present]).astype(np.uint16)
     slot = np.arange(table_size, dtype=np.int64)
@@ -279,8 +280,7 @@ def alias_slot_tables(norm: np.ndarray, table_log: int):
     bias_slot = np.where(
         is_p, al["sbp"][bkt] + off, al["sba"][bkt] + off - al["t"][bkt]
     ).astype(np.uint32)
-    freqs = _freqs_from_norm(norm)
-    cumul = np.concatenate(([0], np.cumsum(freqs)))[:-1].astype(np.int32)
+    freqs, cumul = encode_tables(norm, table_log)
     return sym, freq_slot, bias_slot, freqs, cumul
 
 

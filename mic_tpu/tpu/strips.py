@@ -388,15 +388,22 @@ def micw_compress(
             return strip_px[:1].astype("<u2").tobytes(), (0, 0, 0, 0, STRIP_MODE_CONST)
         candidates = []  # (estimate, syms, meta, mode)
         direct_cache = {}
+
+        def direct_syms(key):
+            # NOT dict.setdefault: that evaluates the transform eagerly
+            # even on a cache hit, doubling every direct predictor pass
+            # in the auto-r/auto trial sets.
+            if key not in direct_cache:
+                direct_cache[key] = _DIRECT_SYMS[key](strip_px, width, sh)
+            return direct_cache[key]
+
         for pred in trials:
             if pred in _DIRECT_PREDS:
-                syms = direct_cache.setdefault(
-                    pred, _DIRECT_SYMS[pred](strip_px, width, sh))
+                syms = direct_syms(pred)
                 meta = (len(syms), len(syms), 0, 0)
             elif pred in _RLE_DIRECT_PREDS:
-                base = direct_cache.setdefault(
-                    {"zzr": "zzd", "vdr": "vdd", "pdr": "pdd"}[pred],
-                    _DIRECT_SYMS[pred](strip_px, width, sh))
+                base = direct_syms({"zzr": "zzd", "vdr": "vdd",
+                                    "pdr": "pdd"}[pred])
                 syms, n_runs, n_same = soa_encode(base, MID_DIRECT)
                 meta = (len(syms), len(base), n_runs, n_same)
             else:
@@ -441,6 +448,27 @@ def micw_compress(
         # demand they be at least margin-fraction smaller than the best
         # direct candidate before taking the slower family.
         margin = _r_margin()
+        if (best is not None and best_direct is None and margin > 0.0
+                and best[3] not in direct_modes):
+            # The top-5 H0 prune (or a failed standard encode) can drop
+            # every direct candidate; the margin contract needs a direct
+            # comparator, so encode the best-estimated one explicitly.
+            for est, syms, cnts, meta, mode in candidates:
+                if mode not in direct_modes:
+                    continue
+                blob = _encode_candidate(syms, lanes,
+                                         max_bytes=strip_px.nbytes,
+                                         alias=use_alias, counts=cnts)
+                if entropy == "best":
+                    blob_a = _encode_candidate(syms, lanes,
+                                               max_bytes=strip_px.nbytes,
+                                               alias=True, counts=cnts)
+                    if blob_a is not None and (blob is None
+                                               or len(blob_a) < len(blob)):
+                        blob = blob_a
+                if blob is not None:
+                    best_direct = (len(blob), blob, meta, mode)
+                    break
         if (best is not None and best_direct is not None
                 and best[3] not in direct_modes and margin > 0.0
                 and best[0] > (1.0 - margin) * best_direct[0]):

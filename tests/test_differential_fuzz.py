@@ -7,6 +7,8 @@ fixed-fixture cross matrix (ojph/mic_c_test.go TestFourWayComparison,
 fseu16_test.go random sections) with much wider input coverage.
 """
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -20,6 +22,12 @@ from mic_tpu.models.single_frame import (
 )
 
 DOCUMENTED = (IncompressibleError, UseRLEError, ValueError)
+
+
+def _seed(*parts) -> int:
+    """Stable cross-process seed (hash() is salted per interpreter, which
+    would make 'deterministic' fuzz inputs irreproducible across runs)."""
+    return zlib.crc32(repr(parts).encode()) & 0xFFFF
 
 SHAPES = [(8, 8), (37, 53), (64, 64), (33, 65), (128, 96)]
 
@@ -58,7 +66,7 @@ DISTS = ["constant", "smooth", "spiky", "random8", "random16", "medical"]
 @pytest.mark.parametrize("shape", SHAPES)
 def test_fuzz_single_frame_roundtrip(dist, shape):
     w, h = shape
-    px, mx = gen_image(dist, w, h, seed=hash((dist, w, h)) & 0xFFFF)
+    px, mx = gen_image(dist, w, h, seed=_seed(dist, w, h))
     for comp in (compress_single_frame, compress_single_frame_4state,
                  compress_single_frame_8state, compress_single_frame_rans8):
         try:
@@ -76,7 +84,7 @@ def test_fuzz_native_frame_byte_identity(dist, shape):
     """Wherever the Python 4-state frame encoder succeeds, the native
     encoder must emit byte-identical blobs and decode them bit-exactly."""
     w, h = shape
-    px, mx = gen_image(dist, w, h, seed=hash(("nat", dist, w, h)) & 0xFFFF)
+    px, mx = gen_image(dist, w, h, seed=_seed("nat", dist, w, h))
     try:
         py = compress_single_frame_4state(px, w, h, mx)
     except DOCUMENTED:
@@ -140,7 +148,7 @@ def test_fuzz_pics_native_pool_identity(dist):
     from mic_tpu.parallel.strips import compress_parallel_strips_4state
 
     w, h = 96, 120
-    px, mx = gen_image(dist, w, h, seed=hash(("pics", dist)) & 0xFFFF)
+    px, mx = gen_image(dist, w, h, seed=_seed("pics", dist))
     try:
         py = compress_parallel_strips_4state(px, w, h, mx, 4)
     except DOCUMENTED:
@@ -161,7 +169,7 @@ def test_fuzz_micw_host_roundtrip(entropy, dist):
     from mic_tpu.tpu.strips import micw_compress, micw_decompress_host
 
     w, h = 128, 64
-    px, mx = gen_image(dist, w, h, seed=hash(("micw", entropy, dist)) & 0xFFFF)
+    px, mx = gen_image(dist, w, h, seed=_seed("micw", entropy, dist))
     blob = micw_compress(px, w, h, mx, entropy=entropy)
     out, ow, oh = micw_decompress_host(blob)
     assert (ow, oh) == (w, h)
