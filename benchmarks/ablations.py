@@ -131,8 +131,9 @@ def entropy_family_ablation(corpus):
 
     print("\n== MICW entropy family (ratio) ==")
     cols = [("auto-fast", "standard"), ("auto-fast", "alias"),
-            ("auto-fast", "best"), ("auto", "standard"), ("auto", "best")]
-    lbl = {"auto-fast": "fast", "auto": "auto"}
+            ("auto-fast", "best"), ("auto-r", "standard"),
+            ("auto-r", "best"), ("auto", "standard"), ("auto", "best")]
+    lbl = {"auto-fast": "fast", "auto-r": "r", "auto": "auto"}
     print(f"{'Image':6} " + " ".join(f"{lbl[p]}/{e[:4]}".rjust(10) for p, e in cols))
     geos = [[] for _ in cols]
     for name, px, w, h, mx in corpus:
@@ -145,6 +146,31 @@ def entropy_family_ablation(corpus):
         print(" ".join(row))
     print("geomean " + " ".join(
         f"{math.exp(sum(g)/len(g)):>9.3f}x" for g in geos if g))
+
+
+def r_margin_ablation(corpus):
+    """Decode-cost-aware selection axis: ratio cost of demanding an
+    r-mode strip beat the best direct candidate by MICW_R_MARGIN (the
+    hardware ratio-at-speed capture's policy knob)."""
+    import math
+    import os
+
+    from mic_tpu.tpu.strips import micw_compress
+
+    print("\n== MICW_R_MARGIN (auto-r/best ratio vs margin) ==")
+    margins = ["0", "0.02", "0.05", "0.10", "0.25", "1.0"]
+    geos = []
+    for m in margins:
+        os.environ["MICW_R_MARGIN"] = m
+        logs = []
+        for _name, px, w, h, mx in corpus:
+            blob = micw_compress(px, w, h, mx, predictor="auto-r",
+                                 entropy="best")
+            logs.append(math.log(px.nbytes / len(blob)))
+        geos.append(math.exp(sum(logs) / len(logs)))
+    os.environ.pop("MICW_R_MARGIN", None)
+    print("margin  " + " ".join(f"{m:>8}" for m in margins))
+    print("geomean " + " ".join(f"{g:>7.3f}x" for g in geos))
 
 
 def table_memory_report():
@@ -179,6 +205,7 @@ def main() -> int:
     predictor_ablation(corpus)
     mict_sweep(corpus)
     entropy_family_ablation(corpus)
+    r_margin_ablation(corpus)
     table_memory_report()
     return 0
 
