@@ -456,7 +456,15 @@ def main() -> None:
     encode_gbps = None
     attempt = 0
     pending = list(names)
-    entropy = os.environ.get("MIC_BENCH_ENTROPY", "auto")
+    # Default family: alias (FF 41).  Decided by the round-4 full-corpus
+    # hardware A/B — alias won on all 10 images (geomean 15.533 GB/s vs
+    # 11.106 standard, ratio 3.069 vs 3.090, floor 12.2 vs 8.8 GB/s) —
+    # so the capture bets on it directly instead of paying the probe's
+    # claim + first-pull + compile tax (the probe's 420s cap was the
+    # reason two self-deciding captures fell back to standard).  The
+    # attempt-2 retry below still rescues any wedge with the standard
+    # family, so a bad alias day degrades, never zeroes.
+    entropy = os.environ.get("MIC_BENCH_ENTROPY", "alias")
     if entropy == "auto":
         # Probe the alias kernel on tiny shapes first: compiled + run +
         # verified -> the corpus rides the faster tableLog-independent
