@@ -369,6 +369,11 @@ def _run_sub_once(argv: list[str], timeout: float, env: dict | None = None):
                           f"(x{rec['replicas']}, n={rec.get('iters')}, "
                           f"verified={rec.get('verified')})",
                           file=sys.stderr, flush=True)
+                elif "error" in rec:
+                    # Surface child error rows in the driver-visible log:
+                    # a silently-skipped image reads as a hang otherwise.
+                    print(f"[bench] {rec.get('name', '?')}: ERROR "
+                          f"{rec['error']}", file=sys.stderr, flush=True)
     finally:
         sel.close()
         if proc.poll() is None:
