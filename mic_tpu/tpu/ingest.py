@@ -124,10 +124,19 @@ def transcode_auto(
 
 def ingest_plan(ref_blobs, dims=None, kind: int = 0,
                 device_encode: bool = False, entropy: str = "native",
-                target_entropy: str = "standard"):
+                target_entropy: str = "standard", timings: dict | None = None):
     """Transcode a batch of reference blobs and stage them for repeated
     device decode.  ``dims`` supplies (width, height) per bare frame blob
-    (ignored for PICS).  Returns a :class:`MicwDecodePlan`."""
+    (ignored for PICS).  Returns a :class:`MicwDecodePlan`.
+
+    ``timings``, when a dict, receives the per-leg wall-clock split
+    (``decode_s`` native/device reference decode, ``encode_s`` MICW
+    re-encode, ``stage_s`` decode-plan staging) so the ingest benchmark
+    can report where the pipeline's time goes (the reference bar is its
+    PICS-C pthread decode, mic_parallel.c / README.md:323)."""
+    import time as _time
+
+    t0 = _time.time()
     if device_encode:
         # Archive shape: decode all blobs, then ONE device-encode launch
         # for every strip of every image (per-frame launches pay ~75 ms
@@ -140,7 +149,14 @@ def ingest_plan(ref_blobs, dims=None, kind: int = 0,
             px, w, h = _decode_reference(blob, w, h, kind, entropy=entropy)
             px = np.asarray(px, dtype=np.uint16)
             images.append((px, w, h, int(px.max())))
-        return MicwDecodePlan(micw_compress_device_many(images))
+        t1 = _time.time()
+        micw_blobs = micw_compress_device_many(images)
+        t2 = _time.time()
+        plan = MicwDecodePlan(micw_blobs)
+        if timings is not None:
+            timings.update(decode_s=t1 - t0, encode_s=t2 - t1,
+                           stage_s=_time.time() - t2)
+        return plan
     micw_blobs = []
     for i, blob in enumerate(ref_blobs):
         if blob[:4] == b"PICS":
@@ -153,4 +169,12 @@ def ingest_plan(ref_blobs, dims=None, kind: int = 0,
                 transcode_frame(blob, w, h, kind, device_encode=device_encode,
                                 entropy=entropy, target_entropy=target_entropy)
             )
-    return MicwDecodePlan(micw_blobs)
+    t1 = _time.time()
+    plan = MicwDecodePlan(micw_blobs)
+    if timings is not None:
+        # Host transcode interleaves the decode/encode legs per blob; the
+        # combined figure lands in decode_s with encode_s zeroed so
+        # downstream reporting stays shape-stable.
+        timings.update(decode_s=t1 - t0, encode_s=0.0,
+                       stage_s=_time.time() - t1)
+    return plan
