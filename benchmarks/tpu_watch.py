@@ -148,11 +148,13 @@ def playlist(run_dir: Path, budget_left) -> dict:
             e["MICW_R_MARGIN"] = margin
         return e
 
-    # 1. Official-style capture refresh (auto probe picks the family).
+    # 1. Official-style capture refresh.  bench.py's default family is
+    # alias (round-4 A/B decision), so the probe path needs entropy=auto
+    # explicitly — this step exists to exercise exactly that path.
     if budget_left() > 600:
         rc = _child([sys.executable, "bench.py"],
                     min(1500, budget_left()), run_dir / "bench_auto.log",
-                    env=bench_env(None))
+                    env=bench_env("auto"))
         snapshot_detail("auto", run_dir)
         status["bench_auto"] = rc
     # 2. The A/B: one full-corpus capture per stream family.  Per-image
