@@ -271,7 +271,7 @@ def main() -> int:
     }
     if native_available():
         variants["MIC-4s-native"] = (
-            lambda px, w, h, mx: compress_frame_native(px, w, h, mx, PRED_AVG, 4),
+            lambda px, w, h, mx: compress_frame_native(px, w, h, mx, kind=PRED_AVG, n_states=4),
             lambda b, w, h: decompress_frame_native(b, w, h, PRED_AVG),
         )
 

@@ -127,13 +127,31 @@ def decompress_frame_native(blob: bytes, width: int, height: int, kind: int = PR
     return out
 
 
+_VALID_PREDS = (0, 1, 2, 3)  # PRED_AVG/GRAD/MED/ZZ
+_VALID_STATES = (1, 2, 4, 8)
+
+
+def _check_kind_states(kind: int, n_states: int) -> None:
+    """Descriptive errors for the classic footgun: passing the state
+    count positionally where the predictor goes silently selected an
+    invalid predictor and timed the failure-return path once (see
+    ROUND4_NOTES #8) — hence keyword-only kind/n_states everywhere."""
+    if kind not in _VALID_PREDS:
+        raise ValueError(
+            f"invalid predictor kind={kind!r}; use PRED_AVG/PRED_GRAD/"
+            f"PRED_MED/PRED_ZZ (did you mean n_states={kind}?)")
+    if n_states not in _VALID_STATES:
+        raise ValueError(f"invalid n_states={n_states!r}; must be 1, 2, 4 or 8")
+
+
 def compress_frame_native(
     pixels: np.ndarray, width: int, height: int, max_value: int,
-    kind: int = PRED_AVG, n_states: int = 2,
+    *, kind: int = PRED_AVG, n_states: int = 2,
 ) -> bytes:
     lib = _load()
     if not lib:
         raise RuntimeError("libmicfse.so not built (make -C mic_tpu/native)")
+    _check_kind_states(kind, n_states)
     px = np.ascontiguousarray(pixels, dtype=np.uint16)
     cap = px.nbytes * 2 + 4096
     out = (ctypes.c_uint8 * cap)()
@@ -208,7 +226,7 @@ def decompress_strips_native(blob: bytes, kind: int = PRED_AVG, n_threads: int =
 
 
 def compress_strips_native(pixels: np.ndarray, width: int, height: int,
-                           max_value: int, kind: int = PRED_AVG,
+                           max_value: int, *, kind: int = PRED_AVG,
                            n_states: int = 4, num_strips: int = 0,
                            n_threads: int = 0):
     """Whole-container PICS encode on the native std::thread pool
@@ -219,6 +237,7 @@ def compress_strips_native(pixels: np.ndarray, width: int, height: int,
     lib = _load()
     if not lib or not hasattr(lib, "mic_compress_strips"):
         return None
+    _check_kind_states(kind, n_states)
     px = np.ascontiguousarray(pixels, dtype=np.uint16)
     if num_strips <= 0:
         num_strips = os.cpu_count() or 1

@@ -26,10 +26,10 @@ def main() -> int:
         return 0
     for _name, px, w, h, mx in corpus:
         for ns in (2, 4, 8):
-            blob = compress_frame_native(px, w, h, mx, PRED_AVG, ns)
+            blob = compress_frame_native(px, w, h, mx, kind=PRED_AVG, n_states=ns)
             for _ in range(3):
                 decompress_frame_native(blob, w, h, PRED_AVG)
-        gb = compress_frame_native(px, w, h, mx, PRED_GRAD, 4)
+        gb = compress_frame_native(px, w, h, mx, kind=PRED_GRAD, n_states=4)
         decompress_frame_native(gb, w, h, PRED_GRAD)
         sb = compress_parallel_strips_4state(px, w, h, mx, 4)
         decompress_strips_native(sb)

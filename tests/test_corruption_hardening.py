@@ -76,7 +76,7 @@ def test_native_count_above_frame_limit_rejected(rng):
         0, 1023
     ).astype(np.uint16)
     blob = native.compress_frame_native(img.ravel(), 32, 32, int(img.max()),
-                                        native.PRED_AVG, 4)
+                                        kind=native.PRED_AVG, n_states=4)
     huge = _with_count(bytes(blob), 0x7FFFFFF0)
     with pytest.raises(ValueError):
         native.decompress_frame_native(huge, 32, 32, native.PRED_AVG)
@@ -91,7 +91,7 @@ def test_native_truncated_stream_no_crash(rng):
     ).astype(np.uint16)
     blob = bytes(
         native.compress_frame_native(img.ravel(), 40, 48, int(img.max()),
-                                     native.PRED_AVG, 4)
+                                     kind=native.PRED_AVG, n_states=4)
     )
     for cut in list(range(7, min(len(blob), 64))) + [len(blob) - 1]:
         trunc = blob[:cut] + b"\x01"  # keep a nonzero last byte

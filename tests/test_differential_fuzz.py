@@ -89,7 +89,7 @@ def test_fuzz_native_frame_byte_identity(dist, shape):
         py = compress_single_frame_4state(px, w, h, mx)
     except DOCUMENTED:
         pytest.skip("python tier refused (documented)")
-    nat = native.compress_frame_native(px, w, h, mx, native.PRED_AVG, 4)
+    nat = native.compress_frame_native(px, w, h, mx, kind=native.PRED_AVG, n_states=4)
     assert nat == py
     out = native.decompress_frame_native(py, w, h, native.PRED_AVG)
     assert np.array_equal(out, px)
@@ -153,7 +153,7 @@ def test_fuzz_pics_native_pool_identity(dist):
         py = compress_parallel_strips_4state(px, w, h, mx, 4)
     except DOCUMENTED:
         pytest.skip("python tier refused (documented)")
-    nat = native.compress_strips_native(px, w, h, mx, native.PRED_AVG, 4, 4)
+    nat = native.compress_strips_native(px, w, h, mx, kind=native.PRED_AVG, n_states=4, num_strips=4)
     if nat is not None:
         assert nat == py
     out, ow, oh = native.decompress_strips_native(py)
@@ -183,8 +183,8 @@ def test_fuzz_native_corruption_no_crash():
     else.  A segfault here kills the test run — that is the signal."""
     w, h = 96, 120
     px, mx = gen_image("medical", w, h, seed=99)
-    frame = native.compress_frame_native(px, w, h, mx, native.PRED_AVG, 4)
-    pics = native.compress_strips_native(px, w, h, mx, native.PRED_AVG, 4, 4)
+    frame = native.compress_frame_native(px, w, h, mx, kind=native.PRED_AVG, n_states=4)
+    pics = native.compress_strips_native(px, w, h, mx, kind=native.PRED_AVG, n_states=4, num_strips=4)
     r = np.random.default_rng(99)
 
     def mutations(blob):

@@ -49,7 +49,7 @@ def test_four_way_cross_matrix(ct):
 
     px, w, h, mx = ct
     blob_py = compress_single_frame_4state(px, w, h, mx)
-    blob_nat = native.compress_frame_native(px, w, h, mx, native.PRED_AVG, 4)
+    blob_nat = native.compress_frame_native(px, w, h, mx, kind=native.PRED_AVG, n_states=4)
     assert blob_py == blob_nat  # byte identity
 
     out_nat = native.decompress_frame_native(blob_py, w, h, native.PRED_AVG)
@@ -65,7 +65,7 @@ def test_native_predictor_roundtrips(kind, rng):
     h, w = 96, 61
     img = (rng.standard_normal((h, w)).cumsum(axis=1) * 30 + 2000).clip(0, 4095).astype(np.uint16)
     mx = int(img.max())
-    blob = native.compress_frame_native(img.ravel(), w, h, mx, kind, 4)
+    blob = native.compress_frame_native(img.ravel(), w, h, mx, kind=kind, n_states=4)
     out = native.decompress_frame_native(blob, w, h, kind)
     assert np.array_equal(out, img.ravel())
 
@@ -232,7 +232,7 @@ def test_noise_rejected_not_hung():
         compress_single_frame_4state(arr, 16, 16, int(arr.max()))
     if available():
         with pytest.raises(ValueError):
-            compress_frame_native(arr, 16, 16, int(arr.max()), PRED_AVG, 4)
+            compress_frame_native(arr, 16, 16, int(arr.max()), kind=PRED_AVG, n_states=4)
 
 
 def test_worker_pool_dispatch_subprocess():
@@ -253,7 +253,8 @@ from mic_tpu import native
 r = np.random.default_rng(1)
 px = (r.standard_normal(512*256)*300 + 1000).clip(0, 4095).astype(np.uint16)
 blob = native.compress_strips_native(px, 512, 256, int(px.max()),
-                                     native.PRED_AVG, 4, 8)
+                                     kind=native.PRED_AVG, n_states=4,
+                                     num_strips=8)
 assert blob is not None
 errs = []
 def w():
@@ -267,7 +268,8 @@ ts = [threading.Thread(target=w) for _ in range(4)]
 [t.start() for t in ts]; [t.join() for t in ts]
 assert not errs, errs
 b2 = native.compress_strips_native(px, 512, 256, int(px.max()),
-                                   native.PRED_AVG, 4, 8)
+                                   kind=native.PRED_AVG, n_states=4,
+                                   num_strips=8)
 assert b2 == blob
 print("POOL_OK")
 """ % str(Path(__file__).resolve().parent.parent)
@@ -276,3 +278,22 @@ print("POOL_OK")
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr[-500:]
     assert "POOL_OK" in r.stdout
+
+
+def test_compress_frame_kind_states_keyword_only(rng):
+    """The API footgun that once produced a retracted perf claim
+    (ROUND4_NOTES #8): compress_frame_native(px, w, h, mv, 4) passed 4
+    as the PREDICTOR.  kind/n_states are keyword-only now and invalid
+    values raise descriptive errors instead of a silent failure path."""
+    img = (rng.standard_normal((16, 16)).cumsum(axis=1) * 20 + 500).clip(
+        0, 1023
+    ).astype(np.uint16)
+    mx = int(img.max())
+    with pytest.raises(TypeError):
+        native.compress_frame_native(img.ravel(), 16, 16, mx, 4)  # noqa
+    with pytest.raises(ValueError, match="n_states=4"):
+        native.compress_frame_native(img.ravel(), 16, 16, mx, kind=4)
+    with pytest.raises(ValueError, match="n_states"):
+        native.compress_frame_native(img.ravel(), 16, 16, mx, n_states=3)
+    with pytest.raises(TypeError):
+        native.compress_strips_native(img.ravel(), 16, 16, mx, 4)  # noqa
