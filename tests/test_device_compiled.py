@@ -50,6 +50,24 @@ def test_packed_kernel_rle_modes_compiled(rng):
         assert np.array_equal(out, px), pred
 
 
+def test_fused_rle_kernel_compiled(rng):
+    """The fused r-mode kernel (rans_decode_pallas_rle[_alias]) Mosaic-
+    compiled at tiny shapes — the r5 rbest capture 500'd on every image
+    containing an r-strip (results/watch/run_100150/bench_rbest.log),
+    a gap this gate previously left uncovered."""
+    from mic_tpu.tpu.strips import micw_compress, micw_decompress_device_pallas
+
+    img = _tiny_image(rng, h=32)
+    img[16:] = np.where(img[16:] > 800, img[16:], 0)  # runs -> RLE wins
+    px = img.ravel()
+    for pred in ("zzr", "vdr", "pdr"):
+        for ent in ("standard", "alias"):
+            blob = micw_compress(px, 128, 32, int(px.max()), num_strips=2,
+                                 predictor=pred, entropy=ent)
+            out, _, _ = micw_decompress_device_pallas(blob)
+            assert np.array_equal(out, px), (pred, ent)
+
+
 def test_auto_mixed_modes_compiled(rng):
     from mic_tpu.tpu.strips import micw_compress, micw_decode_many
 
