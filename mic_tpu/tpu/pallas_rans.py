@@ -285,7 +285,11 @@ def _kernel_packed(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref,
         syms = []
         for _ in range(8):
             carry, sym = step(carry)
-            syms.append(sym.astype(jnp.uint16).reshape(S, 1, 128))
+            # out dtype follows the ref: uint16 standalone, int32 when the
+            # fused r-kernel's syms scratch (Mosaic cannot dynamic-window
+            # 16-bit packed-sublane refs — it crashes the compile helper;
+            # the i32 scratch keeps phase 2's window gathers legal).
+            syms.append(sym.astype(out_ref.dtype).reshape(S, 1, 128))
         out_ref[:, pl.ds(tb * 8, 8), :] = jnp.concatenate(syms, axis=1)
         return carry
 
@@ -641,7 +645,7 @@ def _kernel_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
 
         carry_tail = (cur + total, ecur + etot)
         if not fused:
-            return (xn, *carry_tail, rowc, rcnt), sym.astype(jnp.uint16)
+            return (xn, *carry_tail, rowc, rcnt), sym.astype(out_ref.dtype)
         si = sym.astype(jnp.int32)
         dz = (si >> 1) ^ (-(si & 1))
         if vdd_ws:
@@ -651,7 +655,7 @@ def _kernel_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
             parts = [p for p in (rowc[:, :c0], pix, rowc[:, c0 + 128 :])
                      if p.shape[1]]
             rowc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-            return (xn, *carry_tail, rowc, rcnt), pix.astype(jnp.uint16)
+            return (xn, *carry_tail, rowc, rcnt), pix.astype(out_ref.dtype)
         ps = jax.lax.dot_general(
             dz.astype(jnp.float32), Mi, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -662,7 +666,7 @@ def _kernel_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
         rowc = pix[:, 127:128]
         rcnt = rcnt + 1
         rcnt = jnp.where(rcnt >= ws_ref[:, :1].astype(jnp.int32), jnp.zeros_like(rcnt), rcnt)
-        return (xn, *carry_tail, rowc, rcnt), pix.astype(jnp.uint16)
+        return (xn, *carry_tail, rowc, rcnt), pix.astype(out_ref.dtype)
 
     UNROLL = 16 if steps % 16 == 0 else 8
 
@@ -909,11 +913,22 @@ def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
         rb, lc, rowc, rcnt = carry
         pos = lane + t * 128
         br = jnp.clip(rb >> 7, 0, max(R - 3, 0))  # window base row
+        # 3-row windows assemble as a 2-row slice (the pow2 relayout
+        # _kernel_zzd proves compiles) + a 1-row slice: the single
+        # (3,128)->(1,384) reshape is a non-pow2 sublane->lane relayout
+        # and was the one construct unique to this kernel when every
+        # r-strip image 500'd Mosaic's remote compile (r5 rbest capture).
         w1 = jnp.concatenate(
-            [st1_ref[s, pl.ds(br[s, 0], 3), :].reshape(1, 384)
+            [jnp.concatenate(
+                [st1_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256),
+                 st1_ref[s, pl.ds(br[s, 0] + 2, 1), :].reshape(1, 128)],
+                axis=1)
              for s in range(S)], axis=0)
         w2 = jnp.concatenate(
-            [st2_ref[s, pl.ds(br[s, 0], 3), :].reshape(1, 384)
+            [jnp.concatenate(
+                [st2_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256),
+                 st2_ref[s, pl.ds(br[s, 0] + 2, 1), :].reshape(1, 128)],
+                axis=1)
              for s in range(S)], axis=0)
         # Run assignment: count window starts <= position.  Entries
         # before rb in the window are earlier runs (start <= row base),
@@ -1012,8 +1027,12 @@ def _kernel_rle_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
 
 
 def _rle_scratch(G, steps, maxr):
+    # syms is int32, NOT uint16: phase 2's dynamic-offset window gathers
+    # (run tables, literal pulls) are illegal on 16-bit packed-sublane
+    # refs under Mosaic — every r-strip compile 500'd until the scratch
+    # went 32-bit (r5 bisect, /tmp/kbisect stages 1 vs 6).
     return [
-        pltpu.VMEM((G, steps, 128), jnp.uint16),
+        pltpu.VMEM((G, steps, 128), jnp.int32),
         pltpu.VMEM((G, maxr // 128, 128), jnp.int32),
         pltpu.VMEM((G, maxr // 128, 128), jnp.int32),
     ]
