@@ -312,7 +312,7 @@ def rans_encode_pallas_alias(ranks, te1, te2, ar1, ar2, count, tls, *,
     )(ranks, te1, te2, ar1, ar2, count, tls)
 
 
-def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = None, max_table_log: int = 12, on_error: str = "raise", alias: bool = False):
+def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = None, max_table_log: int = 12, on_error: str = "raise", alias: bool = False, max_bytes: list | None = None):
     """Encode many u16 symbol streams into MICT blobs with the Pallas
     encode kernel (one launch for the whole batch).  Blobs are
     byte-identical to device_rans.mict_encode(stream, lanes=128,
@@ -328,7 +328,9 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
     encoder per stream (caller handles fallback per strip); streams whose
     alphabet exceeds 4096 raise IncompressibleError.  With
     on_error="none", failing streams yield None instead (the kernel runs
-    on the encodable subset).
+    on the encodable subset).  ``max_bytes`` supplies a per-stream byte
+    budget (host mict_encode's max_bytes; default = the stream's own raw
+    size) — blobs at or over budget fail like any sentinel error.
     """
     import struct
 
@@ -467,7 +469,10 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
         out += words.astype("<u2").tobytes()
         if alias:
             out += esc_info[1].astype("<u2").tobytes()
-        if len(out) >= n * 2:
+        budget = n * 2
+        if max_bytes is not None and max_bytes[slot_of[i]] is not None:
+            budget = max_bytes[slot_of[i]]
+        if len(out) >= budget:
             if on_error == "raise":
                 raise IncompressibleError
             continue
@@ -475,131 +480,146 @@ def mict_encode_device_batch(streams, lanes: int = 128, table_log: int | None = 
     return blobs
 
 
-def micw_compress_device(pixels, width: int, height: int, max_value: int, num_strips: int = 0, entropy: str = "standard"):
-    """MICW compression with the entropy stage on the TPU (zzd predictor).
+def micw_compress_device(pixels, width: int, height: int, max_value: int,
+                         num_strips: int = 0, entropy: str = "standard",
+                         predictor: str = "zzd"):
+    """MICW compression with the entropy stage on the TPU.
 
-    Byte-identical to strips.micw_compress(..., predictor="zzd"): the
-    zigzag row-delta transform is a vectorized host pass (negligible),
-    every strip's rANS encode runs in ONE Pallas launch, and strips the
-    entropy coder rejects fall back to raw — same container either way.
-    ``entropy="alias"`` writes FF 41 strips (rans_encode_pallas_alias,
-    byte-identical to the host alias encoder).
-    """
+    Byte-identical to strips.micw_compress(pixels, ..., predictor=
+    predictor, entropy=entropy) for every predictor/entropy combination
+    — see micw_compress_device_many."""
     return micw_compress_device_many(
         [(pixels, width, height, max_value, num_strips)], entropy=entropy,
+        predictor=predictor,
     )[0]
 
 
-def micw_compress_device_many(images, entropy: str = "standard"):
-    """Device-encode MANY images into MICW containers with ONE Pallas
-    launch for all strips of all images — the archive-migration shape
-    (per-frame launches pay ~75 ms tunnel RPC each; a 1000-frame study
-    batched here pays one).  ``images`` is a list of (pixels, width,
-    height, max_value[, num_strips]); returns the containers blob-order,
-    each byte-identical to micw_compress_device on that image."""
-    if entropy not in ("standard", "alias"):
+def micw_compress_device_many(images, entropy: str = "standard",
+                              predictor: str = "zzd"):
+    """Device-encode MANY images into MICW containers — the archive-
+    migration shape (per-frame launches pay ~75 ms tunnel RPC each; a
+    1000-frame study batched here pays one launch per stream family).
+
+    ``images`` is a list of (pixels, width, height, max_value
+    [, num_strips]); returns the containers blob-order, each
+    byte-identical to strips.micw_compress on that image with the same
+    ``predictor``/``entropy`` — including the adaptive trial sets
+    ("auto-fast", "auto-r", "auto") and entropy="best".  Identity holds
+    because candidate generation and selection are the SAME code
+    (strips._strip_candidates / _strip_select); this function merely
+    pre-encodes every candidate the selector may ask for, batched into
+    at most two Pallas launches (one FF 57, one FF 41) covering all
+    strips of all images, with per-stream raw-size budgets
+    (reference anchor: the C encoder covers every shipped format,
+    mic_compress_c.c:915-955)."""
+    if entropy not in ("standard", "alias", "best"):
         raise ValueError(f"micw device encode: unknown entropy {entropy!r}")
     import struct as _struct
 
     from .strips import (
         ALIAS_TABLE_LOG,
         FLAG_ADAPTIVE,
+        FLAG_AVG_PREDICTOR,
         FLAG_BANDED,
         FLAG_DIRECT,
         MAX_TABLE_LOG,
         MICW_BAND_W,
         MICW_MAGIC,
         STRIP_MODE_CONST,
-        STRIP_MODE_RAW,
-        STRIP_MODE_ZZD,
+        _rle_mid,
+        _strip_candidates,
+        _strip_requests,
+        _strip_select,
+        _trials_for,
         band_split,
     )
 
-    prep = []  # per image: (width, height, max_value, actual, strip_h, streams, raws, consts, band)
-    all_streams = []
+    trials = _trials_for(predictor)
+
+    prep = []  # per image: (width, height, max_value, actual, strip_h, entries, band)
+    jobs = {False: [], True: []}  # alias? -> [(syms, counts, max_bytes)]
     for spec in images:
         pixels, width, height, max_value = spec[:4]
         num_strips = spec[4] if len(spec) > 4 else 0
         pixels = np.asarray(pixels, dtype=np.uint16)
         if len(pixels) != width * height:
             raise ValueError("micw: pixel count mismatch")
-        # Wide images band exactly like the host encoder (FLAG_BANDED,
-        # strips.micw_compress) — part of the byte-identity contract and
-        # of the shared compiled-program-family property.
+        # Wide images band exactly like the host encoder (FLAG_BANDED) —
+        # part of the byte-identity contract and of the shared
+        # compiled-program-family property.
         orig_w, orig_h = width, height
         banded = width > MICW_BAND_W and width % MICW_BAND_W == 0
         if banded:
             pixels, width, height = band_split(pixels, width, height)
         if num_strips <= 0:
             # Same default geometry as the host container (128-row
-            # strips, scaled by the band count for banded images) —
-            # part of the byte-identity contract.
+            # strips, scaled by the band count for banded images).
             rows = 128 * (orig_w // width if banded else 1)
             num_strips = max(1, height // rows)
         num_strips = max(1, min(num_strips, height))
         strip_h = (height + num_strips - 1) // num_strips
         actual = (height + strip_h - 1) // strip_h
+        mid = _rle_mid(max_value)
 
-        streams = []
-        raws = []
-        consts = []
+        entries = []
         for s in range(actual):
             y0 = s * strip_h
             y1 = min(y0 + strip_h, height)
+            sh = y1 - y0
             strip_px = pixels[y0 * width : y1 * width]
             if strip_px[0] == strip_px.max() and strip_px[0] == strip_px.min():
-                # Constant strip: 2-byte payload, no kernel work (matches
-                # the host encoder's STRIP_MODE_CONST byte-for-byte).
-                consts.append(True)
-                streams.append(np.zeros(0, np.uint16))
-                raws.append(strip_px)
+                entries.append(("const", strip_px))
                 continue
-            consts.append(False)
-            img = strip_px.reshape(y1 - y0, width).astype(np.int64)
-            left = np.zeros_like(img)
-            left[:, 1:] = img[:, :-1]
-            d16 = (img - left).astype(np.uint16).astype(np.int16)
-            syms = (((d16.astype(np.int32) << 1) ^ (d16.astype(np.int32) >> 15)) & 0xFFFF
-                    ).astype(np.uint16).ravel()
-            streams.append(syms)
-            raws.append(strip_px)
-        prep.append((width, height, max_value, actual, strip_h,
-                     streams, raws, consts,
+            candidates = _strip_candidates(strip_px, width, sh, max_value,
+                                           mid, trials, entropy)
+            slots = {}
+            for i, alias in _strip_requests(candidates, len(trials), entropy):
+                jobs[alias].append((candidates[i][1], candidates[i][2],
+                                    strip_px.nbytes))
+                slots[(i, alias)] = len(jobs[alias]) - 1
+            entries.append(("enc", strip_px, candidates, slots))
+        prep.append((width, height, max_value, actual, strip_h, entries,
                      (orig_w, orig_h) if banded else None))
-        all_streams.extend(s for s, c in zip(streams, consts) if not c)
 
-    # Same tableLog caps as the host container's _encode_candidate (11
-    # for the packed-sweep decode, 12 for tl-independent alias) — part
-    # of the byte-identity contract.
-    encoded = mict_encode_device_batch(
-        all_streams, on_error="none",
-        alias=entropy == "alias",
-        max_table_log=ALIAS_TABLE_LOG if entropy == "alias" else MAX_TABLE_LOG,
-    ) if all_streams else []
-    enc_iter = iter(encoded)
+    # One Pallas launch per stream family for every candidate of every
+    # strip of every image.
+    results = {
+        alias: (mict_encode_device_batch(
+            [j[0] for j in batch], on_error="none", alias=alias,
+            max_table_log=ALIAS_TABLE_LOG if alias else MAX_TABLE_LOG,
+            max_bytes=[j[2] for j in batch],
+        ) if batch else [])
+        for alias, batch in jobs.items()
+    }
 
     outs = []
-    for (width, height, max_value, actual, strip_h,
-         streams, raws, consts, band) in prep:
+    for (width, height, max_value, actual, strip_h, entries, band) in prep:
         blobs = []
         metas = []
-        for syms, raw, is_const in zip(streams, raws, consts):
-            if is_const:
-                blobs.append(raw[:1].astype("<u2").tobytes())
+        for entry in entries:
+            if entry[0] == "const":
+                strip_px = entry[1]
+                blobs.append(strip_px[:1].astype("<u2").tobytes())
                 metas.append((0, 0, 0, 0, STRIP_MODE_CONST))
                 continue
-            enc = next(enc_iter)
-            if enc is None or len(enc) >= raw.nbytes:
-                blobs.append(raw.astype("<u2").tobytes())
-                metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_RAW))
-            else:
-                blobs.append(enc)
-                metas.append((len(syms), len(syms), 0, 0, STRIP_MODE_ZZD))
+            _tag, strip_px, candidates, slots = entry
+
+            def enc(i, alias, _slots=slots):
+                # Direct indexing: a (candidate, family) pair the request
+                # enumeration missed must KeyError, not silently diverge
+                # from the host selection.
+                return results[alias][_slots[(i, alias)]]
+
+            blob, meta = _strip_select(candidates, strip_px, len(trials),
+                                       entropy, enc)
+            blobs.append(blob)
+            metas.append(meta)
 
         out = bytearray()
         out += MICW_MAGIC
         out += _struct.pack("<IIII", width, height, actual, strip_h)
-        flags = FLAG_ADAPTIVE | FLAG_DIRECT
+        flags = FLAG_ADAPTIVE | {"avg": FLAG_AVG_PREDICTOR,
+                                 "zzd": FLAG_DIRECT}.get(predictor, 0)
         if band is not None:
             flags |= FLAG_BANDED
         out += _struct.pack("<HBB", max_value, flags, 7)
@@ -607,7 +627,8 @@ def micw_compress_device_many(images, entropy: str = "standard"):
             out += _struct.pack("<II", *band)
         offset = 0
         for blob, (n_soa, n_tok, n_runs, n_same, mode) in zip(blobs, metas):
-            out += _struct.pack("<IIIIIII", offset, len(blob), n_soa, n_tok, n_runs, n_same, mode)
+            out += _struct.pack("<IIIIIII", offset, len(blob), n_soa, n_tok,
+                                n_runs, n_same, mode)
             offset += len(blob)
         outs.append(bytes(out) + b"".join(blobs))
     return outs

@@ -299,6 +299,157 @@ def _estimate_bytes(syms: np.ndarray, alias: bool = False,
     return h_bits / 8 + 1.2 * len(nz)  # ~ncount header cost per symbol
 
 
+def _trials_for(predictor: str) -> list[str]:
+    """Trial set for a predictor spec (shared by the host and device
+    encoders — see micw_compress for the rationale per set)."""
+    if predictor == "auto":
+        return ["zzd", "vdd", "pdd", "zzr", "vdr", "pdr", "zz", "avg"]
+    if predictor == "auto-r":
+        # Direct + RLE'd-direct trial set: the ratio-at-speed candidate
+        # (corpus geomean 3.286 with entropy="best" vs 3.117 for
+        # auto-fast) — still escape-free and bit-depth-free, but r-mode
+        # strips pay the SoA-RLE expand post program on decode.
+        return list(_DIRECT_PREDS) + list(_RLE_DIRECT_PREDS)
+    if predictor == "auto-fast":
+        # Scan-parallel AND program-family-free modes only: avg's decode
+        # needs the anti-diagonal wavefront post program (serial in
+        # 2*height+width steps) and zz's escape-resolution post is both
+        # bit-depth-specific (mid/delim statics) and a multi-minute XLA
+        # compile on the service backend — the direct and r- (RLE'd
+        # direct) modes invert with prefix scans and share one compiled
+        # family across all bit depths.
+        return list(AUTO_FAST_TRIALS)
+    if predictor in _MODE_PRED.values():
+        return [predictor]
+    raise ValueError(f"micw: unknown predictor {predictor!r}")
+
+
+def _strip_candidates(strip_px, width, sh, max_value, mid, trials, entropy):
+    """Phase 1 of strip encoding: the ranked candidate streams
+    [(est, syms, counts, meta, mode)], sorted by the H0 size estimate.
+    Shared by the host encoder (micw_compress) and the device batch
+    encoder (pallas_enc.micw_compress_device_many) so candidate
+    generation can never drift between the two."""
+    candidates = []  # (estimate, syms, counts, meta, mode)
+    direct_cache = {}
+
+    def direct_syms(key):
+        # NOT dict.setdefault: that evaluates the transform eagerly
+        # even on a cache hit, doubling every direct predictor pass
+        # in the auto-r/auto trial sets.
+        if key not in direct_cache:
+            direct_cache[key] = _DIRECT_SYMS[key](strip_px, width, sh)
+        return direct_cache[key]
+
+    for pred in trials:
+        if pred in _DIRECT_PREDS:
+            syms = direct_syms(pred)
+            meta = (len(syms), len(syms), 0, 0)
+        elif pred in _RLE_DIRECT_PREDS:
+            base = direct_syms({"zzr": "zzd", "vdr": "vdd",
+                                "pdr": "pdd"}[pred])
+            syms, n_runs, n_same = soa_encode(base, MID_DIRECT)
+            meta = (len(syms), len(base), n_runs, n_same)
+        else:
+            tokens = _escaped_tokens(strip_px, width, sh, max_value, pred)
+            syms, n_runs, n_same = soa_encode(tokens, mid)
+            meta = (len(syms), len(tokens), n_runs, n_same)
+        # "best" must keep wide-alphabet candidates standard would
+        # drop: alias can escape-fold them (the standard encode then
+        # simply returns None for those and alias wins the strip).
+        cnts = np.bincount(syms)
+        est = _estimate_bytes(syms, alias=entropy in ("alias", "best"),
+                              counts=cnts)
+        if est != float("inf"):  # keep the strip packed-kernel eligible
+            candidates.append((est, syms, cnts, meta, _PRED_MODE[pred]))
+    # Rank by the H0 estimate and entropy-encode only the top five —
+    # the estimate tracks each stream's size to ~1% but is blind to
+    # the fixed per-blob overhead (init states + ncount width), so a
+    # narrow prune can drop the true winner when short RLE'd streams
+    # compete with direct ones.
+    candidates.sort(key=lambda c: c[0])
+    return candidates
+
+
+def _strip_requests(candidates, n_trials, entropy):
+    """Every (candidate_idx, alias) pair :func:`_strip_select` may ask
+    its encoder for — the device batch encoder pre-encodes exactly this
+    set, so the selection below sees the same blobs either way."""
+    use_alias = entropy == "alias"
+    direct_modes = {_PRED_MODE[p] for p in _DIRECT_PREDS}
+    reqs = set()
+    for i in range(min(5 if n_trials > 1 else 1, len(candidates))):
+        reqs.add((i, use_alias))
+        if entropy == "best":
+            reqs.add((i, True))
+    if _r_margin() > 0.0:
+        for i, c in enumerate(candidates):
+            if c[4] in direct_modes:
+                reqs.add((i, use_alias))
+                if entropy == "best":
+                    reqs.add((i, True))
+    return sorted(reqs)
+
+
+def _strip_select(candidates, strip_px, n_trials, entropy, enc):
+    """Phase 2 of strip encoding: pick the winning blob.  ``enc(i,
+    alias)`` returns candidate i's encoded bytes or None (sentinel
+    failure / over the raw-size budget).  Selection is size-first with
+    the "best" dual encode, the MICW_R_MARGIN decode-cost guard and the
+    raw fallback (the WSI planeRaw analog)."""
+    use_alias = entropy == "alias"
+    best = best_direct = None  # (len, blob, meta, mode)
+    direct_modes = {_PRED_MODE[p] for p in _DIRECT_PREDS}
+
+    def enc_best(i):
+        blob = enc(i, use_alias)
+        if entropy == "best":
+            blob_a = enc(i, True)
+            if blob_a is not None and (blob is None or len(blob_a) < len(blob)):
+                blob = blob_a
+        return blob
+
+    for i, (_est, _syms, _cnts, meta, mode) in enumerate(
+            candidates[: 5 if n_trials > 1 else 1]):
+        blob = enc_best(i)
+        if blob is None:
+            continue
+        if best is None or len(blob) < best[0]:
+            best = (len(blob), blob, meta, mode)
+        if mode in direct_modes and (best_direct is None
+                                     or len(blob) < best_direct[0]):
+            best_direct = (len(blob), blob, meta, mode)
+    # Decode-cost-aware selection (MICW_R_MARGIN, default 0 = pure
+    # size): non-direct winners (r-modes / classic RLE) pay the
+    # SoA-RLE expand post program on decode, so the capture can
+    # demand they be at least margin-fraction smaller than the best
+    # direct candidate before taking the slower family.
+    margin = _r_margin()
+    if (best is not None and best_direct is None and margin > 0.0
+            and best[3] not in direct_modes):
+        # The top-5 H0 prune (or a failed standard encode) can drop
+        # every direct candidate; the margin contract needs a direct
+        # comparator, so encode the best-estimated one explicitly.
+        for i, (_est, _syms, _cnts, meta, mode) in enumerate(candidates):
+            if mode not in direct_modes:
+                continue
+            blob = enc_best(i)
+            if blob is not None:
+                best_direct = (len(blob), blob, meta, mode)
+                break
+    if (best is not None and best_direct is not None
+            and best[3] not in direct_modes and margin > 0.0
+            and best[0] > (1.0 - margin) * best_direct[0]):
+        best = best_direct
+    raw = strip_px.astype("<u2").tobytes()
+    if best is None or best[0] >= len(raw):
+        # Raw fallback — the MICW analog of the WSI planeRaw path
+        # (constant or incompressible strips).
+        n = len(strip_px)
+        return raw, (n, n, 0, 0, STRIP_MODE_RAW)
+    return best[1], (*best[2], best[3])
+
+
 def micw_compress(
     pixels,
     width: int,
@@ -355,27 +506,7 @@ def micw_compress(
     strip_h = (height + num_strips - 1) // num_strips
     actual = (height + strip_h - 1) // strip_h
     mid = _rle_mid(max_value)
-    if predictor == "auto":
-        trials = ["zzd", "vdd", "pdd", "zzr", "vdr", "pdr", "zz", "avg"]
-    elif predictor == "auto-r":
-        # Direct + RLE'd-direct trial set: the ratio-at-speed candidate
-        # (corpus geomean 3.286 with entropy="best" vs 3.117 for
-        # auto-fast) — still escape-free and bit-depth-free, but r-mode
-        # strips pay the SoA-RLE expand post program on decode.
-        trials = list(_DIRECT_PREDS) + list(_RLE_DIRECT_PREDS)
-    elif predictor == "auto-fast":
-        # Scan-parallel AND program-family-free modes only: avg's decode
-        # needs the anti-diagonal wavefront post program (serial in
-        # 2*height+width steps) and zz's escape-resolution post is both
-        # bit-depth-specific (mid/delim statics) and a multi-minute XLA
-        # compile on the service backend — the direct and r- (RLE'd
-        # direct) modes invert with prefix scans and share one compiled
-        # family across all bit depths.
-        trials = list(AUTO_FAST_TRIALS)
-    elif predictor in _MODE_PRED.values():
-        trials = [predictor]
-    else:
-        raise ValueError(f"micw: unknown predictor {predictor!r}")
+    trials = _trials_for(predictor)
 
     def encode_strip(s):
         y0 = s * strip_h
@@ -386,99 +517,15 @@ def micw_compress(
             # Constant strip: 2-byte payload (WSI planeConstant trick) —
             # far below any entropy stream's fixed init-state overhead.
             return strip_px[:1].astype("<u2").tobytes(), (0, 0, 0, 0, STRIP_MODE_CONST)
-        candidates = []  # (estimate, syms, meta, mode)
-        direct_cache = {}
+        candidates = _strip_candidates(strip_px, width, sh, max_value, mid,
+                                       trials, entropy)
 
-        def direct_syms(key):
-            # NOT dict.setdefault: that evaluates the transform eagerly
-            # even on a cache hit, doubling every direct predictor pass
-            # in the auto-r/auto trial sets.
-            if key not in direct_cache:
-                direct_cache[key] = _DIRECT_SYMS[key](strip_px, width, sh)
-            return direct_cache[key]
+        def enc(i, alias):
+            return _encode_candidate(candidates[i][1], lanes,
+                                     max_bytes=strip_px.nbytes, alias=alias,
+                                     counts=candidates[i][2])
 
-        for pred in trials:
-            if pred in _DIRECT_PREDS:
-                syms = direct_syms(pred)
-                meta = (len(syms), len(syms), 0, 0)
-            elif pred in _RLE_DIRECT_PREDS:
-                base = direct_syms({"zzr": "zzd", "vdr": "vdd",
-                                    "pdr": "pdd"}[pred])
-                syms, n_runs, n_same = soa_encode(base, MID_DIRECT)
-                meta = (len(syms), len(base), n_runs, n_same)
-            else:
-                tokens = _escaped_tokens(strip_px, width, sh, max_value, pred)
-                syms, n_runs, n_same = soa_encode(tokens, mid)
-                meta = (len(syms), len(tokens), n_runs, n_same)
-            # "best" must keep wide-alphabet candidates standard would
-            # drop: alias can escape-fold them (the standard encode then
-            # simply returns None for those and alias wins the strip).
-            cnts = np.bincount(syms)
-            est = _estimate_bytes(syms, alias=use_alias or entropy == "best",
-                                  counts=cnts)
-            if est != float("inf"):  # keep the strip packed-kernel eligible
-                candidates.append((est, syms, cnts, meta, _PRED_MODE[pred]))
-        # Rank by the H0 estimate and entropy-encode only the top five —
-        # the estimate tracks each stream's size to ~1% but is blind to
-        # the fixed per-blob overhead (init states + ncount width), so a
-        # narrow prune can drop the true winner when short RLE'd streams
-        # compete with direct ones.
-        candidates.sort(key=lambda c: c[0])
-        best = best_direct = None  # (len, blob, meta, mode)
-        direct_modes = {_PRED_MODE[p] for p in _DIRECT_PREDS}
-        for est, syms, cnts, meta, mode in candidates[: 5 if len(trials) > 1 else 1]:
-            blob = _encode_candidate(syms, lanes, max_bytes=strip_px.nbytes,
-                                     alias=use_alias, counts=cnts)
-            if entropy == "best":
-                blob_a = _encode_candidate(syms, lanes,
-                                           max_bytes=strip_px.nbytes, alias=True,
-                                           counts=cnts)
-                if blob_a is not None and (blob is None or len(blob_a) < len(blob)):
-                    blob = blob_a
-            if blob is None:
-                continue
-            if best is None or len(blob) < best[0]:
-                best = (len(blob), blob, meta, mode)
-            if mode in direct_modes and (best_direct is None
-                                         or len(blob) < best_direct[0]):
-                best_direct = (len(blob), blob, meta, mode)
-        # Decode-cost-aware selection (MICW_R_MARGIN, default 0 = pure
-        # size): non-direct winners (r-modes / classic RLE) pay the
-        # SoA-RLE expand post program on decode, so the capture can
-        # demand they be at least margin-fraction smaller than the best
-        # direct candidate before taking the slower family.
-        margin = _r_margin()
-        if (best is not None and best_direct is None and margin > 0.0
-                and best[3] not in direct_modes):
-            # The top-5 H0 prune (or a failed standard encode) can drop
-            # every direct candidate; the margin contract needs a direct
-            # comparator, so encode the best-estimated one explicitly.
-            for est, syms, cnts, meta, mode in candidates:
-                if mode not in direct_modes:
-                    continue
-                blob = _encode_candidate(syms, lanes,
-                                         max_bytes=strip_px.nbytes,
-                                         alias=use_alias, counts=cnts)
-                if entropy == "best":
-                    blob_a = _encode_candidate(syms, lanes,
-                                               max_bytes=strip_px.nbytes,
-                                               alias=True, counts=cnts)
-                    if blob_a is not None and (blob is None
-                                               or len(blob_a) < len(blob)):
-                        blob = blob_a
-                if blob is not None:
-                    best_direct = (len(blob), blob, meta, mode)
-                    break
-        if (best is not None and best_direct is not None
-                and best[3] not in direct_modes and margin > 0.0
-                and best[0] > (1.0 - margin) * best_direct[0]):
-            best = best_direct
-        raw = strip_px.astype("<u2").tobytes()
-        if best is None or best[0] >= len(raw):
-            # Raw fallback — the MICW analog of the WSI planeRaw path
-            # (constant or incompressible strips).
-            return raw, (sh * width, sh * width, 0, 0, STRIP_MODE_RAW)
-        return best[1], (*best[2], best[3])
+        return _strip_select(candidates, strip_px, len(trials), entropy, enc)
 
     # Strips encode independently; measured sequential (a thread pool
     # bought nothing here — the GIL serializes the numpy share and only
@@ -555,6 +602,34 @@ def micw_parse(blob: bytes):
     else:
         predictor = "zz"
     return width, height, num_strips, strip_h, max_value, predictor, 1 << lanes_log2, strips
+
+
+def _stack_dev(arrs, pad_axis=None):
+    """Stack per-chunk operand arrays and move them to device.  When
+    every chunk is the SAME array object (replica-chunk memo hits — the
+    bench/serving warm-pool shape), h2d ONE copy and broadcast on
+    device: replicated-batch staging h2d drops by the chunk-replica
+    factor (MR2's 20 s stage was dominated by tunnel h2d of 128
+    identical replicas — VERDICT r4 #4)."""
+    same = len(arrs) > 1 and all(a is arrs[0] for a in arrs[1:])
+    n = len(arrs)
+    if same:
+        arrs = arrs[:1]
+    if pad_axis is not None:
+        m = max(a.shape[pad_axis] for a in arrs)
+        out = []
+        for a in arrs:
+            if a.shape[pad_axis] == m:
+                out.append(a)
+                continue
+            pad = [(0, 0)] * a.ndim
+            pad[pad_axis] = (0, m - a.shape[pad_axis])
+            out.append(np.pad(a, pad))
+        arrs = out
+    if same:
+        base = jnp.asarray(arrs[0])
+        return jnp.broadcast_to(base[None], (n,) + base.shape)
+    return jnp.asarray(np.stack(arrs))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -1183,16 +1258,7 @@ def _alias_chunks(entries, min_steps: int = 0):
     steps = max(b[10] for b in built)
 
     def stack(idx, pad_axis=None):
-        arrs = [b[idx] for b in built]
-        if pad_axis is not None:
-            m = max(a.shape[pad_axis] for a in arrs)
-            arrs = [
-                np.pad(a, [(0, 0)] * pad_axis
-                       + [(0, m - a.shape[pad_axis])]
-                       + [(0, 0)] * (a.ndim - pad_axis - 1))
-                for a in arrs
-            ]
-        return jnp.asarray(np.stack(arrs))
+        return _stack_dev([b[idx] for b in built], pad_axis=pad_axis)
 
     ws = np.zeros((n_chunks, pad_to, 128), np.uint32)
     for ci, ch in enumerate(chunks):
@@ -1365,26 +1431,30 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
 
     use_packed = True
     built = []
+    build_memo: dict[tuple, object] = {}
     for pc, _sc in chunks:
-        pk = build_packed_tables(pc, tl, min_steps=steps_g)
+        ck = tuple(id(p) for p in pc)  # replica chunks repeat
+        pk = build_memo.get(ck)
+        if pk is None:
+            pk = build_packed_tables(pc, tl, min_steps=steps_g)
+            build_memo[ck] = pk
         if pk is None:
             use_packed = False
             break
         built.append(pk)
     if not use_packed:
-        built = [build_pallas_tables(pc, tl, min_steps=steps_g) for pc, _sc in chunks]
+        build_memo.clear()
+        built = []
+        for pc, _sc in chunks:
+            ck = tuple(id(p) for p in pc)
+            pk = build_memo.get(ck)
+            if pk is None:
+                pk = build_pallas_tables(pc, tl, min_steps=steps_g)
+                build_memo[ck] = pk
+            built.append(pk)
 
     def _stack(idx, pad_axis=None):
-        arrs = [b[idx] for b in built]
-        if pad_axis is not None:
-            m = max(a.shape[pad_axis] for a in arrs)
-            out = []
-            for a in arrs:
-                pad = [(0, 0)] * a.ndim
-                pad[pad_axis] = (0, m - a.shape[pad_axis])
-                out.append(np.pad(a, pad))
-            arrs = out
-        return jnp.asarray(np.stack(arrs))
+        return _stack_dev([b[idx] for b in built], pad_axis=pad_axis)
 
     steps = max(b[7] for b in built)
     if use_packed:
@@ -1888,16 +1958,7 @@ class MicwDecodePlan:
             asweep = max(bk[8] for bk in built)
 
             def stack(idx, pad_axis=None, _built=built):
-                arrs = [bk[idx] for bk in _built]
-                if pad_axis is not None:
-                    m = max(a.shape[pad_axis] for a in arrs)
-                    arrs = [
-                        np.pad(a, [(0, 0)] * pad_axis
-                               + [(0, m - a.shape[pad_axis])]
-                               + [(0, 0)] * (a.ndim - pad_axis - 1))
-                        for a in arrs
-                    ]
-                return jnp.asarray(np.stack(arrs))
+                return _stack_dev([bk[idx] for bk in _built], pad_axis=pad_axis)
 
             ws = np.zeros((n_chunks, pad_to, 128), np.uint32)
             for ci, ch in enumerate(chunks):
@@ -2140,18 +2201,34 @@ class MicwDecodePlan:
                 return None
             items.append((k, fn))
         ops_tree = [fn.ops for _k, fn in items]
+        # Replica batches ([blob]*k with [px]*k expected) produce
+        # bucket rows that repeat with period S/k — h2d ONE period and
+        # tile on device (the expected arrays dominated replicated-plan
+        # staging: 128 x 2 MB per banded image through the tunnel).
+        k_rep = 1
+        if (len(self.blobs) > 1
+                and all(b is self.blobs[0] for b in self.blobs[1:])
+                and all(e is expected_per_blob[0]
+                        for e in expected_per_blob[1:])):
+            k_rep = len(self.blobs)
         exps = []
         for k, _fn in items:
             segs = exp_buckets[k]
             S = len(segs)
             cols = max(len(seg) for seg in segs.values())
-            exp = np.zeros((S, cols), np.uint16)
-            valid = np.zeros((S, 1), np.int32)
-            for i in range(S):
+            p_rows = S // k_rep if (k_rep > 1 and S % k_rep == 0) else S
+            exp = np.zeros((p_rows, cols), np.uint16)
+            valid = np.zeros((p_rows, 1), np.int32)
+            for i in range(p_rows):
                 seg = segs[i]
                 exp[i, : len(seg)] = seg
                 valid[i, 0] = len(seg)
-            exps.append((jnp.asarray(exp), jnp.asarray(valid)))
+            if p_rows != S:
+                reps = S // p_rows
+                exps.append((jnp.tile(jnp.asarray(exp), (reps, 1)),
+                             jnp.tile(jnp.asarray(valid), (reps, 1))))
+            else:
+                exps.append((jnp.asarray(exp), jnp.asarray(valid)))
         cols_list = [int(e[0].shape[1]) for e in exps]
         fns = [fn for _k, fn in items]
 

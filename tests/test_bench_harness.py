@@ -141,3 +141,38 @@ def test_r_margin_selector(monkeypatch):
     for blob in (b0, b1):
         out, w, h = micw_decompress_host(blob)
         assert np.array_equal(np.asarray(out).ravel(), px)
+
+
+def test_merge_meta_entropy_from_rows():
+    """ADVICE r4: a mixed capture (alias rows + standard rescue rows)
+    must label _meta.entropy 'mixed', not the last attempt's env."""
+    live = {"CT": {**_row(14.0), "entropy": "alias"},
+            "MR": {**_row(12.0), "entropy": "standard"}}
+    merged = bench.merge_detail(PRIOR, live, entropy="standard")
+    assert merged["_meta"]["entropy"] == "mixed"
+    live_one = {"CT": {**_row(14.0), "entropy": "alias"}}
+    assert bench.merge_detail(PRIOR, live_one,
+                              entropy="standard")["_meta"]["entropy"] == "alias"
+
+
+def test_rgb_row_measures_on_cpu(monkeypatch, capsys):
+    """The RGB bench row (VERDICT r4 #6) through the full plan + macro
+    runner on a tiny synthetic RGB image (CPU interpret kernels)."""
+    import json
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = (rng.standard_normal((32, 128, 1)).cumsum(0) * 5 + 120)
+    rgb = np.clip(base + rng.integers(0, 3, (32, 128, 3)), 0, 255).astype(np.uint8)
+    monkeypatch.setattr(bench, "TARGET_STRIPS", 2)
+    monkeypatch.setattr(bench, "MAX_ITERS", 2)
+    monkeypatch.setattr(bench, "TARGET_T", 0.01)
+    bench._measure_one_rgb("RGBX", ("RGBX", rgb, 128, 32), lambda tag: None)
+    rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()
+            if line.startswith("{")]
+    row = next(r for r in rows if r.get("name") == "RGBX")
+    assert row["kind"] == "rgb"
+    assert row["verified"] is True
+    assert row["GBps"] > 0
+    assert row["ratio"] > 1.0
