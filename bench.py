@@ -289,19 +289,24 @@ def _measure_one_rgb(name, entry, phase) -> None:
     blob = micwr_compress(rgb, w, h, predictor=pred,
                           entropy="standard" if ent == "auto" else ent)
     _w, _h, planes = mwr3_parse(blob)
-    plane_exp = [np.asarray(pl, np.uint16) for pl in ycocgr_forward(rgb, w, h)]
+    from mic_tpu.tpu.rgb_device import _pad_plane
+
+    plane_exp = [_pad_plane(np.asarray(pl, np.uint16), w, h)[0]
+                 for pl in ycocgr_forward(rgb, w, h)]
     total_strips = 0
     timed_plane_px = 0
+    total_plane_px = 0
     for pb in planes:
         bw, bh, ns, sh, _mv, _gp, _lanes, strips = micw_parse(pb)
         total_strips += ns
+        total_plane_px += bw * bh
         timed_plane_px += sum(
             min(sh, bh - i * sh) * bw
             for i, st in enumerate(strips)
             if st[5] not in (STRIP_MODE_RAW, STRIP_MODE_CONST)
         )
     rgb_bytes = int(np.asarray(rgb).nbytes)
-    timed_bytes = rgb_bytes * timed_plane_px / (3.0 * w * h)
+    timed_bytes = rgb_bytes * timed_plane_px / float(total_plane_px)
     k = max(1, min(MAX_REPLICAS, TARGET_STRIPS // max(1, total_strips)))
     t0 = time.time()
     plan = MicwDecodePlan(list(planes) * k)

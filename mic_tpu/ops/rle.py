@@ -226,7 +226,7 @@ def rle_to_soa(stream, start: int, mid_count: int):
     return soa, len(counts), len(same_vals)
 
 
-def soa_encode(tokens, mid_count: int):
+def soa_encode(tokens, mid_count: int, min_same: int = 3):
     """Vectorized token stream -> structure-of-arrays RLE.
 
     Produces ``(soa_symbols, n_runs, n_same)`` with the same block
@@ -253,7 +253,11 @@ def soa_encode(tokens, mid_count: int):
     starts = np.nonzero(change)[0]
     lens = np.diff(np.append(starts, n))
     vals = t[starts]
-    is_same = lens >= 3
+    # ``min_same`` is the run-density knob: same-runs shorter than it
+    # stay literals, so any W-px output window spans at most
+    # 2*ceil(W/(min_same+1))+2 runs — the bound the fast device expand
+    # kernel's per-row candidate window relies on (FLAG_RDENSE).
+    is_same = lens >= min_same
 
     # Group consecutive non-same runs into literal stretches.
     grp = np.cumsum(is_same)  # same id for runs inside one literal stretch
@@ -286,6 +290,17 @@ def soa_encode(tokens, mid_count: int):
     lit_cap = max(1, mid - 1)
     blocks = []  # (start_pos, kind, a, b) kind0 same (len, val), kind1 lit (lo, hi)
     for s0, ln, v in zip(same_start.tolist(), same_len.tolist(), same_val.tolist()):
+        # With a density bound in force (min_same > 3), a run longer
+        # than mid must not leave a short tail chunk: split evenly so
+        # every chunk stays >= min_same (each >= mid//2 >= min_same).
+        if min_same > 3 and ln > mid:
+            k = -(-ln // mid)
+            base, rem = divmod(ln, k)
+            for j in range(k):
+                c = base + (1 if j < rem else 0)
+                blocks.append((s0, 0, c, v))
+                s0 += c
+            continue
         while ln > 0:
             c = min(ln, mid)
             blocks.append((s0, 0, c, v))

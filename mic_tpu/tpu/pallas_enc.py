@@ -518,10 +518,13 @@ def micw_compress_device_many(images, entropy: str = "standard",
 
     from .strips import (
         ALIAS_TABLE_LOG,
+        _PRED_MODE,
+        _RLE_DIRECT_PREDS,
         FLAG_ADAPTIVE,
         FLAG_AVG_PREDICTOR,
         FLAG_BANDED,
         FLAG_DIRECT,
+        FLAG_RDENSE,
         MAX_TABLE_LOG,
         MICW_BAND_W,
         MICW_MAGIC,
@@ -622,6 +625,9 @@ def micw_compress_device_many(images, entropy: str = "standard",
                                  "zzd": FLAG_DIRECT}.get(predictor, 0)
         if band is not None:
             flags |= FLAG_BANDED
+        r_modes = {_PRED_MODE[pr] for pr in _RLE_DIRECT_PREDS}
+        if any(m[4] in r_modes for m in metas):
+            flags |= FLAG_RDENSE
         out += _struct.pack("<HBB", max_value, flags, 7)
         if band is not None:
             out += _struct.pack("<II", *band)

@@ -24,6 +24,7 @@ bounded VMEM (Mosaic double-buffers the per-group blocks).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -824,8 +825,9 @@ def RLE_GROUP() -> int:
     """Strips per grid program for the r-mode kernel: the syms scratch
     ([G, steps, 128] u16) plus the output block ([G, out_rows, 128] u16)
     cap the group below GROUP() (VMEM ~16 MB/core; steps and out_rows
-    both reach 1024 on 256-row strips)."""
-    return 8
+    both reach 1024 on 256-row strips).  MIC_RLE_GROUP overrides for
+    hardware sweeps."""
+    return int(os.environ.get("MIC_RLE_GROUP", "8"))
 
 
 def _sweep_take(win, idx, chunks: int):
@@ -843,7 +845,7 @@ def _sweep_take(win, idx, chunks: int):
 
 def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
                       ws_ref, out_ref, *, steps, out_rows, n_strips,
-                      maxr, mid_count, vdd_ws):
+                      maxr, mid_count, vdd_ws, dense=False):
     """Phases 1.5+2 of the fused r-mode decode (see section comment).
 
     Reads the decoded SoA symbol stream from ``syms_ref`` ([S, steps,
@@ -851,7 +853,16 @@ def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
     ``st1/st2`` scratch, then emits PIXELS row by row into ``out_ref``.
     ``mid_count`` is the format constant (MID_DIRECT for r-modes):
     counts <= mid are same-runs of that length, counts > mid literal
-    runs of count - mid symbols."""
+    runs of count - mid symbols.
+
+    ``dense=True`` selects the FLAG_RDENSE fast path: the encoder
+    guaranteed same-runs are >= RDENSE_MIN_SAME px (strips.py), so any
+    128-px output row spans <= 20 runs and the per-row run search
+    shrinks from a [128, 384] window compare to a 32-candidate
+    gather+compare ([S, 32, 128] elementwise, ~12x fewer lane-ops).
+    A hostile blob that lies about the flag decodes to garbage (clipped
+    gathers, static loops) but cannot fault or hang — same integrity
+    contract as the rest of the codec (no CRC)."""
     S = n_strips
     R = maxr // 128
     HUGE = jnp.int32(1 << 30)
@@ -912,41 +923,68 @@ def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
     def step2(carry, t, col):
         rb, lc, rowc, rcnt = carry
         pos = lane + t * 128
-        br = jnp.clip(rb >> 7, 0, max(R - 3, 0))  # window base row
-        # 3-row windows assemble as a 2-row slice (the pow2 relayout
-        # _kernel_zzd proves compiles) + a 1-row slice: the single
-        # (3,128)->(1,384) reshape is a non-pow2 sublane->lane relayout
-        # and was the one construct unique to this kernel when every
-        # r-strip image 500'd Mosaic's remote compile (r5 rbest capture).
-        w1 = jnp.concatenate(
-            [jnp.concatenate(
-                [st1_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256),
-                 st1_ref[s, pl.ds(br[s, 0] + 2, 1), :].reshape(1, 128)],
-                axis=1)
-             for s in range(S)], axis=0)
-        w2 = jnp.concatenate(
-            [jnp.concatenate(
-                [st2_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256),
-                 st2_ref[s, pl.ds(br[s, 0] + 2, 1), :].reshape(1, 128)],
-                axis=1)
-             for s in range(S)], axis=0)
-        # Run assignment: count window starts <= position.  Entries
-        # before rb in the window are earlier runs (start <= row base),
-        # so the raw in-window count IS the global count offset by
-        # br*128; rb never drifts past base+129 per row, well inside
-        # the 384-entry window.
-        cnts, nxts = [], []
         nxt_pos = (t + 1) * 128
-        for s in range(S):
-            starts_s = w1[s:s + 1] >> 1  # [1, 384]
-            cmp = (starts_s <= pos[s].reshape(128, 1)).astype(jnp.int32)
-            cnts.append(jnp.sum(cmp, axis=1).reshape(1, 128))
-            nxts.append(jnp.sum((starts_s <= nxt_pos).astype(jnp.int32)).reshape(1, 1))
-        cnt = jnp.concatenate(cnts, axis=0)
-        nxt = jnp.concatenate(nxts, axis=0)
-        rl = jnp.clip(cnt - 1, 0, 383)
-        g1 = _sweep_take(w1, rl, 3)
-        g2 = _sweep_take(w2, rl, 3)
+        if dense:
+            # FLAG_RDENSE fast path: gather the 32 candidate runs at rb
+            # once (2-row window covers lo<=255: rb drifts <=20/row) and
+            # search only those — candidate 0 is the run containing the
+            # row start, and the density bound caps a row at <=20 runs.
+            br = jnp.clip(rb >> 7, 0, max(R - 2, 0))
+            w1 = jnp.concatenate(
+                [st1_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256)
+                 for s in range(S)], axis=0)
+            w2 = jnp.concatenate(
+                [st2_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256)
+                 for s in range(S)], axis=0)
+            idx = jnp.clip((rb - (br << 7)) + lane, 0, 255)
+            c1 = _sweep_take(w1, idx, 2)
+            c2 = _sweep_take(w2, idx, 2)
+            starts_c = (c1 >> 1)[:, :32]  # HUGE entries stay huge
+            cnt = jnp.sum(
+                (starts_c[:, :, None] <= pos[:, None, :]).astype(jnp.int32),
+                axis=1)  # [S, 128], >= 1 (candidate 0 starts <= row base)
+            nxt = jnp.sum((starts_c <= nxt_pos).astype(jnp.int32), axis=1,
+                          keepdims=True)
+            rl = jnp.clip(cnt - 1, 0, 127)
+            g1 = jnp.take_along_axis(c1, rl, axis=1)
+            g2 = jnp.take_along_axis(c2, rl, axis=1)
+            rb = jnp.clip(rb + nxt - 1, 0, maxr - 1)
+        else:
+            br = jnp.clip(rb >> 7, 0, max(R - 3, 0))  # window base row
+            # 3-row windows assemble as a 2-row slice (the pow2 relayout
+            # _kernel_zzd proves compiles) + a 1-row slice: the single
+            # (3,128)->(1,384) reshape is a non-pow2 sublane->lane relayout
+            # and was the one construct unique to this kernel when every
+            # r-strip image 500'd Mosaic's remote compile (r5 rbest capture).
+            w1 = jnp.concatenate(
+                [jnp.concatenate(
+                    [st1_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256),
+                     st1_ref[s, pl.ds(br[s, 0] + 2, 1), :].reshape(1, 128)],
+                    axis=1)
+                 for s in range(S)], axis=0)
+            w2 = jnp.concatenate(
+                [jnp.concatenate(
+                    [st2_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256),
+                     st2_ref[s, pl.ds(br[s, 0] + 2, 1), :].reshape(1, 128)],
+                    axis=1)
+                 for s in range(S)], axis=0)
+            # Run assignment: count window starts <= position.  Entries
+            # before rb in the window are earlier runs (start <= row base),
+            # so the raw in-window count IS the global count offset by
+            # br*128; rb never drifts past base+129 per row, well inside
+            # the 384-entry window.
+            cnts, nxts = [], []
+            for s in range(S):
+                starts_s = w1[s:s + 1] >> 1  # [1, 384]
+                cmp = (starts_s <= pos[s].reshape(128, 1)).astype(jnp.int32)
+                cnts.append(jnp.sum(cmp, axis=1).reshape(1, 128))
+                nxts.append(jnp.sum((starts_s <= nxt_pos).astype(jnp.int32)).reshape(1, 1))
+            cnt = jnp.concatenate(cnts, axis=0)
+            nxt = jnp.concatenate(nxts, axis=0)
+            rl = jnp.clip(cnt - 1, 0, 383)
+            g1 = _sweep_take(w1, rl, 3)
+            g2 = _sweep_take(w2, rl, 3)
+            rb = jnp.clip(br * 128 + nxt - 1, 0, maxr - 1)
         is_s = (g1 & 1) == 1
         # Literal pull: src advances monotonically by <= 128 per row, so
         # a 256 window at the literal cursor covers the whole row.
@@ -960,7 +998,6 @@ def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
         tok = jnp.where(is_s, g2, lv)
         nlit = jnp.sum(1 - is_s.astype(jnp.int32), axis=1).reshape(S, 1)
         lc = jnp.clip(lc + nlit, 0, steps * 128 - 1)
-        rb = jnp.clip(br * 128 + nxt - 1, 0, maxr - 1)
         # Predictor tail (same as _kernel_zzd): unzigzag, then the row
         # prefix matmul (zzr/pdr) or the previous-row carry (vdr).
         dz = (tok >> 1) ^ (-(tok & 1))
@@ -998,32 +1035,50 @@ def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
                       (zero, nrun + nsame, rowc0, zero))
 
 
+def _phase1_only(syms_ref, out_ref, *, steps, out_rows, n_strips):
+    """Profiling stub (MIC_RLE_PHASE1_ONLY=1): emit the raw decoded syms
+    instead of expanding, so the entropy phase's share of the fused
+    r-kernel can be timed in isolation.  Output is NOT pixels."""
+    k = min(steps, out_rows)
+    out_ref[:, :k, :] = syms_ref[:, :k, :].astype(jnp.uint16)
+    if out_rows > k:
+        out_ref[:, k:, :] = jnp.zeros((n_strips, out_rows - k, 128), jnp.uint16)
+
+
 def _kernel_rle(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref, shift_ref,
                 ws_ref, nrun_ref, nsame_ref, out_ref, syms_ref, st1_ref,
                 st2_ref, *, steps, out_rows, n_strips, table_log, asweep,
-                maxr, mid_count, vdd_ws):
+                maxr, mid_count, vdd_ws, dense=False):
     _kernel_packed(init_ref, tpk_ref, alpha_ref, words_ref, mask_ref,
                    shift_ref, syms_ref, steps=steps, n_strips=n_strips,
                    table_log=table_log, asweep=asweep)
+    if os.environ.get("MIC_RLE_PHASE1_ONLY") == "1":
+        _phase1_only(syms_ref, out_ref, steps=steps, out_rows=out_rows,
+                     n_strips=n_strips)
+        return
     _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
                       ws_ref, out_ref, steps=steps, out_rows=out_rows,
                       n_strips=n_strips, maxr=maxr, mid_count=mid_count,
-                      vdd_ws=vdd_ws)
+                      vdd_ws=vdd_ws, dense=dense)
 
 
 def _kernel_rle_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
                       shift_ref, escv_ref, esides_ref, ws_ref, nrun_ref,
                       nsame_ref, out_ref, syms_ref, st1_ref, st2_ref, *,
                       steps, out_rows, n_strips, maxr, mid_count, esc,
-                      vdd_ws):
+                      vdd_ws, dense=False):
     _kernel_alias(init_ref, w0_ref, w1_ref, w2_ref, words_ref, mask_ref,
                   shift_ref, escv_ref, esides_ref, ws_ref, syms_ref,
                   steps=steps, n_strips=n_strips, vdd_ws=0, fused=False,
                   esc=esc)
+    if os.environ.get("MIC_RLE_PHASE1_ONLY") == "1":
+        _phase1_only(syms_ref, out_ref, steps=steps, out_rows=out_rows,
+                     n_strips=n_strips)
+        return
     _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
                       ws_ref, out_ref, steps=steps, out_rows=out_rows,
                       n_strips=n_strips, maxr=maxr, mid_count=mid_count,
-                      vdd_ws=vdd_ws)
+                      vdd_ws=vdd_ws, dense=dense)
 
 
 def _rle_scratch(G, steps, maxr):
@@ -1040,10 +1095,10 @@ def _rle_scratch(G, steps, maxr):
 
 @partial(jax.jit, static_argnames=("steps", "out_rows", "n_strips",
                                    "table_log", "asweep", "maxr",
-                                   "mid_count", "vdd_ws"))
+                                   "mid_count", "vdd_ws", "dense"))
 def rans_decode_pallas_rle(init, tpk, alpha, words, mask, shift, ws, nrun,
                            nsame, *, steps, out_rows, n_strips, table_log,
-                           asweep, maxr, mid_count, vdd_ws=0):
+                           asweep, maxr, mid_count, vdd_ws=0, dense=False):
     """Fused r-mode decode over packed tables (FF 57 streams): rANS +
     SoA-RLE expand + direct-predictor inverse in one kernel.  Returns
     uint16[S, out_rows, 128] PIXELS (pdr callers apply the column
@@ -1065,7 +1120,7 @@ def rans_decode_pallas_rle(init, tpk, alpha, words, mask, shift, ws, nrun,
             init, tpk, alpha, words, mask, shift, ws, nrun, nsame,
             steps=steps, out_rows=out_rows, n_strips=S + pad,
             table_log=table_log, asweep=asweep, maxr=maxr,
-            mid_count=mid_count, vdd_ws=vdd_ws,
+            mid_count=mid_count, vdd_ws=vdd_ws, dense=dense,
         )
         return full[:S]
     grid = S // G
@@ -1073,7 +1128,7 @@ def rans_decode_pallas_rle(init, tpk, alpha, words, mask, shift, ws, nrun,
     return pl.pallas_call(
         partial(_kernel_rle, steps=steps, out_rows=out_rows, n_strips=G,
                 table_log=table_log, asweep=asweep, maxr=maxr,
-                mid_count=mid_count, vdd_ws=vdd_ws),
+                mid_count=mid_count, vdd_ws=vdd_ws, dense=dense),
         out_shape=jax.ShapeDtypeStruct((S, out_rows, 128), jnp.uint16),
         grid=(grid,),
         in_specs=[
@@ -1094,10 +1149,11 @@ def rans_decode_pallas_rle(init, tpk, alpha, words, mask, shift, ws, nrun,
 
 
 @partial(jax.jit, static_argnames=("steps", "out_rows", "n_strips", "maxr",
-                                   "mid_count", "esc", "vdd_ws"))
+                                   "mid_count", "esc", "vdd_ws", "dense"))
 def rans_decode_pallas_rle_alias(init, w0, w1, w2, words, mask, shift, escv,
                                  esides, ws, nrun, nsame, *, steps, out_rows,
-                                 n_strips, maxr, mid_count, esc, vdd_ws=0):
+                                 n_strips, maxr, mid_count, esc, vdd_ws=0,
+                                 dense=False):
     """Alias-bucket (FF 41) variant of rans_decode_pallas_rle — same
     fused expand + predictor tail behind the 3-gather entropy front end,
     so alias r-mode strips keep the family-collapse property (no
@@ -1118,13 +1174,14 @@ def rans_decode_pallas_rle_alias(init, w0, w1, w2, words, mask, shift, escv,
             init, w0, w1, w2, words, mask, shift, escv, esides, ws, nrun,
             nsame, steps=steps, out_rows=out_rows, n_strips=S + pad,
             maxr=maxr, mid_count=mid_count, esc=esc, vdd_ws=vdd_ws,
+            dense=dense,
         )
         return full[:S]
     grid = S // G
     return pl.pallas_call(
         partial(_kernel_rle_alias, steps=steps, out_rows=out_rows,
                 n_strips=G, maxr=maxr, mid_count=mid_count, esc=esc,
-                vdd_ws=vdd_ws),
+                vdd_ws=vdd_ws, dense=dense),
         out_shape=jax.ShapeDtypeStruct((S, out_rows, 128), jnp.uint16),
         grid=(grid,),
         in_specs=[

@@ -33,6 +33,32 @@ __all__ = [
 MWR3_MAGIC = b"MWR3"
 
 
+def _pad_plane(plane: np.ndarray, width: int, height: int):
+    """Edge-pad a plane's columns to the next multiple of 128.
+
+    The fused Pallas decode kernels require width % 128 == 0 (their
+    phase-2 row machinery emits 128-px output rows); camera-geometry
+    images (the NEMA VL corpus is 756 wide) would otherwise fall to the
+    packed-kernel + XLA-expand post path, ~5-100x slower on chip.  Edge
+    replication makes the padded columns' zzd/vdd deltas zero, so the
+    ratio cost is ~0.2% (far below the 756->768 pixel fraction of 1.6%).
+    The MWR3 header keeps the TRUE width; each plane blob's own MICW
+    header carries the padded width, and every decode path crops —
+    pre-padding blobs (padded == true width) crop as a no-op."""
+    pw = -(-width // 128) * 128
+    if pw == width:
+        return plane, width
+    p2 = np.asarray(plane, np.uint16).reshape(height, width)
+    return np.pad(p2, ((0, 0), (0, pw - width)), mode="edge").ravel(), pw
+
+
+def _crop_plane(plane, pw: int, width: int, height: int):
+    """Undo _pad_plane on a decoded plane (no-op when pw == width)."""
+    if pw == width:
+        return plane
+    return np.asarray(plane, np.uint16).reshape(height, pw)[:, :width].ravel()
+
+
 def micwr_compress(rgb, width: int, height: int, num_strips: int = 0,
                    predictor: str = "auto", entropy: str = "standard") -> bytes:
     """Interleaved RGB bytes -> MWR3 (three MICW plane blobs).
@@ -43,11 +69,12 @@ def micwr_compress(rgb, width: int, height: int, num_strips: int = 0,
     mode at full speed.  Pass "auto-fast" for device-throughput-first
     planes."""
     y, co, cg = ycocgr_forward(rgb, width, height)
-    blobs = [
-        micw_compress(p, width, height, int(p.max()), num_strips=num_strips,
-                      predictor=predictor, entropy=entropy)
-        for p in (y, co, cg)
-    ]
+    blobs = []
+    for p in (y, co, cg):
+        pp, pw = _pad_plane(p, width, height)
+        blobs.append(
+            micw_compress(pp, pw, height, int(pp.max()), num_strips=num_strips,
+                          predictor=predictor, entropy=entropy))
     out = bytearray()
     out += MWR3_MAGIC
     out += struct.pack("<II", width, height)
@@ -67,7 +94,8 @@ def micwr_compress_device_many(rgbs, entropy: str = "standard"):
     images = []
     for rgb, width, height in rgbs:
         for p in ycocgr_forward(rgb, width, height):
-            images.append((p, width, height, int(p.max())))
+            pp, pw = _pad_plane(p, width, height)
+            images.append((pp, pw, height, int(pp.max())))
     plane_blobs = micw_compress_device_many(images, entropy=entropy)
     outs = []
     for i, (_rgb, width, height) in enumerate(rgbs):
@@ -102,7 +130,8 @@ def _parse(blob: bytes):
 
 def micwr_decompress_host(blob: bytes):
     width, height, planes = _parse(blob)
-    y, co, cg = (micw_decompress_host(p)[0] for p in planes)
+    y, co, cg = (_crop_plane(px, pw, width, height)
+                 for px, pw, _ph in (micw_decompress_host(p) for p in planes))
     return ycocgr_inverse(y, co, cg, width, height), width, height
 
 
@@ -117,7 +146,8 @@ def micwr_decode_many(blobs):
     decoded = micw_decode_many(flat)
     out = []
     for i, (width, height, _planes) in enumerate(metas):
-        y, co, cg = (decoded[3 * i + j][0] for j in range(3))
+        y, co, cg = (_crop_plane(decoded[3 * i + j][0], decoded[3 * i + j][1],
+                                 width, height) for j in range(3))
         out.append((ycocgr_inverse(y, co, cg, width, height), width, height))
     return out
 

@@ -88,6 +88,12 @@ FLAG_AVG_PREDICTOR = 0x01
 FLAG_DIRECT = 0x02  # zz-direct: no RLE, no escapes (mod-2^16 ZigZag diffs)
 FLAG_ADAPTIVE = 0x04  # v4: per-strip predictor modes (PICA's trick,
 #                       reference parallelstripsadaptive.go:90-103)
+FLAG_RDENSE = 0x10  # v6: every r-mode strip's run stream is dense —
+#                     same-runs >= RDENSE_MIN_SAME px (soa_encode
+#                     min_same), so a 128-px output row spans <= 20 runs
+#                     and the device expand kernel may use the
+#                     32-candidate fast search (pallas_rans dense=True).
+RDENSE_MIN_SAME = 16
 FLAG_BANDED = 0x08  # v5: wide images split into MICW_BAND_W-wide column
 #                     bands stacked vertically (pure pixel permutation);
 #                     an 8-byte extension (orig_width u32, orig_height
@@ -348,7 +354,14 @@ def _strip_candidates(strip_px, width, sh, max_value, mid, trials, entropy):
         elif pred in _RLE_DIRECT_PREDS:
             base = direct_syms({"zzr": "zzd", "vdr": "vdd",
                                 "pdr": "pdd"}[pred])
-            syms, n_runs, n_same = soa_encode(base, MID_DIRECT)
+            # Dense grammar (FLAG_RDENSE): same-runs >= 16 px.  Slightly
+            # BETTER ratio than min-run 3 (short same-runs cost two
+            # run-table symbols to save <= 16 literals and widen the
+            # count alphabet) and it bounds runs/row for the fast
+            # device expand (measured on CT1/MR3/MR4/XA1: geomean
+            # 3.896 dense vs 3.862 legacy).
+            syms, n_runs, n_same = soa_encode(base, MID_DIRECT,
+                                              min_same=RDENSE_MIN_SAME)
             meta = (len(syms), len(base), n_runs, n_same)
         else:
             tokens = _escaped_tokens(strip_px, width, sh, max_value, pred)
@@ -542,6 +555,9 @@ def micw_compress(
     )
     if banded:
         flags |= FLAG_BANDED
+    r_modes = {_PRED_MODE[p] for p in _RLE_DIRECT_PREDS}
+    if any(m[4] in r_modes for m in metas):
+        flags |= FLAG_RDENSE
     out += struct.pack("<HBB", max_value, flags, int(np.log2(lanes)))
     if banded:
         out += struct.pack("<II", orig_w, orig_h)
@@ -1070,6 +1086,13 @@ def _r_margin() -> float:
         return 0.0
 
 
+def _rle_dense_on() -> bool:
+    """Kill switch for the FLAG_RDENSE fast expand (MIC_RLE_DENSE=0
+    forces the legacy 384-window search even on dense blobs — the
+    hardware A/B axis for the 32-candidate search)."""
+    return os.environ.get("MIC_RLE_DENSE", "1") != "0"
+
+
 def _rle_fused_on() -> bool:
     """Kill switch for the fused r-mode kernel (MIC_RLE_FUSED=0 restores
     the packed-kernel + XLA expand post path — the hardware A/B axis)."""
@@ -1077,9 +1100,10 @@ def _rle_fused_on() -> bool:
 
 
 @partial(jax.jit, static_argnames=("steps", "out_rows", "chunk_s", "tl",
-                                   "asweep", "maxr", "pdd_geom", "vdd_ws"))
+                                   "asweep", "maxr", "pdd_geom", "vdd_ws",
+                                   "dense"))
 def _stacked_rle_fused(ops, *, steps, out_rows, chunk_s, tl, asweep, maxr,
-                       pdd_geom=None, vdd_ws=0):
+                       pdd_geom=None, vdd_ws=0, dense=False):
     """lax.map of the fused r-mode kernel (rANS + SoA-RLE expand +
     direct inverse in one Pallas program) over stacked chunks.  pdr's
     second (column) prefix sum runs here per chunk, like pdd's in
@@ -1090,7 +1114,7 @@ def _stacked_rle_fused(ops, *, steps, out_rows, chunk_s, tl, asweep, maxr,
         pix = rans_decode_pallas_rle(
             *o, steps=steps, out_rows=out_rows, n_strips=chunk_s,
             table_log=tl, asweep=asweep, maxr=maxr, mid_count=MID_DIRECT,
-            vdd_ws=vdd_ws,
+            vdd_ws=vdd_ws, dense=dense,
         )
         out = pix.reshape(chunk_s, -1)
         if pdd_geom is not None:
@@ -1108,9 +1132,9 @@ def _stacked_rle_fused(ops, *, steps, out_rows, chunk_s, tl, asweep, maxr,
 
 
 @partial(jax.jit, static_argnames=("steps", "out_rows", "chunk_s", "maxr",
-                                   "esc", "pdd_geom", "vdd_ws"))
+                                   "esc", "pdd_geom", "vdd_ws", "dense"))
 def _stacked_rle_alias_fused(ops, *, steps, out_rows, chunk_s, maxr, esc,
-                             pdd_geom=None, vdd_ws=0):
+                             pdd_geom=None, vdd_ws=0, dense=False):
     """Alias (FF 41) variant of _stacked_rle_fused."""
     from .pallas_rans import rans_decode_pallas_rle_alias
 
@@ -1118,6 +1142,7 @@ def _stacked_rle_alias_fused(ops, *, steps, out_rows, chunk_s, maxr, esc,
         pix = rans_decode_pallas_rle_alias(
             *o, steps=steps, out_rows=out_rows, n_strips=chunk_s,
             maxr=maxr, mid_count=MID_DIRECT, esc=esc, vdd_ws=vdd_ws,
+            dense=dense,
         )
         out = pix.reshape(chunk_s, -1)
         if pdd_geom is not None:
@@ -1295,7 +1320,7 @@ def _stage_alias_fused_bucket(entries, *, geom=None, vws=0, min_steps: int = 0):
 
 def _stage_alias_post_group(parsed, strips, pred, width, strip_h, mid, delim,
                             min_steps: int = 0, min_runs: int = 0,
-                            min_tokens: int = 0):
+                            min_tokens: int = 0, dense: bool = False):
     """Stage an alias group whose decode needs the post program (r-modes,
     escaped zz/avg): alias entropy kernel (fused=False) + post, chunked.
     Returns a closure with ``.ops``."""
@@ -1313,7 +1338,8 @@ def _stage_alias_post_group(parsed, strips, pred, width, strip_h, mid, delim,
     if pred in _RLE_DIRECT_PREDS and _rle_fused_on():
         out_rows_f = max(min_tokens // 128, _pow2_at_least(
             -(-max(st[2] for st in strips) // 128), 8))
-    maxr_af = max(runs_gf, 512) if pred in _RLE_DIRECT_PREDS else 0
+    maxr_af = (max(runs_gf, 512)
+               if pred in _RLE_DIRECT_PREDS and _rle_fused_on() else 0)
     if pred in _RLE_DIRECT_PREDS and _rle_fused_on() and width % 128 == 0 \
             and out_rows_f % 8 == 0 \
             and maxr_af // 128 <= steps \
@@ -1335,6 +1361,7 @@ def _stage_alias_post_group(parsed, strips, pred, width, strip_h, mid, delim,
             out = _stacked_rle_alias_fused(
                 o, steps=steps, out_rows=out_rows, chunk_s=pad_to,
                 maxr=maxr_af, esc=esc_any, pdd_geom=geom, vdd_ws=vws,
+                dense=dense,
             )
             out = out.reshape(out.shape[0] * pad_to, -1)[:S_real]
             if out.shape[1] < strip_h * width:
@@ -1377,7 +1404,7 @@ def _stage_alias_post_group(parsed, strips, pred, width, strip_h, mid, delim,
 
 def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
                               min_steps: int = 0, min_runs: int = 0,
-                              min_tokens: int = 0):
+                              min_tokens: int = 0, dense: bool = False):
     """Large-group staging: strips split into _CHUNK_S-strip chunks whose
     operands STACK along a leading chunk axis; one jitted program
     lax.map's the single-chunk body over them.
@@ -1511,6 +1538,7 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
             out = _stacked_rle_fused(
                 o, steps=steps, out_rows=out_rows, chunk_s=_CHUNK_S, tl=tl,
                 asweep=asweep, maxr=maxr_f, pdd_geom=geom, vdd_ws=vws,
+                dense=dense,
             )
             out = out.reshape(n_chunks * _CHUNK_S, -1)[:S_real]
             if out.shape[1] < strip_h * width:
@@ -1549,7 +1577,7 @@ def _stage_mict_group_stacked(parsed, strips, pred, width, strip_h, mid, delim,
 
 def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
                       min_steps: int = 0, min_runs: int = 0,
-                      min_tokens: int = 0):
+                      min_tokens: int = 0, dense: bool = False):
     """Stage one homogeneous group of MICT strips for device decode,
     choosing the fastest eligible path: fully-fused zzd kernel → packed
     kernel + post program → two-table kernel + post program.  Returns a
@@ -1590,6 +1618,7 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
         return _stage_alias_post_group(
             parsed, strips, pred, width, strip_h, mid, delim,
             min_steps=min_steps, min_runs=min_runs, min_tokens=min_tokens,
+            dense=dense,
         )
 
     S_real = len(parsed)
@@ -1597,6 +1626,7 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
         return _stage_mict_group_stacked(
             parsed, strips, pred, width, strip_h, mid, delim,
             min_steps=min_steps, min_runs=min_runs, min_tokens=min_tokens,
+            dense=dense,
         )
 
     S = S_real
@@ -1637,7 +1667,7 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
                 out = _stacked_rle_fused(
                     o, steps=steps,
                     out_rows=out_rows, chunk_s=S, tl=tl, asweep=asweep,
-                    maxr=maxr1, pdd_geom=geom, vdd_ws=vws,
+                    maxr=maxr1, pdd_geom=geom, vdd_ws=vws, dense=dense,
                 )
                 out = out.reshape(S, -1)
                 if out.shape[1] < strip_h * width:
@@ -1733,8 +1763,10 @@ def _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
     return run_rle_post
 
 
-def _decode_mict_group(parsed, strips, pred, width, strip_h, mid, delim, as_numpy=True):
-    out = _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim)()
+def _decode_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
+                       as_numpy=True, dense=False):
+    out = _stage_mict_group(parsed, strips, pred, width, strip_h, mid, delim,
+                            dense=dense)()
     return np.asarray(out) if as_numpy else out
 
 
@@ -1769,10 +1801,11 @@ def micw_decompress_device_pallas(blob: bytes) -> tuple[np.ndarray, int, int]:
             # fields) — the XLA scan tier decodes it.
             return micw_decompress_device(blob)
         groups.setdefault((pred, parsed[i][7] is not None), []).append(i)
+    dense = _rle_dense_on() and bool(blob[22] & FLAG_RDENSE)
     for (pred, _is_alias), idxs in groups.items():
         sub = _decode_mict_group(
             [parsed[i] for i in idxs], [strips[i] for i in idxs],
-            pred, width, strip_h, mid, delim,
+            pred, width, strip_h, mid, delim, dense=dense,
         )
         for j, i in enumerate(idxs):
             y0 = i * strip_h
@@ -1847,6 +1880,7 @@ class MicwDecodePlan:
                 parsed_c = micw_parse(blob)
                 parse_memo[id(blob)] = parsed_c
             width, height, num_strips, strip_h, mv, gpred, lanes, strips = parsed_c
+            dense = _rle_dense_on() and bool(blob[22] & FLAG_RDENSE)
             self.metas[bi] = (width, height, num_strips, strip_h)
             mid = _rle_mid(mv)
             _thr, delim = delta_params(mv)
@@ -1898,9 +1932,12 @@ class MicwDecodePlan:
                 else:
                     # mid/delim as they reach the post program: zeroed
                     # for direct modes, format-constant for r-modes —
-                    # program keys collapse across maxValues.
+                    # program keys collapse across maxValues.  The
+                    # container's FLAG_RDENSE joins the key: dense blobs
+                    # ride the 32-candidate expand, legacy blobs the
+                    # 384-window one (mixed batches stay correct).
                     gk = (pred, width, strip_h,
-                          *_post_params(pred, mid, delim), is_alias)
+                          *_post_params(pred, mid, delim), is_alias, dense)
                     keys.append((("rle", gk), len(rle_groups.setdefault(gk, []))))
                     rle_groups[gk].append((p, st))
             self.keys_per_blob[bi] = keys
@@ -1979,11 +2016,12 @@ class MicwDecodePlan:
             self.launches[bk] = make_run(ops, steps, pad_to, tl, asweep, S_real,
                                          geom, vws)
         for gk, entries in rle_groups.items():
-            pred, width, strip_h, mid, delim, _is_alias = gk
+            pred, width, strip_h, mid, delim, _is_alias, g_dense = gk
             parsed = [e[0] for e in entries]
             strips_g = [e[1] for e in entries]
             self.launches[("rle", gk)] = _stage_mict_group(
-                parsed, strips_g, pred, width, strip_h, mid, delim
+                parsed, strips_g, pred, width, strip_h, mid, delim,
+                dense=g_dense,
             )
 
     @staticmethod

@@ -40,6 +40,10 @@ GOLDEN = {
     "micw_banded": "3c291679257714b6",
     # round 4: FF 41 alias-mapped entropy family pinned (VERDICT r3 #9).
     "micw_alias": "08c95a5056ba52b7",
+    # v6 (round 5): FLAG_RDENSE — r-mode strips use the dense run
+    # grammar (soa_encode min_same=16, balanced long-run splits) so the
+    # device expand may use the 32-candidate search.  Pinned 2026-08-19.
+    "micw_rdense": "e774e6be625d81c3",
 }
 
 
@@ -96,6 +100,8 @@ def _encode(name, fixture_data):
                                                predictor="pdd"),
         "micw_alias": lambda: micw.micw_compress(px, 64, 48, mx, lanes=64,
                                                  entropy="alias"),
+        "micw_rdense": lambda: micw.micw_compress(px, 64, 48, mx, lanes=64,
+                                                  predictor="zzr"),
         "micw_banded": lambda: _banded_fixture(micw),
     }[name]()
 

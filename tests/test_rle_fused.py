@@ -173,3 +173,61 @@ def test_rle_fused_random_grammar(seed, pred, ent):
                                      int(rng.geometric(0.3))).astype(np.uint16))
     px = np.concatenate(vals)[: h * w]
     _roundtrip(px, w, h, pred, ent)
+
+
+def _stripe_image(w=256, h=32):
+    """Worst-case FLAG_RDENSE density: alternating 16-px same-runs and
+    single odd pixels — every 128-px output row spans the maximum run
+    count the dense bound allows (~19 runs)."""
+    vals = []
+    v = 100
+    while len(vals) < w:
+        vals += [v] * 16 + [v + 1]
+        v += 3
+    row = np.array(vals[:w], np.uint16)
+    return np.tile(row, h)
+
+
+def test_rdense_flag_set_and_worst_case_roundtrip():
+    """New r-mode containers carry FLAG_RDENSE (same-runs >= 16 via
+    soa_encode min_same) and the 32-candidate dense expand decodes the
+    densest legal grammar bit-exactly."""
+    px = _stripe_image()
+    blob = _roundtrip(px, 256, 32, "zzr", "standard")
+    assert blob[22] & st.FLAG_RDENSE
+
+
+def test_rdense_legacy_blob_uses_window_path():
+    """A flag-stripped (pre-v6 grammar) blob still decodes through the
+    legacy 384-window expand — mixed archives stay correct."""
+    px = _stripe_image()
+    blob = bytearray(st.micw_compress(px, 256, 32, int(px.max()),
+                                      predictor="zzr", entropy="standard"))
+    blob[22] &= ~st.FLAG_RDENSE
+    out, ow, oh = st.micw_decompress_device_pallas(bytes(blob))
+    np.testing.assert_array_equal(np.asarray(out).ravel(), px)
+
+
+def test_rdense_kill_switch(monkeypatch):
+    """MIC_RLE_DENSE=0 forces the legacy window path on dense blobs."""
+    import jax
+
+    px = _stripe_image()
+    blob = st.micw_compress(px, 256, 32, int(px.max()), predictor="zzr",
+                            entropy="standard")
+    monkeypatch.setenv("MIC_RLE_DENSE", "0")
+    jax.clear_caches()
+    out, _, _ = st.micw_decompress_device_pallas(blob)
+    np.testing.assert_array_equal(np.asarray(out).ravel(), px)
+
+
+def test_rdense_long_run_balanced_split():
+    """Same-runs longer than midCount split into balanced chunks (each
+    >= min_same) so the density bound survives giant runs."""
+    n = st.MID_DIRECT * 2 + 7  # would leave a 7-px tail under greedy split
+    syms = np.full(n, 42, np.uint16)
+    soa, nr, nsm = soa_encode(syms, st.MID_DIRECT, min_same=16)
+    counts = soa[:nr].astype(int)
+    same_lens = [c for c in counts if c <= st.MID_DIRECT]
+    assert all(c >= 16 for c in same_lens), same_lens
+    np.testing.assert_array_equal(soa_expand(soa, nr, nsm, st.MID_DIRECT), syms)

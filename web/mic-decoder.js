@@ -1243,7 +1243,9 @@ function decodeMICW(bytes) {
 }
 
 /** MWR3 device RGB: magic | w | h | 3 x len u32 | 3 MICW plane blobs
- * (Y, ZigZag Co, ZigZag Cg). */
+ * (Y, ZigZag Co, ZigZag Cg).  A plane blob's own MICW width may exceed
+ * the container width (columns edge-padded to a multiple of 128 so the
+ * fused TPU kernels stay eligible); crop each decoded plane back. */
 function decodeMWR3(bytes) {
   const width = readU32(bytes, 4);
   const height = readU32(bytes, 8);
@@ -1252,7 +1254,13 @@ function decodeMWR3(bytes) {
   const planes = lens.map((len) => {
     const p = decodeMICW(bytes.subarray(off, off + len));
     off += len;
-    return p.pixels;
+    if (p.width === width) return p.pixels;
+    const cropped = new Uint16Array(width * height);
+    for (let y = 0; y < height; y++) {
+      cropped.set(p.pixels.subarray(y * p.width, y * p.width + width),
+                  y * width);
+    }
+    return cropped;
   });
   const n = width * height;
   return { rgb: ycocgrInverse(planes[0], planes[1], planes[2], n),
