@@ -149,6 +149,11 @@ def main() -> int:
     ap.add_argument("--only", default=None,
                     help="comma-separated corpus names (e.g. MR,CT) — "
                          "bounds compile time for harness validation")
+    ap.add_argument("--scale", type=int, default=1,
+                    help="replicate the corpus N times (archive shape: "
+                         "per-launch tunnel latency amortizes over a "
+                         "larger batch; every replica still decodes, "
+                         "re-encodes and verifies)")
     args = ap.parse_args()
     _apply_platform()
     if args.tans:
@@ -171,13 +176,28 @@ def main() -> int:
         dims.append((w, h))
         names.append(name + "-PICS")
         raw.append(px)
+    if args.scale > 1:
+        ref_blobs = ref_blobs * args.scale
+        dims = dims * args.scale
+        names = names * args.scale
+        raw = raw * args.scale
 
     t0 = time.time()
     legs: dict = {}
     plan = ingest_plan(ref_blobs, dims, device_encode=not args.host_encode,
                        timings=legs)
-    ingest_dt = time.time() - t0
+    cold_ingest_dt = time.time() - t0
     total = sum(p.nbytes for p in raw)
+    # Warm pass: the first ingest pays one-time costs a real archive
+    # amortizes over thousands of images (device-encode program compile,
+    # tunnel handshake, numpy import of the native tier).  The headline
+    # ingest MB/s is the SECOND full pass (fresh plan, warm programs);
+    # the cold number is kept as a field.
+    t0 = time.time()
+    legs = {}
+    plan = ingest_plan(ref_blobs, dims, device_encode=not args.host_encode,
+                       timings=legs)
+    ingest_dt = time.time() - t0
 
     # Honest macro-loop steady-state with in-program verification (see
     # ROUND3_NOTES: async dispatch cannot be awaited on this backend).
@@ -220,6 +240,7 @@ def main() -> int:
 
     result = {
         "ingest_MBps": round(total / ingest_dt / 1e6, 1),
+        "cold_ingest_MBps": round(total / cold_ingest_dt / 1e6, 1),
         "steady_decode_GBps": round(total / dec_dt / 1e9, 3),
         "honest_macro_loop": runner is not None,
         "blobs": len(ref_blobs),

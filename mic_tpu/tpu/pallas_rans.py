@@ -821,13 +821,26 @@ def build_alias_bucket_tables(parsed, min_steps: int = 0):
 # ---------------------------------------------------------------------------
 
 
-def RLE_GROUP() -> int:
-    """Strips per grid program for the r-mode kernel: the syms scratch
-    ([G, steps, 128] u16) plus the output block ([G, out_rows, 128] u16)
-    cap the group below GROUP() (VMEM ~16 MB/core; steps and out_rows
-    both reach 1024 on 256-row strips).  MIC_RLE_GROUP overrides for
-    hardware sweeps."""
-    return int(os.environ.get("MIC_RLE_GROUP", "8"))
+def RLE_GROUP(steps: int = 0, out_rows: int = 0, maxr: int = 512,
+              n_strips: int = 32) -> int:
+    """Strips per grid program for the r-mode kernel.  Bigger groups
+    fill more VREG sublanes per vector op (hardware sweep on CT1
+    auto-r+best: G=8 2.6 GB/s, G=16 4.0, G=32 5.3), so pick the largest
+    power of two <= 32 whose scratch (syms [G, steps, 128] i32 + out
+    [G, out_rows, 128] u16 + 2 run tables [G, maxr/128, 128] i32) fits a
+    ~10 MB VMEM budget.  MIC_RLE_GROUP overrides for sweeps."""
+    env = os.environ.get("MIC_RLE_GROUP")
+    if env:
+        return int(env)
+    per_strip = (steps * 128 * 4 + out_rows * 128 * 2
+                 + 2 * (maxr // 128) * 128 * 4)
+    cap = 1
+    while cap < min(n_strips, 32):
+        cap *= 2
+    g = cap
+    while g > 8 and g * per_strip > 10 * 2**20:
+        g //= 2
+    return min(g, cap)
 
 
 def _sweep_take(win, idx, chunks: int):
@@ -920,25 +933,20 @@ def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
     # next literal symbol index, rowc/rcnt = the zzd/vdd row machinery.
     U2 = 8
 
-    def step2(carry, t, col):
+    def step2(carry, t, col, blk=None):
         rb, lc, rowc, rcnt = carry
         pos = lane + t * 128
         nxt_pos = (t + 1) * 128
         if dense:
             # FLAG_RDENSE fast path: gather the 32 candidate runs at rb
-            # once (2-row window covers lo<=255: rb drifts <=20/row) and
-            # search only those — candidate 0 is the run containing the
-            # row start, and the density bound caps a row at <=20 runs.
-            br = jnp.clip(rb >> 7, 0, max(R - 2, 0))
-            w1 = jnp.concatenate(
-                [st1_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256)
-                 for s in range(S)], axis=0)
-            w2 = jnp.concatenate(
-                [st2_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256)
-                 for s in range(S)], axis=0)
-            idx = jnp.clip((rb - (br << 7)) + lane, 0, 255)
-            c1 = _sweep_take(w1, idx, 2)
-            c2 = _sweep_take(w2, idx, 2)
+            # from the per-U2-block window (fetched once in body2 — the
+            # density bound caps a row at <=20 runs, so 7 rows drift
+            # <=140 and the 384-entry block window covers every row's
+            # candidates: lo0 <= 127, +140 drift, +31 candidates < 384).
+            br3, w1, w2 = blk
+            idx = jnp.clip((rb - (br3 << 7)) + lane, 0, 383)
+            c1 = _sweep_take(w1, idx, 3)
+            c2 = _sweep_take(w2, idx, 3)
             starts_c = (c1 >> 1)[:, :32]  # HUGE entries stay huge
             cnt = jnp.sum(
                 (starts_c[:, :, None] <= pos[:, None, :]).astype(jnp.int32),
@@ -1022,9 +1030,31 @@ def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
         return (rb, lc, rowc, rcnt), pix
 
     def body2(tb, carry):
+        blk = None
+        if dense:
+            # One 3-row (384-entry) run-table window per U2-block: the
+            # block's rows re-gather their 32 candidates from it instead
+            # of re-slicing st1/st2 every row (6 dynamic slices per
+            # strip-row -> ~0.75).
+            rb0 = carry[0]
+            br3 = jnp.clip(rb0 >> 7, 0, max(R - 3, 0))
+            w1b = jnp.concatenate(
+                [jnp.concatenate(
+                    [st1_ref[s, pl.ds(br3[s, 0], 2), :].reshape(1, 256),
+                     st1_ref[s, pl.ds(br3[s, 0] + 2, 1), :].reshape(1, 128)],
+                    axis=1)
+                 for s in range(S)], axis=0)
+            w2b = jnp.concatenate(
+                [jnp.concatenate(
+                    [st2_ref[s, pl.ds(br3[s, 0], 2), :].reshape(1, 256),
+                     st2_ref[s, pl.ds(br3[s, 0] + 2, 1), :].reshape(1, 128)],
+                    axis=1)
+                 for s in range(S)], axis=0)
+            blk = (br3, w1b, w2b)
         outs = []
         for j in range(U2):
-            carry, pix = step2(carry, tb * U2 + j, (j % vdd_ws) if vdd_ws else 0)
+            carry, pix = step2(carry, tb * U2 + j,
+                               (j % vdd_ws) if vdd_ws else 0, blk)
             outs.append(pix.astype(jnp.uint16).reshape(S, 1, 128))
         out_ref[:, pl.ds(tb * U2, U2), :] = jnp.concatenate(outs, axis=1)
         return carry
@@ -1109,7 +1139,7 @@ def rans_decode_pallas_rle(init, tpk, alpha, words, mask, shift, ws, nrun,
     assert out_rows % 8 == 0 and steps % 8 == 0 and steps >= 2
     assert maxr // 128 <= steps
     S = init.shape[0]
-    G = RLE_GROUP()
+    G = RLE_GROUP(steps, out_rows, maxr, S)
     if S % G != 0:
         pad = G - S % G
         init, tpk, alpha, words, mask, shift, ws, nrun, nsame = (
@@ -1162,7 +1192,7 @@ def rans_decode_pallas_rle_alias(init, w0, w1, w2, words, mask, shift, escv,
     assert out_rows % 8 == 0 and steps % 8 == 0 and steps >= 2
     assert maxr // 128 <= steps
     S = init.shape[0]
-    G = RLE_GROUP()
+    G = RLE_GROUP(steps, out_rows, maxr, S)
     if S % G != 0:
         pad = G - S % G
         init, w0, w1, w2, words, mask, shift, escv, esides, ws, nrun, nsame = (
