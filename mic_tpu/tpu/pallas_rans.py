@@ -933,45 +933,66 @@ def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
     # next literal symbol index, rowc/rcnt = the zzd/vdd row machinery.
     U2 = 8
 
-    def step2(carry, t, col):
+    def step2(carry, t, col, blk=None):
         rb, lc, rowc, rcnt = carry
         pos = lane + t * 128
         nxt_pos = (t + 1) * 128
-        br = jnp.clip(rb >> 7, 0, max(R - 3, 0))  # window base row
-        # 3-row windows assemble as a 2-row slice (the pow2 relayout
-        # _kernel_zzd proves compiles) + a 1-row slice: the single
-        # (3,128)->(1,384) reshape is a non-pow2 sublane->lane relayout
-        # and was the one construct unique to this kernel when every
-        # r-strip image 500'd Mosaic's remote compile (r5 rbest capture).
-        w1 = jnp.concatenate(
-            [jnp.concatenate(
-                [st1_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256),
-                 st1_ref[s, pl.ds(br[s, 0] + 2, 1), :].reshape(1, 128)],
-                axis=1)
-             for s in range(S)], axis=0)
-        w2 = jnp.concatenate(
-            [jnp.concatenate(
-                [st2_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256),
-                 st2_ref[s, pl.ds(br[s, 0] + 2, 1), :].reshape(1, 128)],
-                axis=1)
-             for s in range(S)], axis=0)
-        # Run assignment: count window starts <= position.  Entries
-        # before rb in the window are earlier runs (start <= row base),
-        # so the raw in-window count IS the global count offset by
-        # br*128; rb never drifts past base+129 per row, well inside
-        # the 384-entry window.
-        cnts, nxts = [], []
-        for s in range(S):
-            starts_s = w1[s:s + 1] >> 1  # [1, 384]
-            cmp = (starts_s <= pos[s].reshape(128, 1)).astype(jnp.int32)
-            cnts.append(jnp.sum(cmp, axis=1).reshape(1, 128))
-            nxts.append(jnp.sum((starts_s <= nxt_pos).astype(jnp.int32)).reshape(1, 1))
-        cnt = jnp.concatenate(cnts, axis=0)
-        nxt = jnp.concatenate(nxts, axis=0)
-        rl = jnp.clip(cnt - 1, 0, 383)
-        g1 = _sweep_take(w1, rl, 3)
-        g2 = _sweep_take(w2, rl, 3)
-        rb = jnp.clip(br * 128 + nxt - 1, 0, maxr - 1)
+        if dense:
+            # FLAG_RDENSE fast path: gather the 32 candidate runs at rb
+            # from the per-U2-block window (fetched once in body2 — the
+            # density bound caps a row at <=20 runs, so 7 rows drift
+            # <=140 and the 384-entry block window covers every row's
+            # candidates: lo0 <= 127, +140 drift, +31 candidates < 384).
+            br3, w1, w2 = blk
+            idx = jnp.clip((rb - (br3 << 7)) + lane, 0, 383)
+            c1 = _sweep_take(w1, idx, 3)
+            c2 = _sweep_take(w2, idx, 3)
+            starts_c = (c1 >> 1)[:, :32]  # HUGE entries stay huge
+            cnt = jnp.sum(
+                (starts_c[:, :, None] <= pos[:, None, :]).astype(jnp.int32),
+                axis=1)  # [S, 128], >= 1 (candidate 0 starts <= row base)
+            nxt = jnp.sum((starts_c <= nxt_pos).astype(jnp.int32), axis=1,
+                          keepdims=True)
+            rl = jnp.clip(cnt - 1, 0, 127)
+            g1 = jnp.take_along_axis(c1, rl, axis=1)
+            g2 = jnp.take_along_axis(c2, rl, axis=1)
+            rb = jnp.clip(rb + nxt - 1, 0, maxr - 1)
+        else:
+            br = jnp.clip(rb >> 7, 0, max(R - 3, 0))  # window base row
+            # 3-row windows assemble as a 2-row slice (the pow2 relayout
+            # _kernel_zzd proves compiles) + a 1-row slice: the single
+            # (3,128)->(1,384) reshape is a non-pow2 sublane->lane relayout
+            # and was the one construct unique to this kernel when every
+            # r-strip image 500'd Mosaic's remote compile (r5 rbest capture).
+            w1 = jnp.concatenate(
+                [jnp.concatenate(
+                    [st1_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256),
+                     st1_ref[s, pl.ds(br[s, 0] + 2, 1), :].reshape(1, 128)],
+                    axis=1)
+                 for s in range(S)], axis=0)
+            w2 = jnp.concatenate(
+                [jnp.concatenate(
+                    [st2_ref[s, pl.ds(br[s, 0], 2), :].reshape(1, 256),
+                     st2_ref[s, pl.ds(br[s, 0] + 2, 1), :].reshape(1, 128)],
+                    axis=1)
+                 for s in range(S)], axis=0)
+            # Run assignment: count window starts <= position.  Entries
+            # before rb in the window are earlier runs (start <= row base),
+            # so the raw in-window count IS the global count offset by
+            # br*128; rb never drifts past base+129 per row, well inside
+            # the 384-entry window.
+            cnts, nxts = [], []
+            for s in range(S):
+                starts_s = w1[s:s + 1] >> 1  # [1, 384]
+                cmp = (starts_s <= pos[s].reshape(128, 1)).astype(jnp.int32)
+                cnts.append(jnp.sum(cmp, axis=1).reshape(1, 128))
+                nxts.append(jnp.sum((starts_s <= nxt_pos).astype(jnp.int32)).reshape(1, 1))
+            cnt = jnp.concatenate(cnts, axis=0)
+            nxt = jnp.concatenate(nxts, axis=0)
+            rl = jnp.clip(cnt - 1, 0, 383)
+            g1 = _sweep_take(w1, rl, 3)
+            g2 = _sweep_take(w2, rl, 3)
+            rb = jnp.clip(br * 128 + nxt - 1, 0, maxr - 1)
         is_s = (g1 & 1) == 1
         # Literal pull: src advances monotonically by <= 128 per row, so
         # a 256 window at the literal cursor covers the whole row.
@@ -1009,113 +1030,39 @@ def _expand_rle_phase(syms_ref, st1_ref, st2_ref, nrun_ref, nsame_ref,
         return (rb, lc, rowc, rcnt), pix
 
     def body2(tb, carry):
+        blk = None
+        if dense:
+            # One 3-row (384-entry) run-table window per U2-block: the
+            # block's rows re-gather their 32 candidates from it instead
+            # of re-slicing st1/st2 every row (6 dynamic slices per
+            # strip-row -> ~0.75).
+            rb0 = carry[0]
+            br3 = jnp.clip(rb0 >> 7, 0, max(R - 3, 0))
+            w1b = jnp.concatenate(
+                [jnp.concatenate(
+                    [st1_ref[s, pl.ds(br3[s, 0], 2), :].reshape(1, 256),
+                     st1_ref[s, pl.ds(br3[s, 0] + 2, 1), :].reshape(1, 128)],
+                    axis=1)
+                 for s in range(S)], axis=0)
+            w2b = jnp.concatenate(
+                [jnp.concatenate(
+                    [st2_ref[s, pl.ds(br3[s, 0], 2), :].reshape(1, 256),
+                     st2_ref[s, pl.ds(br3[s, 0] + 2, 1), :].reshape(1, 128)],
+                    axis=1)
+                 for s in range(S)], axis=0)
+            blk = (br3, w1b, w2b)
         outs = []
         for j in range(U2):
             carry, pix = step2(carry, tb * U2 + j,
-                               (j % vdd_ws) if vdd_ws else 0)
+                               (j % vdd_ws) if vdd_ws else 0, blk)
             outs.append(pix.astype(jnp.uint16).reshape(S, 1, 128))
         out_ref[:, pl.ds(tb * U2, U2), :] = jnp.concatenate(outs, axis=1)
         return carry
 
-    def pred_tail(dz, col, rowc, rcnt):
-        """Shared predictor inverse: vdr's previous-row carry or the
-        zzr/pdr 128-lane prefix matmul with the width-cyclic reset."""
-        if vdd_ws:
-            c0 = col * 128
-            pix = (rowc[:, c0:c0 + 128] + dz) & 0xFFFF
-            parts = [p for p in (rowc[:, :c0], pix, rowc[:, c0 + 128:])
-                     if p.shape[1]]
-            rowc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-            return pix, rowc, rcnt
-        ps = jax.lax.dot_general(
-            dz.astype(jnp.float32), Mi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(jnp.int32)
-        rowc = jnp.where(rcnt == 0, jnp.zeros_like(rowc), rowc)
-        pix = (rowc + ps) & 0xFFFF
-        rowc = pix[:, 127:128]
-        rcnt = rcnt + 1
-        rcnt = jnp.where(rcnt >= ws_ref[:, :1].astype(jnp.int32),
-                         jnp.zeros_like(rcnt), rcnt)
-        return pix, rowc, rcnt
-
-    def body2_dense(tb, carry):
-        # FLAG_RDENSE fast path.  The density bound (<=20 runs per
-        # 128-px row) makes everything but the pixel chain carry-free:
-        # ONE 3-row (384-entry) run-table window per U2-block, the run
-        # index at EVERY row start computed in one [S, 384, 9] compare
-        # (global idx = in-window count + br3*128 — entries before the
-        # window start earlier), and the literal window base derived
-        # per-row from the gathered runs (a row's literal indices are
-        # consecutive, so the 256 window at their min covers them).
-        # Rows then expand independently and software-pipeline; only
-        # rowc/rcnt (the same chain the zzd kernel sustains 15 GB/s
-        # with) crosses rows.  Coverage: lo0 <= 383 (window end pins at
-        # maxr-1 >= n_runs-1 when br3 clips), drift <= 20*8 within the
-        # block, +31 candidates — all clipped reads past n_runs are
-        # HUGE sentinels.
-        rb_blk, rowc, rcnt = carry
-        br3 = jnp.clip(rb_blk >> 7, 0, max(R - 3, 0))
-        w1 = jnp.concatenate(
-            [jnp.concatenate(
-                [st1_ref[s, pl.ds(br3[s, 0], 2), :].reshape(1, 256),
-                 st1_ref[s, pl.ds(br3[s, 0] + 2, 1), :].reshape(1, 128)],
-                axis=1)
-             for s in range(S)], axis=0)
-        w2 = jnp.concatenate(
-            [jnp.concatenate(
-                [st2_ref[s, pl.ds(br3[s, 0], 2), :].reshape(1, 256),
-                 st2_ref[s, pl.ds(br3[s, 0] + 2, 1), :].reshape(1, 128)],
-                axis=1)
-             for s in range(S)], axis=0)
-        starts_w = w1 >> 1  # [S, 384]; HUGE entries stay huge
-        bases = (tb * U2 + jax.lax.broadcasted_iota(jnp.int32, (1, U2 + 1), 1)) * 128
-        cnt9 = jnp.sum(
-            (starts_w[:, :, None] <= bases[:, None, :]).astype(jnp.int32),
-            axis=1)  # [S, U2+1] in-window counts at each row base
-        rb9 = jnp.clip((br3 << 7) + cnt9 - 1, 0, maxr - 1)
-        outs = []
-        for j in range(U2):
-            t = tb * U2 + j
-            pos = lane + t * 128
-            rb = rb9[:, j:j + 1]
-            idx = jnp.clip((rb - (br3 << 7)) + lane, 0, 383)
-            c1 = _sweep_take(w1, idx, 3)
-            c2 = _sweep_take(w2, idx, 3)
-            starts_c = (c1 >> 1)[:, :32]
-            cnt = jnp.sum(
-                (starts_c[:, :, None] <= pos[:, None, :]).astype(jnp.int32),
-                axis=1)  # [S, 128], >= 1 (candidate 0 starts <= row base)
-            rl = jnp.clip(cnt - 1, 0, 127)
-            g1 = jnp.take_along_axis(c1, rl, axis=1)
-            g2 = jnp.take_along_axis(c2, rl, axis=1)
-            is_s = (g1 & 1) == 1
-            src = g2 + pos  # absolute literal index per lane
-            minsrc = jnp.min(jnp.where(is_s, jnp.int32(1 << 28), src),
-                             axis=1, keepdims=True)
-            lrow = jnp.clip(minsrc >> 7, 0, steps - 2)
-            wl = jnp.concatenate(
-                [syms_ref[s, pl.ds(lrow[s, 0], 2), :].reshape(1, 256)
-                 for s in range(S)], axis=0)
-            li = jnp.clip(src - (lrow << 7), 0, 255)
-            lv = _sweep_take(wl, li, 2).astype(jnp.int32)
-            tok = jnp.where(is_s, g2, lv)
-            dz = (tok >> 1) ^ (-(tok & 1))
-            pix, rowc, rcnt = pred_tail(dz, (j % vdd_ws) if vdd_ws else 0,
-                                        rowc, rcnt)
-            outs.append(pix.astype(jnp.uint16).reshape(S, 1, 128))
-        out_ref[:, pl.ds(tb * U2, U2), :] = jnp.concatenate(outs, axis=1)
-        return (rb9[:, U2:U2 + 1], rowc, rcnt)
-
     zero = jnp.zeros((S, 1), jnp.int32)
     rowc0 = jnp.zeros((S, vdd_ws * 128 if vdd_ws else 1), jnp.int32)
-    if dense:
-        jax.lax.fori_loop(0, out_rows // U2, body2_dense,
-                          (zero, rowc0, zero))
-    else:
-        jax.lax.fori_loop(0, out_rows // U2, body2,
-                          (zero, nrun + nsame, rowc0, zero))
+    jax.lax.fori_loop(0, out_rows // U2, body2,
+                      (zero, nrun + nsame, rowc0, zero))
 
 
 def _phase1_only(syms_ref, out_ref, *, steps, out_rows, n_strips):
