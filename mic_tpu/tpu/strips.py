@@ -621,31 +621,40 @@ def micw_parse(blob: bytes):
 
 
 def _stack_dev(arrs, pad_axis=None):
-    """Stack per-chunk operand arrays and move them to device.  When
-    every chunk is the SAME array object (replica-chunk memo hits — the
-    bench/serving warm-pool shape), h2d ONE copy and broadcast on
-    device: replicated-batch staging h2d drops by the chunk-replica
-    factor (MR2's 20 s stage was dominated by tunnel h2d of 128
-    identical replicas — VERDICT r4 #4)."""
-    same = len(arrs) > 1 and all(a is arrs[0] for a in arrs[1:])
+    """Stack per-chunk operand arrays and move them to device, h2d'ing
+    each UNIQUE array (by identity) once.  Replicated plans ([blob]*k)
+    repeat chunk operands — all-identical when the strips-per-image
+    period divides the chunk size (h2d one + device broadcast), a short
+    cycle when it doesn't (e.g. MR2: 6 strips/image over 32-entry
+    chunks repeats every 3 chunks; the old all-or-nothing check fell
+    through to a full 213 MB tunnel h2d — VERDICT r4 #4).  General
+    form: one h2d of the unique set + a device-side gather."""
     n = len(arrs)
-    if same:
-        arrs = arrs[:1]
+    uniq, pattern, index = [], [], {}
+    for a in arrs:
+        k = id(a)
+        if k not in index:
+            index[k] = len(uniq)
+            uniq.append(a)
+        pattern.append(index[k])
     if pad_axis is not None:
-        m = max(a.shape[pad_axis] for a in arrs)
+        m = max(a.shape[pad_axis] for a in uniq)
         out = []
-        for a in arrs:
+        for a in uniq:
             if a.shape[pad_axis] == m:
                 out.append(a)
                 continue
             pad = [(0, 0)] * a.ndim
             pad[pad_axis] = (0, m - a.shape[pad_axis])
             out.append(np.pad(a, pad))
-        arrs = out
-    if same:
-        base = jnp.asarray(arrs[0])
+        uniq = out
+    if len(uniq) == 1 and n > 1:
+        base = jnp.asarray(uniq[0])
         return jnp.broadcast_to(base[None], (n,) + base.shape)
-    return jnp.asarray(np.stack(arrs))
+    if len(uniq) < n:
+        base = jnp.asarray(np.stack(uniq))
+        return base[np.asarray(pattern)]
+    return jnp.asarray(np.stack(uniq))
 
 
 def _round_up(x: int, m: int) -> int:

@@ -191,3 +191,27 @@ def test_alias_ratio_within_one_pct(rng):
     b_std = micw_compress(px, w, h, mx, num_strips=2)
     b_al = micw_compress(px, w, h, mx, num_strips=2, entropy="alias")
     assert len(b_al) < len(b_std) * 1.02
+
+
+def test_replicated_plan_chunk_cycle_dedup(rng):
+    """Replicated plans whose strips-per-image period does NOT divide
+    the chunk size produce chunk operands that repeat in a short cycle
+    rather than all-identically (MR2: 6 strips/image over 32-entry
+    chunks -> period-3 cycle).  _stack_dev must dedup that cycle (one
+    h2d of the unique set + device gather) AND stay bit-exact: this
+    pins the decode through a replicated plan at such a geometry."""
+    from mic_tpu.tpu.strips import MicwDecodePlan
+
+    h, w = 18, 256  # 3 strips/image at num_strips=3
+    px = _smooth(rng, h, w).ravel()
+    blob = micw_compress(px, w, h, int(px.max()), num_strips=3,
+                         entropy="alias")
+    k = 22  # 3*22=66 entries over 32-entry chunks: period-3 key cycle
+    plan = MicwDecodePlan([blob] * k)
+    runner = plan.make_timed_runner([px] * k)
+    assert runner is not None
+    m, _p = runner(2)
+    assert int(m) == 0
+    outs = micw_decode_many([blob] * k)
+    for o in outs:
+        assert np.array_equal(np.asarray(o[0]).ravel(), px)
